@@ -1,13 +1,55 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.GraphQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done in SURVEY.md §2 has an entry in [[queries]]
+  * (run by Verify at sf0.01) and, where ANSI-SQL-expressible, a DuckDB
+  * oracle in [[oracleSql]] (the driver hash-compares both results).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * PageRank to 1e-6 convergence on the lineitem-derived graph.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.operators.PageRank
+      .run(GraphQueries.graph(spark, "/root/testdata/sf0.001"), tol = 1e-6, maxIter = 50)
+      .ranks
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_degrees" -> (GraphQueries.degrees _),
+    "g_cc" -> (GraphQueries.cc _),
+    "g_cc_sizes" -> (GraphQueries.ccSizes _),
+    "g_pagerank5" -> (GraphQueries.pagerank(5) _),
+    "g_lp3" -> (GraphQueries.lp(3) _),
+    "g_triangles" -> (GraphQueries.triangles _),
+    "g_tri_per_vertex" -> (GraphQueries.triPerVertex _),
+    "g_bfs" -> (GraphQueries.bfs(0) _),
+    "q1_agg" -> ((s: SparkSession, dir: String) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"), col("count_order"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "g_degrees" -> GraphQueries.degreesSql,
+    "g_cc" -> GraphQueries.ccSql,
+    "g_cc_sizes" -> GraphQueries.ccSizesSql,
+    "g_pagerank5" -> GraphQueries.pagerankSql(5),
+    "g_lp3" -> GraphQueries.lpSql(3),
+    "g_triangles" -> GraphQueries.trianglesSql,
+    "g_tri_per_vertex" -> GraphQueries.triPerVertexSql,
+    "g_bfs" -> GraphQueries.bfsSql(0),
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

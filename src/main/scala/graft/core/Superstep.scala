@@ -1,0 +1,142 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-superstep iteration metrics — the Spark analogue of the reference's
+  * progress logging threaded through every algorithm
+  * (`/root/reference/src/algo/sccs/tarjan.rs:18-20`), extended with the
+  * north-rule metrics: delta-norm, messages shuffled, skew ratio.
+  */
+final case class SuperstepMetrics(
+    iteration: Int,
+    /** Algorithm-defined convergence norm (e.g. PageRank L1 delta). */
+    deltaNorm: Double,
+    /** Rows that crossed the shuffle this superstep (gather messages). */
+    messages: Long,
+    /** Vertices whose state changed this superstep. */
+    changed: Long,
+    /** max/mean rows per partition of the new state (1.0 = even). */
+    skewRatio: Double,
+    wallMs: Long
+)
+
+final case class CheckpointConfig(dir: String, every: Int = 1)
+
+/** Driver-side superstep loop support shared by all iterative operators:
+  * cuts lineage every superstep, commits state to the snapshot table layer
+  * (making any run resumable mid-iteration), and records metrics.
+  *
+  * Lineage policy: iterative dataflows reference the previous state more
+  * than once per superstep, so the raw logical plan grows EXPONENTIALLY
+  * with iteration count (persist caches data but never truncates the
+  * plan). Operators therefore pass every new state through
+  * [[IterationContext.cut]], which replaces the plan with a
+  * constant-size scan: `localCheckpoint` in-process, or a re-read of the
+  * committed snapshot when the durable table layer is configured (the
+  * cluster-reliable variant — executor loss cannot lose local
+  * checkpoint blocks).
+  *
+  * This is the Spark-native replacement for the reference's visit
+  * framework + `IterationContext` (`/root/reference/src/algo/hyperball/
+  * hyperball_impl.rs:413-461`): the mechanics of iteration (double
+  * buffering, temp-state spill, progress, resumability) live here; each
+  * operator supplies only the per-superstep dataflow.
+  */
+final class IterationContext(
+    name: String,
+    checkpoint: Option[CheckpointConfig] = None,
+    /** Prefer re-reading the durable snapshot (instead of local
+      * checkpoint blocks) every N committed supersteps.
+      */
+    durableCutEvery: Int = 8,
+    verbose: Boolean = false
+) {
+
+  private var prev: Option[DataFrame] = None
+  private var iterStartMs: Long = System.currentTimeMillis()
+  val history: ArrayBuffer[SuperstepMetrics] = ArrayBuffer.empty
+
+  /** If a checkpoint exists, the state + iteration to resume from. */
+  def resume(spark: org.apache.spark.sql.SparkSession): Option[(DataFrame, Int)] =
+    checkpoint.flatMap { c =>
+      TableIO.latest(spark, c.dir).map { case (m, df) =>
+        val st = df.persist(StorageLevel.MEMORY_AND_DISK)
+        prev = Some(st)
+        (st, m.iteration)
+      }
+    }
+
+  /** Install the initial state (iteration 0). Returns the persisted state. */
+  def init(state: DataFrame): DataFrame = {
+    val st = state.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = Some(st)
+    iterStartMs = System.currentTimeMillis()
+    st
+  }
+
+  /** Truncate the lineage of a freshly-built superstep state. Lazy: the
+    * caller's convergence-stats action materializes it (exactly one
+    * pass over the data per superstep).
+    */
+  def cut(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+  /** Record superstep `iteration` whose state `next` the caller has already
+    * built via [[cut]] and materialized (via its stats action). Commits to
+    * the table layer when due. Returns the state to iterate from next.
+    */
+  def advance(
+      iteration: Int,
+      next: DataFrame,
+      deltaNorm: Double,
+      messages: Long,
+      changed: Long
+  ): DataFrame = {
+    var st = next
+    val doCheckpoint = checkpoint.exists(c => iteration % c.every == 0)
+    val skew = if (doCheckpoint || verbose) skewRatio(st) else 1.0
+    if (doCheckpoint) {
+      val c = checkpoint.get
+      val m = Map(
+        "deltaNorm" -> deltaNorm,
+        "messages" -> messages.toDouble,
+        "changed" -> changed.toDouble,
+        "skewRatio" -> skew)
+      TableIO.commit(st, c.dir, iteration, m)
+      if (iteration % durableCutEvery == 0) {
+        // Swap in the durable snapshot as the live state: reliable
+        // lineage root + frees the in-process copy.
+        st = TableIO.latest(st.sparkSession, c.dir).get._2
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+    prev.filter(_ ne st).foreach(_.unpersist())
+    prev = Some(st)
+    val now = System.currentTimeMillis()
+    val metrics = SuperstepMetrics(iteration, deltaNorm, messages, changed, skew, now - iterStartMs)
+    iterStartMs = now
+    history += metrics
+    if (verbose) {
+      // One log line per superstep, like the reference's ProgressLogger.
+      println(f"[graft/$name] iter=$iteration%3d delta=$deltaNorm%.3e msgs=$messages changed=$changed skew=${metrics.skewRatio}%.2f ${metrics.wallMs}ms")
+    }
+    st
+  }
+
+  /** max/mean rows per partition of the materialized state. */
+  private def skewRatio(df: DataFrame): Double = {
+    try {
+      val sizes = df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+      val nonEmpty = sizes.filter(_ > 0)
+      if (nonEmpty.isEmpty) 1.0
+      else nonEmpty.max.toDouble / (nonEmpty.sum.toDouble / nonEmpty.length)
+    } catch { case _: Throwable => 1.0 }
+  }
+
+  def close(keepFinal: Boolean = true): Unit = {
+    if (!keepFinal) prev.foreach(_.unpersist())
+    prev = None
+  }
+}

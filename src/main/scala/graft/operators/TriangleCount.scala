@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.core.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Triangle counting by degree-ordered edge orientation + wedge closing
+  * (the "node-iterator++" / compact-forward algorithm).
+  *
+  * The graph is first made simple and undirected (direction and self-loops
+  * ignored — the standard definition over web link graphs). Each undirected
+  * edge {u,v} is oriented u→v iff (deg(u), u) < (deg(v), v); every triangle
+  * then has exactly ONE vertex with two outgoing oriented edges, so
+  *   triangles = |{ (a,b),(a,c) ∈ E⃗, b<c : (b,c) ∈ E⃗ }|
+  * counts each triangle exactly once.
+  *
+  * Scale: orientation bounds oriented out-degree by O(√m) even for hubs
+  * (a vertex only keeps neighbors of larger degree), which bounds the
+  * wedge blow-up of the self-join — this is the skew story, replacing the
+  * reference's shared-memory adjacency intersection with a shuffle-safe
+  * equivalent. The wedge→edge join is a plain shuffle hash join on
+  * (b, c); partial aggregation does the counting.
+  */
+object TriangleCount {
+
+  /** Oriented simple edges (src, dst) with (deg,id)-order src < dst. */
+  def orient(graph: Graph): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val und = graph.edges
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+    orientCanonical(und)
+  }
+
+  /** Orientation of canonical undirected simple edges (u<v by id). */
+  private def orientCanonical(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+  }
+
+  /** All triangles as (a, b, c) vertex triples: a = the (deg,id)-minimal
+    * apex (the one vertex whose two triangle edges are both outgoing in
+    * the orientation), b < c by id. Each triangle appears exactly once.
+    *
+    * The closing edge {b,c} is checked against the CANONICAL undirected
+    * edge set (u<v by id) rather than the oriented set — b,c are not
+    * (deg,id)-ordered, so the oriented edge between them may point either
+    * way; the canonical form keeps the join an equi-join (no OR
+    * condition → stays a shuffle hash join, never a nested loop).
+    */
+  def triangles(graph: Graph): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val und = graph.edges
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val o = orientCanonical(und).persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = o.select(col("src").as("a"), col("dst").as("c"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+    wedges
+      .join(und, wedges("b") === und("u") && wedges("c") === und("v"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  def total(graph: Graph): Long = triangles(graph).count()
+
+  /** (id, triangles) for every vertex (0 for triangle-free vertices). */
+  def perVertex(graph: Graph): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val tri = triangles(graph)
+    val counts = tri.select($"a".as("id"))
+      .union(tri.select($"b".as("id")))
+      .union(tri.select($"c".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("triangles"))
+    graph.vertices.toDF("id")
+      .join(counts, Seq("id"), "left")
+      .select($"id", coalesce($"triangles", lit(0L)).as("triangles"))
+  }
+}

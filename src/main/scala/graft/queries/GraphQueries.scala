@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.core.Graph
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract graph queries + their DuckDB oracle SQL.
+  *
+  * The driver's correctness gate (Verify → DuckDB compare) runs over the
+  * parquet tables in a scale-factor dir, so the graph under test is DERIVED
+  * deterministically from `lineitem` with arithmetic both engines evaluate
+  * identically (int64 `%`): a pseudo-random directed multigraph on
+  * [[GraphQueries.N]] vertices. The Spark side builds a [[Graph]] from the
+  * same expression; oracles recompute the algorithm in portable SQL
+  * (recursive CTEs for CC/BFS, unrolled stages for PageRank).
+  */
+object GraphQueries {
+
+  /** Vertex-space modulus of the derived graph (kept modest so the DuckDB
+    * transitive-closure oracle stays small; the Spark side is the same
+    * code that runs the generated web-scale graphs in Bench).
+    */
+  val N = 601
+
+  /** Shared SQL prelude: the derived edge set + its vertex set. */
+  val edgesSql: String =
+    s"""edges AS (
+       |  SELECT DISTINCT (l_partkey % $N) AS src,
+       |         ((l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $N) AS dst
+       |  FROM lineitem
+       |), nodes AS (
+       |  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+       |)""".stripMargin
+
+  def edgesDf(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .selectExpr(
+        s"l_partkey % $N AS src",
+        s"(l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $N AS dst")
+      .distinct()
+
+  def graph(spark: SparkSession, dir: String): Graph =
+    Graph.fromEdges(edgesDf(spark, dir))
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  def degrees(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    g.outDegrees
+      .withColumnRenamed("deg", "outdeg")
+      .join(g.inDegrees.withColumnRenamed("deg", "indeg"), Seq("id"))
+      .select(col("id"), col("outdeg"), col("indeg"))
+  }
+
+  val degreesSql: String =
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |idg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)
+       |SELECT n.id, coalesce(od.c, 0) AS outdeg, coalesce(idg.c, 0) AS indeg
+       |FROM nodes n LEFT JOIN od ON n.id = od.id LEFT JOIN idg ON n.id = idg.id""".stripMargin
+
+  def cc(spark: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.run(graph(spark, dir)).components
+
+  val ccSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.id
+       |)
+       |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin
+
+  def ccSizes(spark: SparkSession, dir: String): DataFrame = {
+    val comps = ConnectedComponents.run(graph(spark, dir)).components
+    ConnectedComponents
+      .sortBySize(comps)
+      .select(col("comp"), col("size"), col("rank").cast("long").as("rank"))
+      .distinct()
+  }
+
+  val ccSizesSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.id
+       |),
+       |cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp)
+       |SELECT comp, size,
+       |       dense_rank() OVER (ORDER BY size DESC, comp ASC) - 1 AS rank
+       |FROM sizes""".stripMargin
+
+  /** PageRank, exactly `iters` power iterations, ranks rounded to 8 dp
+    * (both engines do the identical algebra; rounding absorbs
+    * last-ulp summation-order differences).
+    */
+  def pagerank(iters: Int)(spark: SparkSession, dir: String): DataFrame =
+    PageRank
+      .runFixed(graph(spark, dir), iterations = iters)
+      .select(col("id"), round(col("rank"), 8).as("rank"))
+
+  /** Unrolled k-stage PageRank oracle in portable SQL. */
+  def pagerankSql(iters: Int): String = {
+    val stages = (1 to iters).map { k =>
+      val p = if (k == 1) "pr0" else s"pr${k - 1}"
+      s"""pr$k AS (
+         |  SELECT n.id,
+         |         (0.15 / cnt.n) + 0.85 * (coalesce(c.contrib, 0) + d.dang / cnt.n) AS rank,
+         |         n.deg
+         |  FROM ndeg n
+         |  CROSS JOIN cnt
+         |  CROSS JOIN (SELECT coalesce(sum(rank), 0) AS dang FROM $p WHERE deg = 0) d
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.rank / p.deg) AS contrib
+         |    FROM $p p JOIN edges e ON e.src = p.id
+         |    WHERE p.deg > 0
+         |    GROUP BY e.dst
+         |  ) c ON c.id = n.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |ndeg AS (SELECT n.id, coalesce(od.c, 0) AS deg FROM nodes n LEFT JOIN od ON n.id = od.id),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT id, 1.0 / cnt.n AS rank, deg FROM ndeg CROSS JOIN cnt),
+       |$stages
+       |SELECT id, round(rank, 8) AS rank FROM pr$iters""".stripMargin
+  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    TriangleCount
+      .triangles(graph(spark, dir))
+      .agg(count(lit(1)).as("triangles"))
+
+  /** Shared orientation prelude for the triangle oracles. */
+  private val orientSql: String =
+    s"""und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges WHERE src <> dst
+       |),
+       |deg AS (
+       |  SELECT id, count(*) AS deg
+       |  FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) t
+       |  GROUP BY id
+       |),
+       |o AS (
+       |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS src,
+       |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS dst
+       |  FROM und JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
+       |),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  JOIN und e3 ON e3.u = e1.dst AND e3.v = e2.dst
+       |)""".stripMargin
+
+  val trianglesSql: String =
+    s"""WITH $edgesSql,
+       |$orientSql
+       |SELECT count(*) AS triangles FROM tri""".stripMargin
+
+  def triPerVertex(spark: SparkSession, dir: String): DataFrame =
+    TriangleCount.perVertex(graph(spark, dir))
+
+  val triPerVertexSql: String =
+    s"""WITH $edgesSql,
+       |$orientSql,
+       |pv AS (
+       |  SELECT id, count(*) AS triangles
+       |  FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) t
+       |  GROUP BY id
+       |)
+       |SELECT n.id, coalesce(pv.triangles, 0) AS triangles
+       |FROM nodes n LEFT JOIN pv ON n.id = pv.id""".stripMargin
+
+  def bfs(root: Long)(spark: SparkSession, dir: String): DataFrame =
+    Bfs.distances(graph(spark, dir), Seq(root))
+
+  def bfsSql(root: Long): String =
+    s"""WITH RECURSIVE $edgesSql,
+       |walk(id, d) AS (
+       |  SELECT CAST($root AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, walk.d + 1 FROM walk JOIN edges e ON e.src = walk.id WHERE walk.d < 60
+       |)
+       |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin
+
+  /** Label propagation, fixed sync iterations, deterministic tie-breaks. */
+  def lp(iters: Int)(spark: SparkSession, dir: String): DataFrame =
+    LabelPropagation.run(graph(spark, dir), maxIter = iters).labels
+
+  /** Unrolled LP oracle: each stage = neighbor-label frequency count +
+    * argmax (count desc, label asc), isolated vertices keep their label.
+    */
+  def lpSql(iters: Int): String = {
+    val stages = (1 to iters).map { k =>
+      val p = s"lab${k - 1}"
+      s"""votes$k AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS cnt
+         |  FROM $p l JOIN symnl e ON e.src = l.id
+         |  GROUP BY e.dst, l.label
+         |),
+         |win$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM votes$k
+         |  ) t WHERE rn = 1
+         |),
+         |lab$k AS (
+         |  SELECT l.id, coalesce(w.label, l.label) AS label
+         |  FROM $p l LEFT JOIN win$k w ON w.id = l.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |symnl AS (SELECT src, dst FROM sym WHERE src <> dst),
+       |lab0 AS (SELECT id, id AS label FROM nodes),
+       |$stages
+       |SELECT id, label FROM lab$iters""".stripMargin
+  }
+}

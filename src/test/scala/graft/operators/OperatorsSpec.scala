@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Fixtures, SeqOracles, TestSpark}
+import graft.core.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphCoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("adjacency: sorted successor chunks with full degree, hubs salted") {
+    val g = Graph.fromPairs(spark, Fixtures.bucket9, chunkSize = 2)
+    val adj = g.adjacency.collect()
+    // node 2 has successors 1,3,4,5 (deg 4) -> two chunks of 2 under chunkSize=2
+    val n2 = adj.filter(_.src == 2L).sortBy(_.chunk)
+    assert(n2.length == 2)
+    assert(n2.forall(_.deg == 4L))
+    assert(n2.flatMap(_.dsts).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(n2.forall(c => c.dsts.sorted.toSeq == c.dsts.toSeq))
+    // dedup: self loop (0,0) kept once
+    assert(adj.filter(_.src == 0L).flatMap(_.dsts).toSeq == Seq(0L))
+  }
+
+  test("degrees include dangling vertices with 0") {
+    val g = Graph.fromPairs(spark, Seq((0L, 1L), (0L, 2L)))
+    val out = g.outDegrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("symmetrize yields both orientations") {
+    val g = Graph.fromPairs(spark, Seq((0L, 1L))).symmetrize
+    assert(g.edges.collect().map(e => (e.src, e.dst)).toSet == Set((0L, 1L), (1L, 0L)))
+  }
+}
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def check(edges: Seq[(Long, Long)]): Unit = {
+    val got = ConnectedComponents
+      .run(Graph.fromPairs(spark, edges))
+      .components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == SeqOracles.cc(edges))
+  }
+
+  test("bucket9 components match union-find oracle")(check(Fixtures.bucket9))
+  test("lozenge: single weak component")(check(Fixtures.lozenge))
+  test("tree7 weakly connected")(check(Fixtures.tree7))
+
+  test("two disjoint cliques stay separate") {
+    val edges = Fixtures.clique5 ++ Fixtures.clique5.map { case (u, v) => (u + 10, v + 10) }
+    check(edges)
+  }
+
+  test("Erdős–Rényi graphs match oracle") {
+    for (seed <- 1 to 3; p <- Seq(0.02, 0.1)) {
+      check(Fixtures.erdosRenyi(60, p, seed))
+    }
+  }
+
+  test("sortBySize renumbers by decreasing size, ties by min label") {
+    // components: {0,1,2} (comp 0), {10,11,12} (comp 10), {20,21} (comp 20)
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L))
+    val comps = ConnectedComponents.run(Graph.fromPairs(spark, edges)).components
+    val ranked = ConnectedComponents.sortBySize(comps)
+      .select("comp", "size", "rank").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ranked == Set((0L, 3L, 0), (10L, 3L, 1), (20L, 2L, 2)))
+  }
+}
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def ranksOf(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+    PageRank.runFixed(Graph.fromPairs(spark, edges), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("fixed iterations match sequential oracle (incl. dangling mass)") {
+    for (edges <- Seq(Fixtures.bucket9, Fixtures.triangleTail, Fixtures.tree7)) {
+      val got = ranksOf(edges, 10)
+      val want = SeqOracles.pagerank(edges, 0.85, 10)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"vertex $v") }
+    }
+  }
+
+  test("ranks sum to 1 (mass conservation with dangling nodes)") {
+    val got = ranksOf(Fixtures.tree7, 7) // leaves are dangling
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("uniform rank on a regular cycle, converged flag set") {
+    val res = PageRank.run(Graph.fromPairs(spark, Fixtures.cycle4), tol = 1e-10, maxIter = 100)
+    assert(res.converged)
+    res.ranks.collect().foreach(r => assert(math.abs(r.getDouble(1) - 0.25) < 1e-9))
+  }
+
+  test("convergence decreases L1 delta monotonically on ER graph") {
+    val res = PageRank.run(
+      Graph.fromPairs(spark, Fixtures.erdosRenyi(80, 0.05, 7)), tol = 1e-6, maxIter = 60)
+    assert(res.converged)
+    val deltas = res.history.map(_.deltaNorm)
+    assert(deltas.last < 1e-6)
+    assert(deltas.sliding(2).forall(w => w.last <= w.head * 1.01))
+  }
+}
+
+class LabelPropagationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("matches sequential oracle on fixtures") {
+    for (edges <- Seq(Fixtures.bucket9, Fixtures.lozenge, Fixtures.erdosRenyi(40, 0.08, 3))) {
+      for (iters <- Seq(1, 2, 4)) {
+        val got = LabelPropagation.run(Graph.fromPairs(spark, edges), maxIter = iters)
+          .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == SeqOracles.lp(edges, iters), s"iters=$iters")
+      }
+    }
+  }
+
+  test("two cliques joined by a bridge resolve to per-clique labels") {
+    val cliqueA = Fixtures.clique5
+    val cliqueB = Fixtures.clique5.map { case (u, v) => (u + 5, v + 5) }
+    val edges = cliqueA ++ cliqueB ++ Seq((4L, 5L))
+    val got = LabelPropagation.run(Graph.fromPairs(spark, edges), maxIter = 10)
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(got(_) == 0L))
+    assert((6L to 9L).forall(got(_) == 5L))
+  }
+}
+
+class TriangleCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("known counts: clique5=10, triangle+tail=1, cycle4=0, bucket9") {
+    assert(TriangleCount.total(Graph.fromPairs(spark, Fixtures.clique5)) == 10L)
+    assert(TriangleCount.total(Graph.fromPairs(spark, Fixtures.triangleTail)) == 1L)
+    assert(TriangleCount.total(Graph.fromPairs(spark, Fixtures.cycle4)) == 0L)
+    assert(TriangleCount.total(Graph.fromPairs(spark, Fixtures.bucket9)) ==
+      SeqOracles.triangles(Fixtures.bucket9))
+  }
+
+  test("ER graphs match brute-force oracle") {
+    for (seed <- 1 to 3) {
+      val edges = Fixtures.erdosRenyi(30, 0.2, seed)
+      assert(TriangleCount.total(Graph.fromPairs(spark, edges)) == SeqOracles.triangles(edges))
+    }
+  }
+
+  test("per-vertex counts: each clique5 vertex is in C(4,2)=6 triangles") {
+    val pv = TriangleCount.perVertex(Graph.fromPairs(spark, Fixtures.clique5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pv == (0L until 5L).map(_ -> 6L).toMap)
+  }
+}
+
+class BfsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("distances match textbook oracle (bucket9, all roots)") {
+    for (root <- 0L until 9L) {
+      val got = Bfs.distances(Graph.fromPairs(spark, Fixtures.bucket9), Seq(root))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == SeqOracles.bfs(Fixtures.bucket9, Seq(root)), s"root=$root")
+    }
+  }
+
+  test("multi-root BFS (reference test_bfv.rs:114-132): d=[0,1,1,0]") {
+    val got = Bfs.distances(Graph.fromPairs(spark, Fixtures.multiroot), Seq(0L, 3L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 0))
+  }
+
+  test("preds are valid parents at distance-1") {
+    val rows = Bfs.run(Graph.fromPairs(spark, Fixtures.bucket9), Seq(1L)).collect()
+    val dist = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Fixtures.bucket9.toSet
+    rows.filter(_.getInt(1) > 0).foreach { r =>
+      val (id, d, pred) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      assert(edges.contains((pred, id)) && dist(pred) == d - 1)
+    }
+  }
+
+  test("ER differential vs oracle") {
+    val edges = Fixtures.erdosRenyi(50, 0.05, 11)
+    val got = Bfs.distances(Graph.fromPairs(spark, edges), Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == SeqOracles.bfs(edges, Seq(0L)))
+  }
+}
