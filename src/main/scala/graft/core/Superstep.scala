@@ -83,6 +83,22 @@ final class IterationContext(
     */
   def cut(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
+  /** Checkpoint block storage of superseded states must be released
+    * EXPLICITLY: localCheckpoint RDDs are otherwise only freed by the
+    * periodic-GC context cleaner (default every 30 min), and on long
+    * iterative runs the leaked blocks evict the cached adjacency —
+    * which then silently re-builds every superstep (measured 10×+
+    * slowdowns). We collect the RDDs behind any LogicalRDD scan in the
+    * superseded state's plan and unpersist them.
+    */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit = {
+    try {
+      df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () }
+  }
+
   /** Record superstep `iteration` whose state `next` the caller has already
     * built via [[cut]] and materialized (via its stats action). Commits to
     * the table layer when due. Returns the state to iterate from next.
@@ -112,7 +128,10 @@ final class IterationContext(
           .persist(StorageLevel.MEMORY_AND_DISK)
       }
     }
-    prev.filter(_ ne st).foreach(_.unpersist())
+    prev.filter(_ ne st).foreach { p =>
+      p.unpersist()
+      releaseCheckpointBlocks(p)
+    }
     prev = Some(st)
     val now = System.currentTimeMillis()
     val metrics = SuperstepMetrics(iteration, deltaNorm, messages, changed, skew, now - iterStartMs)
@@ -125,13 +144,16 @@ final class IterationContext(
     st
   }
 
-  /** max/mean rows per partition of the materialized state. */
+  /** max/mean rows per partition of the materialized state (codegen'd
+    * aggregate over spark_partition_id, no Row conversion).
+    */
   private def skewRatio(df: DataFrame): Double = {
     try {
-      val sizes = df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
-      val nonEmpty = sizes.filter(_ > 0)
-      if (nonEmpty.isEmpty) 1.0
-      else nonEmpty.max.toDouble / (nonEmpty.sum.toDouble / nonEmpty.length)
+      import org.apache.spark.sql.functions._
+      val sizes = df.groupBy(spark_partition_id()).count()
+        .collect().map(_.getLong(1)).filter(_ > 0)
+      if (sizes.isEmpty) 1.0
+      else sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
     } catch { case _: Throwable => 1.0 }
   }
 

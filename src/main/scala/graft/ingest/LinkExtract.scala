@@ -1,0 +1,83 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Scale-safe deterministic dense id assignment (url → 0..n-1 by url sort
+  * order) — the Spark equivalent of the reference's dense `usize` node ids.
+  *
+  * NOT a global single-partition window: range-partition by the key, number
+  * within each partition, then add per-partition offsets (the offsets table
+  * is #partitions rows — driver-tiny at any scale).
+  */
+object DenseIds {
+
+  /** Input: any DataFrame with a unique string column `keyCol`.
+    * Output: (key, id) with dense ids 0..n-1 assigned in key sort order.
+    */
+  def assign(df: DataFrame, keyCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyed = df.select(col(keyCol).as("key")).distinct()
+      .repartitionByRange(parts, col("key"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(Window.partitionBy("pid").orderBy("key")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
+      case (off, (pid, _)) => (pid, off)
+    }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
+    val out = keyed.join(offDf, Seq("pid"))
+      .select(col("key").as(keyCol), (col("offset") + col("rn") - 1).as("id"))
+    out
+  }
+}
+
+/** Link extraction: Common-Crawl-style pages table → directed edge table.
+  *
+  * The ingest path of the north_star: pages (url, warc_ts, html, text,
+  * lang) → anchor hrefs from `html` → resolve to dense vertex ids →
+  * Dataset[Edge]. Pure Spark expressions (regexp over the html string);
+  * external links (targets not in the crawl) are dropped, like the
+  * reference's graphs which are closed over their node set.
+  */
+object LinkExtract {
+
+  /** (src_url, dst_url) pairs from anchor tags. */
+  def links(pages: DataFrame): DataFrame =
+    pages.select(
+        col("url").as("src_url"),
+        explode(
+          regexp_extract_all(col("html").cast("string"),
+            lit("""<a href="([^"]+)""""), lit(1))).as("dst_url"))
+
+  /** (url, id) dense vertex map over all page urls (every crawled page is
+    * a vertex even if never linked — matches Graph-over-all-pages
+    * semantics and keeps dangling pages).
+    */
+  def vertexMap(pages: DataFrame): DataFrame = DenseIds.assign(pages, "url")
+
+  /** Edge table (src: Long, dst: Long); duplicate links collapse later in
+    * the adjacency build. The two resolve joins shuffle on url — at crawl
+    * scale the vertex map is far bigger than broadcastable, so these are
+    * sort-merge/shuffle-hash joins by design (one-time ingest cost).
+    */
+  def edges(pages: DataFrame, vertexMap: DataFrame): DataFrame = {
+    val l = links(pages)
+    l.join(vertexMap.select(col("url").as("src_url"), col("id").as("src")), Seq("src_url"))
+      .join(vertexMap.select(col("url").as("dst_url"), col("id").as("dst")), Seq("dst_url"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** Full ingest: pages → (vertexMap, edges). */
+  def ingest(pages: DataFrame): (DataFrame, DataFrame) = {
+    val vm = vertexMap(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    (vm, edges(pages, vm))
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.similarity.VectorSim
+import graft.text.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the training-data-pipeline operators
+  * (dedup / text analysis / similarity search) + portable DuckDB oracles.
+  *
+  * Oracle portability notes (DuckDB 1.0): regexp_replace needs the 'g'
+  * flag (Spark is always-global); list slicing is 1-based inclusive;
+  * row_number()/count(*) are BIGINT (Spark ints are cast to long);
+  * all float math is forced to DOUBLE and rounded to 6 dp on BOTH sides
+  * before any ranking, so orderings are engine-stable.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Shared SQL prelude: whitespace tokens per doc. */
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  // --- token stats ---------------------------------------------------
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStats(docs(spark, dir))
+
+  val tokenStatsSql: String =
+    s"""WITH $toksSql
+       |SELECT doc_id,
+       |       len(w) AS n_tokens,
+       |       length(text) AS n_chars,
+       |       round(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE)))
+       |             / greatest(len(w), 1), 6) AS avg_token_len
+       |FROM toks""".stripMargin
+
+  // --- quality -------------------------------------------------------
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.quality(docs(spark, dir))
+
+  val qualitySql: String = {
+    val stop = "['the','a','and','of','to','in','is','for']"
+    s"""WITH $toksSql,
+       |q AS (
+       |  SELECT doc_id, text, w,
+       |         CAST(len(w) AS DOUBLE) AS ntok,
+       |         CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE) AS stop_hits,
+       |         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) AS punct,
+       |         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) AS upper_n
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |       length(text) AS n_chars,
+       |       len(w) AS n_tokens,
+       |       stop_hits / greatest(ntok, 1.0) AS stopword_ratio,
+       |       punct / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+       |       upper_n / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio,
+       |       least(ntok / 64.0, 1.0) * 0.5
+       |             + least(stop_hits / greatest(ntok, 1.0) * 5.0, 1.0) * 0.3
+       |             + (1.0 - least(punct / greatest(ntok, 1.0), 1.0)) * 0.2 AS quality_score
+       |FROM q""".stripMargin
+  }
+
+  // --- language id ---------------------------------------------------
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir))
+
+  val langIdSql: String = {
+    val markers = Seq(
+      "de" -> Seq(" der ", " und ", " die ", " nicht "),
+      "en" -> Seq(" the ", " and ", " is ", " of "),
+      "es" -> Seq(" el ", " y ", " los ", " que "),
+      "fr" -> Seq(" le ", " et ", " les ", " est "),
+      "zh" -> Seq("的", "是", "了", "在"))
+    val branches = markers.map { case (l, ms) =>
+      val score = ms.map { m =>
+        val esc = m.replace("'", "''")
+        s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${m.length} AS BIGINT)"
+      }.mkString(" + ")
+      s"SELECT doc_id, '$l' AS lang, $score AS score FROM padded"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |scores AS (
+       |$branches
+       |)
+       |SELECT doc_id, lang AS pred_lang FROM (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |  FROM scores
+       |) t WHERE rn = 1""".stripMargin
+  }
+
+  // --- fingerprint ---------------------------------------------------
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(docs(spark, dir))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  // --- exact dedup ---------------------------------------------------
+
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir))
+
+  val exactDedupSql: String =
+    """SELECT d.doc_id, g.keeper, g.group_size
+      |FROM documents d JOIN (
+      |  SELECT text, min(doc_id) AS keeper, count(*) AS group_size
+      |  FROM documents GROUP BY text
+      |) g ON d.text = g.text""".stripMargin
+
+  // --- n-gram jaccard near-dup ---------------------------------------
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(spark, dir), n = 3, threshold = 0.2)
+
+  val ngramJaccardSql: String =
+    s"""WITH $toksSql,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |  FROM toks
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |rare AS (
+       |  SELECT sh.* FROM sh JOIN (
+       |    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle HAVING count(*) <= 10000
+       |  ) f ON sh.shingle = f.shingle
+       |),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |)
+       |SELECT a, b,
+       |       CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2""".stripMargin
+
+  // --- minhash / simhash (no portable hash → rows-only driver check;
+  //     exact semantics verified in ScalaTest against in-repo oracles) ---
+
+  def minHashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(docs(spark, dir), threshold = 0.125)
+
+  def simHash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(docs(spark, dir))
+
+  def simHashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(docs(spark, dir), maxHamming = 16)
+
+  // --- embedding similarity ------------------------------------------
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSim.bruteForceTopK(emb(spark, dir), k = 5)
+      .select(col("vec_id"), col("nbr_id"), col("sim"), col("rank").cast("long").as("rank"))
+
+  private def embPrelude: String =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |),
+      |n AS (
+      |  SELECT vec_id, e,
+      |         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      |  FROM v
+      |)""".stripMargin
+
+  val cosineTopKSql: String =
+    s"""WITH $embPrelude,
+       |p AS (
+       |  SELECT q.vec_id AS vec_id, c.vec_id AS nbr_id,
+       |         round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+       |               / greatest(q.nrm * c.nrm, 1e-12), 6) AS sim
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |)
+       |SELECT vec_id, nbr_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank
+       |  FROM p
+       |) t WHERE rank <= 5""".stripMargin
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSim.lshTopK(emb(spark, dir), k = 5, dims = 64, bits = 4)
+      .select(col("vec_id"), col("nbr_id"), col("sim"), col("rank").cast("long").as("rank"))
+
+  val lshTopKSql: String = {
+    val bucket = (0 until 4).map { b =>
+      val lo = b * 16 + 1
+      val hi = b * 16 + 16
+      s"(CASE WHEN list_sum(e[$lo:$hi]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $embPrelude,
+       |bkt AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM n),
+       |p AS (
+       |  SELECT q.vec_id AS vec_id, c.vec_id AS nbr_id,
+       |         round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+       |               / greatest(q.nrm * c.nrm, 1e-12), 6) AS sim
+       |  FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |)
+       |SELECT vec_id, nbr_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank
+       |  FROM p
+       |) t WHERE rank <= 5""".stripMargin
+  }
+}

@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. Pair-producing operators are banded /
+  * bucketed so candidate generation is an equi-join (shuffle-safe at
+  * 100 TB); only candidates are verified exactly.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts; keeper = min doc_id.
+    * (doc_id, keeper, group_size) for EVERY doc — `doc_id != keeper`
+    * rows are the deletions a pipeline would apply.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val groups = docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+    docs.join(groups, Seq("text"))
+      .select(col("doc_id"), col("keeper"), col("group_size"))
+  }
+
+  /** Pairwise word-n-gram Jaccard near-dup pairs with similarity ≥
+    * threshold. Candidates = docs sharing ≥1 shingle (inverted-index
+    * self-join on the shingle — an equi-join; a shingle shared by k docs
+    * contributes k² candidate pairs, so extremely common shingles are
+    * capped out by `maxDocFreq` like a stopword list).
+    * Output: (a, b, jaccard) with a < b, jaccard rounded to 6 dp.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+                   maxDocFreq: Long = 10000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), n)).as("shingle"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
+      Seq("shingle"))
+    val inter = rare.as("x").join(rare.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"),
+        // no round(): exact-int division is IEEE-identical across engines,
+        // while rounding at dyadic midpoints (e.g. x/128) is not
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: (doc_id, sig array<long>) — sig(i) = min over the
+    * doc's shingles of xxhash64(i, shingle). Same estimator family as the
+    * reference's HLL register trick: per-slot min of a salted hash.
+    */
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * `numHashes/bands` rows; docs agreeing on any whole band become
+    * candidate pairs (equi-join on (band, bandHash) — no n² compare);
+    * candidates are then verified with the signature-estimated Jaccard.
+    * Output: (a, b, estJaccard) with a < b, est ≥ threshold.
+    */
+  def minHashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                 shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, numHashes, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+        .as(Seq("band", "bandHash")))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bandHash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val est = cands
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble), 6).as("estJaccard"))
+    est.filter(col("estJaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document over word `shingleN`-gram features:
+    * bit j of the hash = sign of Σ_features (bit j set ? +1 : −1).
+    */
+  def simHash(docs: DataFrame, shingleN: Int = 2): DataFrame = {
+    val feats = docs.select(col("doc_id"),
+      explode(TextOps.shinglesCol(col("text"), shingleN)).as("f"))
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("f")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    feats.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`: banded by 4×16-bit
+    * chunks (a pair within Hamming ≤3 of 64 bits must agree on ≥1 chunk),
+    * verified by exact popcount of the XOR. (a, b, hamming).
+    */
+  def simHashPairs(docs: DataFrame, shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(docs, shingleN).persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v")))
+    chunked.as("x").join(chunked.as("y"), Seq("chunk", "v"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

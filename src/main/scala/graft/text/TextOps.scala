@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, over a documents
+  * table (doc_id, text, …). All pure codegen'd Spark expressions — no
+  * UDFs — so they whole-stage-codegen and push down at 100 TB the same
+  * as at test scale.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (portable: same as DuckDB
+    * list_filter(string_split_regex(text,'\s+'), x -> x <> '')).
+    */
+  def tokensCol(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles (space-joined). Empty array when fewer than n
+    * tokens (guarded: sequence(1,0) would DESCEND, not be empty).
+    */
+  def shinglesCol(text: Column, n: Int): Column = {
+    val w = tokensCol(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, n_tokens, n_chars, avg_token_len) — token counting with a
+    * whitespace tokenizer (a BPE-ish regex variant is in [[bpeTokensCol]]).
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      round(
+        aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), (a, x) => a + x)
+          / greatest(size(toks), lit(1)), 6).as("avg_token_len"))
+  }
+
+  /** Sub-word-ish tokens: runs of letters, digits, or single punctuation —
+    * the regex flavor of a BPE pre-tokenizer. (doc_id, n_subtokens).
+    */
+  def bpeTokensCol(text: Column): Column =
+    filter(split(text, """(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"""), t => t =!= "" && t =!= " ")
+
+  /** English-ish stopwords drawn from the corpus vocabulary. */
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, all-caps
+    * ratio → a [0,1] score. Heuristics follow common crawl-filtering
+    * recipes (length window + stopword presence + low punctuation noise).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\.,;:!\\?]", ""))).cast("double")
+    val upper = (length(col("text")) -
+      length(regexp_replace(col("text"), "[A-Z]", ""))).cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      // NO rounding on these: every term is IEEE-deterministic on both
+      // engines (exact-integer counts, same op order), so raw doubles are
+      // bit-identical — while round() at dyadic midpoints (e.g. 39/128)
+      // differs between Spark (BigDecimal HALF_UP) and DuckDB (float).
+      (stopHits / greatest(nTok, lit(1.0))).as("stopword_ratio"),
+      (punct / greatest(length(col("text")).cast("double"), lit(1.0))).as("punct_ratio"),
+      (upper / greatest(length(col("text")).cast("double"), lit(1.0))).as("upper_ratio"),
+      (least(nTok / lit(64.0), lit(1.0)) * lit(0.5)
+        + least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0)) * lit(0.3)
+        + (lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))) * lit(0.2)
+        ).as("quality_score"))
+  }
+
+  /** Per-language stopword marker lists (tiny n-gram/stopword heuristic —
+    * the classic fast language-ID; deterministic argmax, ties → lexical).
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", " nicht "),
+    "en" -> Seq(" the ", " and ", " is ", " of "),
+    "es" -> Seq(" el ", " y ", " los ", " que "),
+    "fr" -> Seq(" le ", " et ", " les ", " est "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** (doc_id, pred_lang, score): occurrence-count language ID. */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def hits(markers: Seq[String]): Column =
+      markers.map { m =>
+        ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+          / lit(m.length)).cast("long")
+      }.reduce(_ + _)
+    val scored = langMarkers.map { case (l, ms) => struct(hits(ms).as("score"), lit(l).as("lang")) }
+    docs.select(
+      col("doc_id"),
+      // max_by over (score, inverted-lang) would need reverse-lex; sort the
+      // candidate array instead: highest score first, then lang ascending.
+      array_sort(array(scored: _*), (a, b) =>
+        when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .when(a("lang") < b("lang"), -1)
+          .when(a("lang") > b("lang"), 1)
+          .otherwise(0))
+        .getItem(0).getField("lang").as("pred_lang"))
+  }
+
+  /** Document fingerprint: hash of whitespace-normalized lowercased text
+    * (md5 → portable to the DuckDB oracle; the rolling-hash variant for
+    * streaming dedup is [[Dedup.simHash]]).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
+}

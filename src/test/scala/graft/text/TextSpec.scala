@@ -1,0 +1,180 @@
+package graft.text
+
+import graft.TestSpark
+import graft.similarity.VectorSim
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object TextFixtures {
+  /** Tiny corpus with exact dups, near dups, and distinct docs. */
+  val corpus: Seq[(Long, String)] = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact dup of 0
+    2L -> "the quick brown fox jumps over the lazy dog near the river shore", // near dup of 0
+    3L -> "a completely different document about spark catalyst optimizer rules",
+    4L -> "spark catalyst optimizer rules are a completely different topic here",
+    5L -> "short text")
+
+  def df(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  def shingleSet(text: String, n: Int): Set[String] = {
+    val w = text.split("\\s+").filter(_.nonEmpty)
+    if (w.length < n) Set.empty
+    else w.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  def jaccard(a: String, b: String, n: Int): Double = {
+    val (sa, sb) = (shingleSet(a, n), shingleSet(b, n))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TextFixtures._
+
+  test("token stats match a plain Scala tokenizer") {
+    val got = TextOps.tokenStats(df(spark)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    corpus.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      assert(got(id) == (toks.length.toLong, text.length.toLong), s"doc $id")
+    }
+  }
+
+  test("shingles: n-grams in order; short docs yield empty array") {
+    val sh = df(spark).select(col("doc_id"), TextOps.shinglesCol(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(5L) == Seq.empty)
+    assert(sh(0L).toSet == shingleSet(corpus.head._2, 3))
+    assert(sh(0L).head == "the quick brown")
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello  World"), (1L, "hello world"), (2L, " hello world "),
+      (3L, "hello worlds")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L) && fp(1L) == fp(2L))
+    assert(fp(0L) != fp(3L))
+  }
+
+  test("langId picks the language with most stopword hits, ties lexical") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x the y and z is w of q"),
+      (1L, "x der y und z die w nicht q"),
+      (2L, "a le b et c les d est e"),
+      (3L, "nothing matching any marker")).toDF("doc_id", "text")
+    val got = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en" && got(1L) == "de" && got(2L) == "fr")
+    assert(got(3L) == "de") // all-zero tie -> lexicographically first
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TextFixtures._
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val got = Dedup.exact(df(spark)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (0L, 2L) && got(1L) == (0L, 2L))
+    assert(got(2L) == (2L, 1L) && got(5L) == (5L, 1L))
+  }
+
+  test("ngramJaccard matches a brute-force oracle") {
+    val got = Dedup.ngramJaccard(df(spark), n = 2, threshold = 0.05)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a < b
+      j = jaccard(ta, tb, 2) if j >= 0.05
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"pair $k") }
+  }
+
+  test("minhash: identical docs → identical sigs; est tracks true jaccard") {
+    val sigs = Dedup.minHashSignatures(df(spark), numHashes = 64, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 64
+    val trueJ = jaccard(corpus(0)._2, corpus(2)._2, 2)
+    assert(math.abs(est(0L, 2L) - trueJ) < 0.25) // 64 hashes → σ≈0.06
+    assert(est(0L, 3L) < 0.2) // unrelated docs
+  }
+
+  test("minHashLsh finds exact+near dup pairs as candidates") {
+    val pairs = Dedup.minHashLsh(df(spark), numHashes = 64, bands = 16,
+      shingleN = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: equal for identical docs, near for near-dups, far for unrelated") {
+    val h = Dedup.simHash(df(spark), shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(ham(0L, 1L) == 0)
+    assert(ham(0L, 2L) < ham(0L, 3L))
+    // The 4×16-bit banding GUARANTEES candidates only within hamming ≤ 3
+    // (pigeonhole); exact dups are always found, and every returned pair
+    // respects the threshold.
+    val pairs = Dedup.simHashPairs(df(spark), shingleN = 2, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(pairs.map(_._1).contains((0L, 1L)))
+    assert(pairs.forall(_._2 <= 3))
+  }
+}
+
+class VectorSimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / math.max(na * nb, 1e-12)
+  }
+
+  lazy val embDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  lazy val vecs: Map[Long, Array[Float]] = embDf.collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  test("bruteForceTopK matches an exact Scala oracle on the testdata") {
+    val got = VectorSim.bruteForceTopK(embDf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val sample = vecs.keys.toSeq.sorted.take(25)
+    sample.foreach { q =>
+      val want = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, BigDecimal(cosine(vecs(q), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      val gotTop = (1 to 3).map(r => got((q, r)))
+      assert(gotTop == want, s"query $q")
+    }
+  }
+
+  test("lshTopK: recall@5 rises as buckets coarsen (probe-1 IVF tradeoff)") {
+    val brute = VectorSim.bruteForceTopK(embDf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(bits: Int): Double = {
+      val lsh = VectorSim.lshTopK(embDf, k = 5, dims = 64, bits = bits).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.intersect(lsh).size.toDouble / brute.size
+    }
+    val r2 = recall(2) // 4 buckets → ~1/4 of the n² work
+    val r4 = recall(4) // 16 buckets → ~1/16 of the work
+    assert(r2 > 0.3, s"recall@5(2 bits) = $r2")
+    assert(r2 >= r4, s"coarser buckets must not lose recall: $r2 vs $r4")
+  }
+}
