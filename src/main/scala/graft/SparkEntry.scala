@@ -29,6 +29,17 @@ object SparkEntry {
     "g_triangles" -> (GraphQueries.triangles _),
     "g_tri_per_vertex" -> (GraphQueries.triPerVertex _),
     "g_bfs" -> (GraphQueries.bfs(0) _),
+    "g_scc" -> (GraphQueries.scc _),
+    "g_ecc" -> (GraphQueries.ecc _),
+    "g_reach" -> (GraphQueries.reach _),
+    "g_radius_diameter" -> (GraphQueries.radiusDiameter _),
+    "g_topo_layers" -> (GraphQueries.topoLayers _),
+    "g_hyperball" -> (GraphQueries.hyperball _),
+    "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
+    "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
+    "q_setop" -> (graft.queries.RelationalQueries.setOps _),
+    "q_events_hourly" -> (graft.queries.RelationalQueries.eventsHourly _),
+    "m_binary_meta" -> (graft.queries.RelationalQueries.binaryMeta _),
     "t_tokens" -> (graft.queries.TextQueries.tokenStats _),
     "t_quality" -> (graft.queries.TextQueries.quality _),
     "t_langid" -> (graft.queries.TextQueries.langId _),
@@ -59,6 +70,16 @@ object SparkEntry {
     "g_triangles" -> GraphQueries.trianglesSql,
     "g_tri_per_vertex" -> GraphQueries.triPerVertexSql,
     "g_bfs" -> GraphQueries.bfsSql(0),
+    "g_scc" -> GraphQueries.sccSql,
+    "g_ecc" -> GraphQueries.eccSql,
+    "g_reach" -> GraphQueries.reachSql,
+    "g_radius_diameter" -> GraphQueries.radiusDiameterSql,
+    "g_topo_layers" -> GraphQueries.topoLayersSql,
+    "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
+    "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
+    "q_setop" -> graft.queries.RelationalQueries.setOpsSql,
+    "q_events_hourly" -> graft.queries.RelationalQueries.eventsHourlySql,
+    "m_binary_meta" -> graft.queries.RelationalQueries.binaryMetaSql,
     "t_tokens" -> graft.queries.TextQueries.tokenStatsSql,
     "t_quality" -> graft.queries.TextQueries.qualitySql,
     "t_langid" -> graft.queries.TextQueries.langIdSql,

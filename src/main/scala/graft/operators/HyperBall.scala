@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.core.{Graph, IterationContext, SuperstepMetrics}
+import graft.functions.Hll
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HyperBall (Boldi–Vigna): per-vertex HyperLogLog counters of the ball
+  * of radius t, iterated to stability; neighbourhood function and
+  * geometric centralities accumulated from per-iteration count deltas.
+  *
+  * Reference: `/root/reference/src/algo/hyperball/hyperball_impl.rs`
+  *  - update rule c'(v) = c(v) ∪ ⋃_{(v,w)∈E} c(w)   (:1034-1049)
+  *  - NF(t) = Σ_v count(c_t(v)); stop when no counter modified, or after
+  *    iteration 3 when NF(t)/NF(t−1) < 1+threshold                 (:559-578)
+  *  - Σd += Δcount·t and Σ1/d += Δcount/t per iteration            (:1072-1094)
+  *  - derived: closeness = 1/Σd, harmonic = Σ1/d, lin = count²/Σd
+  *    (isolated → 1), nieminen = count² − Σd                       (:633-757)
+  *
+  * Dataflow: one superstep = push each vertex's sketch to its in-neighbors
+  * through the TRANSPOSE adjacency (the reference materializes transposes
+  * rather than reverse-lookup, `/root/reference/src/main.rs:46`), merge
+  * per target (register-wise max — associative ⇒ map-side partial merge),
+  * then merge with the vertex's own sketch. The reference's SYSTOLIC mode
+  * (gather only from counters that changed last round, switched on when
+  * modified < n/4, :795-796) maps to driving the push from the changed
+  * subset — exact, because an unchanged successor's sketch is already
+  * contained in the target's sketch from the previous round. Its
+  * local-mode distinction collapses into the same plan (AQE broadcasts
+  * the tiny changed-set automatically).
+  *
+  * Merges are idempotent/commutative/associative, so results are
+  * BIT-IDENTICAL to a sequential run — asserted in HyperBallSpec the
+  * same way the reference asserts par-vs-seq equality (:1263-1322).
+  */
+object HyperBall {
+
+  final case class Result(
+      /** (id, registers, reachable, sumDist, sumInvDist,
+        *  closeness, harmonic, lin, nieminen)
+        */
+      stats: DataFrame,
+      /** NF(t) for t = 0..iterations. */
+      neighbourhoodFunction: Seq[Double],
+      iterations: Int,
+      history: Seq[SuperstepMetrics]
+  )
+
+  def run(
+      graph: Graph,
+      log2m: Int = 6,
+      threshold: Double = 0.0,
+      maxIter: Int = 100,
+      seed: Long = 42L,
+      verbose: Boolean = false
+  ): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+
+    val n = graph.numVertices
+    val tAdj = graph.transposeAdjacency
+    val systolicThreshold = n / 4 // reference hyperball_impl.rs:795-796
+
+    val ctx = new IterationContext("hyperball", verbose = verbose)
+    // state: (id, regs, cnt, sumDist, sumInvDist, modified)
+    // cnt MUST be the sketch's own estimate (≈1.000122 for one element at
+    // log2m=12), not literal 1.0 — otherwise unchanged vertices see a
+    // phantom count delta on iteration 1 and accumulate bogus sumDist.
+    var state = ctx.init(
+      graph.vertices.toDF("id")
+        .select($"id", Hll.hllInit(log2m, seed)($"id").as("regs"))
+        .select($"id", $"regs",
+          Hll.hllCount($"regs").as("cnt"),
+          lit(0.0).as("sumDist"),
+          lit(0.0).as("sumInvDist"),
+          lit(true).as("modified")))
+
+    val nf = scala.collection.mutable.ArrayBuffer[Double](n.toDouble) // NF(0) = n
+    var modified = n
+    var iter = 0
+    var done = false
+
+    while (!done && modified > 0 && iter < maxIter) {
+      iter += 1
+      // Systolic: only changed counters can contribute new elements.
+      val sources =
+        if (modified < systolicThreshold) state.filter($"modified") else state
+      val gathered = tAdj
+        .join(sources.select($"id".as("src"), $"regs"), Seq("src"))
+        .select(explode($"dsts").as("id"), $"regs")
+        .groupBy($"id")
+        .agg(Hll.hllMergeAgg($"regs").as("gregs"))
+
+      val next = state
+        .join(gathered, Seq("id"), "left")
+        .select(
+          $"id",
+          Hll.hllMerge2($"regs", $"gregs").as("regs"),
+          $"regs".as("prevRegs"), $"cnt".as("prevCnt"),
+          $"sumDist", $"sumInvDist")
+        .select(
+          $"id", $"regs",
+          Hll.hllCount($"regs").as("cnt"),
+          $"prevCnt", $"sumDist", $"sumInvDist",
+          ($"regs" =!= $"prevRegs").as("modified"))
+        .select(
+          $"id", $"regs", $"cnt",
+          ($"sumDist" + (($"cnt" - $"prevCnt") * iter)).as("sumDist"),
+          ($"sumInvDist" + (($"cnt" - $"prevCnt") / iter)).as("sumInvDist"),
+          $"modified")
+      val cutNext = ctx.cut(next)
+
+      val row = cutNext.agg(
+        sum(when($"modified", 1L).otherwise(0L)),
+        sum($"cnt")).head()
+      modified = if (row.isNullAt(0)) 0L else row.getLong(0)
+      if (modified > 0) {
+        // NF is monotone by definition; enforce like the reference (:919-928).
+        // No entry when nothing changed: the final stabilization check is
+        // not a new radius (NF(t) is defined up to the last growth).
+        val rawNf = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+        nf += math.max(rawNf, nf.last)
+      }
+      val relInc = nf.last / nf(math.max(nf.length - 2, 0))
+      state = ctx.advance(iter, cutNext, deltaNorm = relInc - 1,
+        messages = graph.numEdges, changed = modified)
+
+      if (modified == 0 || (iter > 3 && threshold > 0 && relInc < 1 + threshold))
+        done = true
+    }
+
+    ctx.close()
+    val stats = state.select(
+      $"id", $"regs",
+      $"cnt".as("reachable"),
+      $"sumDist", $"sumInvDist",
+      when($"sumDist" > 0, lit(1.0) / $"sumDist").otherwise(0.0).as("closeness"),
+      $"sumInvDist".as("harmonic"),
+      when($"sumDist" > 0, $"cnt" * $"cnt" / $"sumDist").otherwise(1.0).as("lin"),
+      ($"cnt" * $"cnt" - $"sumDist").as("nieminen"))
+    Result(stats, nf.toSeq, iter, ctx.history.toSeq)
+  }
+}

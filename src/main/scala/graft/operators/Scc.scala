@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.core.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** Strongly connected components.
+  *
+  * Two implementations, per SURVEY §7.3(f) — DFS has no distributed
+  * analogue, so:
+  *
+  *  - [[tarjanLocal]]: exact iterative Tarjan on driver-collected edges —
+  *    the reference algorithm (`/root/reference/src/algo/sccs/tarjan.rs`)
+  *    re-expressed iteratively; for test graphs and for the residual of
+  *    the distributed pass. Component ids are assigned from 0 in
+  *    completion (pop) order like the reference.
+  *
+  *  - [[run]]: distributed multi-pivot Forward–Backward with trimming
+  *    (FB-Trim): per round, trim in/out-degree-0 vertices (singleton
+  *    SCCs), then from each active partition's pivot run simultaneous
+  *    forward + backward multi-source BFS *within the partition*;
+  *    F∩B is an SCC, and {F\B, B\F, rest} become three new partitions.
+  *    All partitions advance in the same Dataset superstep — rounds are
+  *    O(log n) expected on web-like graphs (each SCC falls out once its
+  *    partition is pivoted). Labels are canonicalized to min-member-id.
+  */
+object Scc {
+
+  /** Iterative Tarjan; returns (id → component), components numbered from
+    * 0 in pop order (reference `tarjan.rs:33-40` numbering, which it then
+    * re-numbers via `sort_by_size` — we expose [[ConnectedComponents.sortBySize]]
+    * for that step).
+    */
+  def tarjanMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val adj = edges.distinct.groupBy(_._1).map { case (s, l) => s -> l.map(_._2).sorted }
+    val index = mutable.Map[Long, Int]()
+    val lowlink = mutable.Map[Long, Int]()
+    val onStack = mutable.Set[Long]()
+    val stack = mutable.ArrayBuffer[Long]()
+    val comp = mutable.Map[Long, Long]()
+    var nextIndex = 0
+    var nextComp = 0L
+
+    for (root <- verts if !index.contains(root)) {
+      // Explicit work stack: (vertex, successor iterator position)
+      val work = mutable.ArrayBuffer[(Long, Iterator[Long])]()
+      def push(v: Long): Unit = {
+        index(v) = nextIndex; lowlink(v) = nextIndex; nextIndex += 1
+        stack += v; onStack += v
+        work += ((v, adj.getOrElse(v, Nil).iterator))
+      }
+      push(root)
+      while (work.nonEmpty) {
+        val (v, it) = work.last
+        var descended = false
+        while (!descended && it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) { push(w); descended = true }
+          else if (onStack(w)) lowlink(v) = math.min(lowlink(v), index(w))
+        }
+        if (!descended) {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val p = work.last._1
+            lowlink(p) = math.min(lowlink(p), lowlink(v))
+          }
+          if (lowlink(v) == index(v)) {
+            var w = -1L
+            while (w != v) {
+              w = stack.remove(stack.length - 1)
+              onStack -= w
+              comp(w) = nextComp
+            }
+            nextComp += 1
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  /** Driver-exact Tarjan as a DataFrame (id, comp); `maxNodes` guards
+    * against accidentally collecting a web-scale graph.
+    */
+  def tarjanLocal(graph: Graph, maxNodes: Long = 2000000): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    require(graph.numVertices <= maxNodes,
+      s"tarjanLocal is the driver-exact path (${graph.numVertices} > $maxNodes nodes); use Scc.run")
+    val edges = graph.edges.collect().map(e => (e.src, e.dst)).toSeq
+    tarjanMap(edges).toSeq.toDF("id", "comp")
+  }
+
+  /** Number of SCCs (driver-exact). */
+  def countLocal(graph: Graph): Long =
+    tarjanMap(graph.edges.collect().map(e => (e.src, e.dst)).toSeq).values.toSet.size
+
+  /** Distributed FB-Trim. Returns (id, comp) with comp = min member id. */
+  def run(graph: Graph, maxRounds: Int = 1000): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+
+    val edges = graph.edges.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    // active: (id, part) — vertices not yet assigned to an SCC, keyed by
+    // their current partition id (the pivot-id lineage).
+    var active = graph.vertices.toDF("id").select($"id", lit(0L).as("part"))
+      .localCheckpoint(true)
+    var result = spark.emptyDataset[(Long, Long)].toDF("id", "comp")
+    var round = 0
+
+    while (round < maxRounds && !active.isEmpty) {
+      round += 1
+      // --- trim: vertices with no in- or no out-edge inside their part
+      // are singleton SCCs (classic FB trimming step)
+      val e = edges
+        .join(active.select($"id".as("src"), $"part"), Seq("src"))
+        .join(active.select($"id".as("dst"), $"part".as("p2")), Seq("dst"))
+        .filter($"part" === $"p2")
+        .select($"src", $"dst", $"part")
+        .filter($"src" =!= $"dst")
+        .localCheckpoint(true)
+      val hasOut = e.select($"src".as("id")).distinct()
+      val hasIn = e.select($"dst".as("id")).distinct()
+      val trimmed = active
+        .join(hasOut.join(hasIn, Seq("id"), "inner"), Seq("id"), "left_anti")
+        .select($"id", $"id".as("comp"))
+        .localCheckpoint(true)
+      result = result.union(trimmed).localCheckpoint(true)
+      val remaining = active.join(trimmed, Seq("id"), "left_anti").localCheckpoint(true)
+
+      if (!remaining.isEmpty) {
+        // --- pivots: min id per partition
+        val pivots = remaining.groupBy($"part").agg(min($"id").as("pivot"))
+        val seeds = remaining.join(pivots, Seq("part"))
+          .filter($"id" === $"pivot")
+          .select($"id", $"part")
+          .localCheckpoint(true)
+
+        // --- simultaneous multi-source, partition-confined reachability
+        def reach(arcs: DataFrame): DataFrame = {
+          var visited = seeds
+          var frontier = seeds
+          var n = frontier.count()
+          while (n > 0) {
+            val next = arcs
+              .join(frontier.select($"id".as("src"), $"part"), Seq("src", "part"))
+              .select($"dst".as("id"), $"part")
+              .distinct()
+              .join(visited, Seq("id", "part"), "left_anti")
+              .localCheckpoint(true)
+            n = next.count()
+            if (n > 0) {
+              visited = visited.union(next).localCheckpoint(true)
+              frontier = next
+            }
+          }
+          visited
+        }
+        val fwd = reach(e.select($"src", $"dst", $"part"))
+        val bwd = reach(e.select($"dst".as("src"), $"src".as("dst"), $"part"))
+
+        val sccPart = fwd.join(bwd, Seq("id", "part")) // F ∩ B
+        val withPivot = sccPart.join(pivots, Seq("part"))
+          .select($"id", $"pivot".as("comp"))
+        result = result.union(withPivot).localCheckpoint(true)
+
+        // --- split the rest into new partitions: F\B → pivot*3+1,
+        // B\F → *3+2, neither → *3+3 (any injective recoloring works)
+        val rest = remaining.join(sccPart.select($"id"), Seq("id"), "left_anti")
+        val inF = fwd.select($"id", $"part", lit(1).as("inF"))
+        val inB = bwd.select($"id", $"part", lit(1).as("inB"))
+        active = rest
+          .join(inF, Seq("id", "part"), "left")
+          .join(inB, Seq("id", "part"), "left")
+          .select($"id",
+            when($"inF" === 1, $"part" * 3 + 1)
+              .when($"inB" === 1, $"part" * 3 + 2)
+              .otherwise($"part" * 3 + 3).as("part"))
+          .localCheckpoint(true)
+      } else {
+        active = remaining
+      }
+    }
+    edges.unpersist()
+    // canonicalize comp labels to min member id (pivot is already the min
+    // id of its partition but not necessarily of the SCC after splits;
+    // trimmed singletons are their own id).
+    val byMin = result.groupBy($"comp").agg(min($"id").as("canon"))
+    result.join(byMin, Seq("comp")).select($"id", $"canon".as("comp"))
+  }
+
+  /** Component count + size histogram for any (id, comp) assignment. */
+  def sizes(components: DataFrame): DataFrame =
+    components.groupBy("comp").agg(count(lit(1)).as("size"))
+}

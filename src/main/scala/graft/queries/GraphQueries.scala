@@ -193,6 +193,115 @@ object GraphQueries {
        |)
        |SELECT id, min(d) AS dist FROM walk GROUP BY id""".stripMargin
 
+  /** Distributed FB-Trim SCC; oracle = full reachability closure
+    * (u,v same SCC ⟺ mutual reachability), labels = min member id.
+    */
+  def scc(spark: SparkSession, dir: String): DataFrame =
+    Scc.run(graph(spark, dir))
+
+  val sccSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+       |)
+       |SELECT r1.a AS id, min(r1.b) AS comp
+       |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+       |GROUP BY r1.a""".stripMargin
+
+  /** Shared oracle prelude: min distance per reachable pair (capped at 60
+    * — far above any diameter the dense derived graph can have).
+    */
+  private val distSql: String =
+    s"""walk(src, id, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 15
+       |),
+       |dist AS (SELECT src, id, min(d) AS dist FROM walk GROUP BY src, id)""".stripMargin
+
+  def ecc(spark: SparkSession, dir: String): DataFrame =
+    Eccentricity.forwardEcc(graph(spark, dir))
+
+  val eccSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |$distSql
+       |SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src""".stripMargin
+
+  /** Exact per-vertex reachable-set size (the exact form of HyperBall's
+    * per-vertex ball size; HyperBall itself is spec-verified — its hash
+    * isn't portable to SQL).
+    */
+  def reach(spark: SparkSession, dir: String): DataFrame =
+    Eccentricity.allPairsDistances(graph(spark, dir))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("reach"))
+
+  val reachSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |reach(a, b) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+       |)
+       |SELECT a AS id, count(*) AS reach FROM reach GROUP BY a""".stripMargin
+
+  def radiusDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val r = Eccentricity.radiusDiameter(graph(spark, dir))
+    import spark.implicits._
+    Seq((r.radius, r.radiusVertex, r.diameter, r.diameterVertex))
+      .toDF("radius", "radius_vertex", "diameter", "diameter_vertex")
+  }
+
+  val radiusDiameterSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |$distSql,
+       |ecc AS (SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src),
+       |scc AS (
+       |  SELECT d1.src AS id, min(d1.id) AS comp
+       |  FROM dist d1 JOIN dist d2 ON d2.src = d1.id AND d2.id = d1.src
+       |  GROUP BY d1.src
+       |),
+       |largest AS (
+       |  SELECT comp FROM (SELECT comp, count(*) AS c FROM scc GROUP BY comp
+       |                    ORDER BY c DESC, comp ASC LIMIT 1) t
+       |),
+       |radial AS (SELECT DISTINCT d.src AS id FROM dist d JOIN largest l ON d.id = l.comp)
+       |SELECT
+       |  (SELECT e.ecc FROM ecc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius,
+       |  (SELECT e.id  FROM ecc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius_vertex,
+       |  (SELECT ecc FROM ecc ORDER BY ecc DESC, id ASC LIMIT 1) AS diameter,
+       |  (SELECT id  FROM ecc ORDER BY ecc DESC, id ASC LIMIT 1) AS diameter_vertex""".stripMargin
+
+  /** Kahn topological layering on the acyclic sub-graph derived with
+    * jumps ≥ 13 (bounds the layer count, keeping both the driver loop and
+    * the recursive oracle shallow). Layer = longest-path length to the
+    * vertex — exactly the peel round.
+    */
+  def topoLayers(spark: SparkSession, dir: String): DataFrame = {
+    val dag = edgesDf(spark, dir).filter(col("src") < col("dst") && col("dst") - col("src") >= 13)
+    TopoSort.run(Graph.fromEdges(dag)).layers
+  }
+
+  val topoLayersSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |dagedges AS (SELECT src, dst FROM edges WHERE src < dst AND dst - src >= 13),
+       |dagnodes AS (SELECT src AS id FROM dagedges UNION SELECT dst FROM dagedges),
+       |lp(id, d) AS (
+       |  SELECT id, 0 FROM dagnodes
+       |  UNION
+       |  SELECT e.dst, lp.d + 1 FROM lp JOIN dagedges e ON e.src = lp.id
+       |)
+       |SELECT id, max(d) AS layer FROM lp GROUP BY id""".stripMargin
+
+  /** HyperBall (no portable oracle — estimator hash; spec-verified
+    * bit-identical to the sequential oracle + vs exact counts).
+    */
+  def hyperball(spark: SparkSession, dir: String): DataFrame =
+    HyperBall.run(graph(spark, dir), log2m = 6)
+      .stats.drop("regs")
+
   /** Label propagation, fixed sync iterations, deterministic tie-breaks. */
   def lp(iters: Int)(spark: SparkSession, dir: String): DataFrame =
     LabelPropagation.run(graph(spark, dir), maxIter = iters).labels

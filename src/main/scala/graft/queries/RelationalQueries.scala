@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage over the TPC-H-ish testdata tables (joins, windows,
+  * set ops, time-bucketed event aggregation) + the multimodal binary
+  * metadata path. Float determinism policy: sums restricted to
+  * integer-valued doubles are exact in any order; order-sensitive sums are
+  * rounded coarsely enough that cross-engine ulps cannot flip the digit.
+  */
+object RelationalQueries {
+
+  /** Join pipeline: per-nation order count, total quantity, revenue.
+    * Exercises a broadcast dim join (nation/customer side) feeding a
+    * shuffle agg — at scale nation broadcasts, lineitem never re-sorts.
+    */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
+  }
+
+  val joinAggSql: String =
+    """SELECT n_name,
+      |       count(DISTINCT o_orderkey) AS n_orders,
+      |       sum(l_quantity) AS sum_qty,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Window functions: top-3 orders per customer by total price
+    * (no arithmetic on the doubles → raw values compare exactly).
+    */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders
+      |) t WHERE rk <= 3""".stripMargin
+
+  /** Set operations: customers with orders but no high-value order
+    * (EXCEPT), plus suppliers ∩ customers by nation (INTERSECT semantics
+    * via keys).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val withOrders = o.select(col("o_custkey").as("key")).distinct()
+    val highValue = o.filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("key")).distinct()
+    withOrders.except(highValue).orderBy(col("key"))
+  }
+
+  val setOpsSql: String =
+    """SELECT o_custkey AS key FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY key""".stripMargin
+
+  /** Tumbling 1-hour event aggregation — the batch face of the streaming
+    * pipeline (graft.streaming.EventStream runs the identical aggregation
+    * as a watermarked Structured Streaming query; the spec asserts
+    * stream == batch).
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    e.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"),
+        countDistinct(col("user_id")).as("users"))
+  }
+
+  val eventsHourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       count(*) AS n,
+      |       round(sum(value), 3) AS sum_value,
+      |       count(DISTINCT user_id) AS users
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Multimodal metadata path: documents' text treated as an opaque binary
+    * blob column — byte length + magic prefix, the schema/partitioning
+    * plumbing a real image/audio pipeline needs (decode is stubbed in
+    * graft.multimodal.BinaryOps; codecs don't ship in this sandbox).
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    d.select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).cast("long").as("n_bytes"),
+        hex(substring(col("blob"), 1, 4)).as("magic"))
+  }
+
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       hex(encode(left(text, 4))) AS magic
+      |FROM documents""".stripMargin
+}

@@ -16,9 +16,10 @@ object PrDebug {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val smj = sys.env.getOrElse("SPARK_GRAFT_SMJ", "false")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "320000").toLong
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cores.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.join.preferSortMergeJoin", smj)
       .config("spark.ui.enabled", "false")

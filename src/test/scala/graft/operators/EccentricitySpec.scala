@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{Fixtures, SeqOracles, TestSpark}
+import graft.core.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+class EccentricitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def eccMap(edges: Seq[(Long, Long)]): Map[Long, Int] =
+    Eccentricity.forwardEcc(Graph.fromPairs(spark, edges))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("path3-cyclic: ecc fwd [2,1,2], diameter 2, radius 1 at vertex 1 (test_exact_sum_sweep.rs:24-50)") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L), (1L, 0L))
+    assert(eccMap(edges) == Map(0L -> 2, 1L -> 1, 2L -> 2))
+    val rd = Eccentricity.radiusDiameter(Graph.fromPairs(spark, edges))
+    assert(rd.diameter == 2 && rd.radius == 1 && rd.radiusVertex == 1L)
+  }
+
+  test("cycle4: diameter = radius = 3 (test_exact_sum_sweep.rs:149-177)") {
+    val rd = Eccentricity.radiusDiameter(Graph.fromPairs(spark, Fixtures.cycle4))
+    assert(rd.diameter == 3 && rd.radius == 3)
+  }
+
+  test("clique5: all ecc = 1 (test_exact_sum_sweep.rs:180-221)") {
+    assert(eccMap(Fixtures.clique5).values.toSet == Set(1))
+  }
+
+  test("lozenge: radius 2 (test_exact_sum_sweep.rs:85-104)") {
+    val rd = Eccentricity.radiusDiameter(Graph.fromPairs(spark, Fixtures.lozenge))
+    assert(rd.radius == 2)
+  }
+
+  test("star9 undirected: ecc [2,3,4,3,4,3,4,3,4] (test_undir_sum_sweep.rs:40-81)") {
+    // hub 0 <-> 1,3,5,7; spoke i <-> leaf i+1
+    val base = Seq((0L, 1L), (0L, 3L), (0L, 5L), (0L, 7L),
+      (1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+    val g = Graph.fromPairs(spark, base).symmetrize
+    val ecc = Eccentricity.forwardEcc(g).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ecc == Map(0L -> 2, 1L -> 3, 2L -> 4, 3L -> 3, 4L -> 4,
+      5L -> 3, 6L -> 4, 7L -> 3, 8L -> 4))
+  }
+
+  test("sparse ids: radius 1 at vertex 10 (test_exact_sum_sweep.rs:242-250)") {
+    val edges = Seq((10L, 32L), (10L, 65L), (65L, 10L), (21L, 44L))
+    val rd = Eccentricity.radiusDiameter(Graph.fromPairs(spark, edges))
+    assert(rd.radius == 1 && rd.radiusVertex == 10L)
+  }
+
+  test("ER differential: ecc matches per-root BFS oracle (test_exact_sum_sweep.rs:314-347)") {
+    val edges = Fixtures.erdosRenyi(40, 0.06, 2)
+    val got = eccMap(edges)
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    verts.foreach { v =>
+      val dists = SeqOracles.bfs(edges, Seq(v))
+      assert(got(v) == dists.values.max, s"vertex $v")
+    }
+  }
+
+  test("effective diameter interpolation on an exact NF") {
+    val nf = SeqHyperBall.exactNf(Fixtures.cycle4) // 4, 8, 12, 16
+    assert(Eccentricity.effectiveDiameter(nf, 1.0) == 3.0)
+    assert(math.abs(Eccentricity.effectiveDiameter(nf, 0.5) - 1.0) < 1e-9)
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Fixtures, TestSpark}
+import graft.core.Graph
+import graft.functions.HllLogic
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequential HyperBall oracle sharing HllLogic — the analogue of the
+  * reference's in-test sequential HyperBall used for par-vs-seq
+  * bit-equality (`hyperball_impl.rs:1230-1322`).
+  */
+object SeqHyperBall {
+  /** Returns registers per vertex after running to stability. */
+  def run(edges: Seq[(Long, Long)], log2m: Int, seed: Long = 42L,
+          maxIter: Int = 100): Map[Long, Array[Byte]] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val succ = edges.distinct.groupBy(_._1).map { case (s, l) => s -> l.map(_._2) }
+    var cur = verts.map(v => v -> HllLogic.init(v, log2m, seed)).toMap
+    var changed = true
+    var it = 0
+    while (changed && it < maxIter) {
+      it += 1
+      val next = verts.map { v =>
+        val merged = succ.getOrElse(v, Nil).foldLeft(cur(v)) { (acc, w) =>
+          HllLogic.merge(acc, cur(w))
+        }
+        v -> merged
+      }.toMap
+      changed = verts.exists(v => !java.util.Arrays.equals(cur(v), next(v)))
+      cur = next
+    }
+    cur
+  }
+
+  /** Exact neighbourhood function: NF(t) = Σ_v |ball_t(v)|. */
+  def exactNf(edges: Seq[(Long, Long)]): Seq[Double] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    var balls = verts.map(v => v -> Set(v)).toMap
+    val succ = edges.distinct.groupBy(_._1).map { case (s, l) => s -> l.map(_._2) }
+    out += verts.size.toDouble
+    var changed = true
+    while (changed) {
+      val next = verts.map { v =>
+        v -> succ.getOrElse(v, Nil).foldLeft(balls(v))((acc, w) => acc ++ balls(w))
+      }.toMap
+      changed = verts.exists(v => balls(v) != next(v))
+      balls = next
+      if (changed) out += balls.values.map(_.size).sum.toDouble
+    }
+    out.toSeq
+  }
+}
+
+class HyperBallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Spark HyperBall registers are BIT-IDENTICAL to the sequential oracle") {
+    for (edges <- Seq(Fixtures.bucket9, Fixtures.triangleTail, Fixtures.erdosRenyi(40, 0.08, 3))) {
+      val got = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 6)
+        .stats.select("id", "regs").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      val want = SeqHyperBall.run(edges, log2m = 6)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (v, regs) =>
+        assert(java.util.Arrays.equals(regs, want(v)), s"vertex $v registers differ")
+      }
+    }
+  }
+
+  test("NF and reachable counts ≈ exact (linear-counting regime, log2m=12)") {
+    val edges = Fixtures.bucket9
+    val res = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 12)
+    val exact = SeqHyperBall.exactNf(edges)
+    assert(res.neighbourhoodFunction.length == exact.length,
+      s"NF lengths: got ${res.neighbourhoodFunction.length}, want ${exact.length}")
+    res.neighbourhoodFunction.zip(exact).foreach { case (g, e) =>
+      assert(math.abs(g - e) / e < 0.05, s"NF: $g vs exact $e")
+    }
+    // per-vertex reachable set sizes (exact oracle via transitive closure)
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val succ = edges.distinct.groupBy(_._1).map { case (s, l) => s -> l.map(_._2) }
+    def ball(v: Long): Set[Long] = {
+      var s = Set(v); var grow = true
+      while (grow) {
+        val nxt = s ++ s.flatMap(x => succ.getOrElse(x, Nil))
+        grow = nxt.size > s.size; s = nxt
+      }
+      s
+    }
+    val got = res.stats.select("id", "reachable").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    verts.foreach { v =>
+      assert(math.abs(got(v) - ball(v).size) / ball(v).size < 0.05,
+        s"vertex $v: ${got(v)} vs ${ball(v).size}")
+    }
+  }
+
+  test("harmonic/closeness/lin/nieminen derivations (star graph, exact dists)") {
+    // 0 -> 1,2,3: d(0,·)=1; leaves reach nothing.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val res = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 12)
+    val rows = res.stats.collect().map(r =>
+      r.getLong(0) -> (r.getDouble(3), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+    val (sumDist0, clos0, harm0, lin0, nie0) = rows(0L)
+    assert(math.abs(sumDist0 - 3.0) < 0.2)          // three at distance 1
+    assert(math.abs(harm0 - 3.0) < 0.2)             // Σ 1/1
+    assert(math.abs(clos0 - 1.0 / sumDist0) < 1e-12)
+    assert(math.abs(lin0 - 16.0 / sumDist0) < 0.6)  // count²/Σd = 4²/3
+    assert(math.abs(nie0 - (16.0 - sumDist0)) < 0.6)
+    val (_, closLeaf, harmLeaf, linLeaf, _) = rows(1L)
+    assert(closLeaf == 0.0 && harmLeaf == 0.0 && linLeaf == 1.0) // isolated conventions
+  }
+}
+
+class HllLogicSpec extends AnyFunSuite {
+  /** Reference statistical bound: ≥90/100 seeds within 2·RSD
+    * (`tests/test_hyperloglog_counter.rs:17-64`), RSD ≈ 1.04/√m.
+    */
+  test("estimates within 2·RSD for ≥90/100 seeds across sizes × log2m") {
+    // Sizes match the reference exactly: the 2·RSD guarantee does NOT hold
+    // in raw-HLL's intermediate zone (n between ~2.5m and ~5m, the region
+    // HLL++ bias-corrects), which the reference's size grid avoids.
+    for (log2m <- Seq(4, 6, 8, 12); size <- Seq(1, 10, 100, 1000, 100000)) {
+      val m = 1 << log2m
+      val rsd = 1.04 / math.sqrt(m.toDouble)
+      val ok = (0 until 100).count { s =>
+        val regs = HllLogic.empty(log2m)
+        var i = 0
+        while (i < size) { HllLogic.addValue(regs, s * 1000003L + i, log2m, seed = s); i += 1 }
+        math.abs(HllLogic.count(regs) - size) <= 2 * rsd * size
+      }
+      assert(ok >= 90, s"log2m=$log2m size=$size: only $ok/100 within 2·RSD")
+    }
+  }
+
+  test("merge equals adding the union (same registers)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val xs = Seq.fill(50)(rnd.nextLong()); val ys = Seq.fill(50)(rnd.nextLong())
+      val a = HllLogic.empty(6); xs.foreach(HllLogic.addValue(a, _, 6))
+      val b = HllLogic.empty(6); ys.foreach(HllLogic.addValue(b, _, 6))
+      val u = HllLogic.empty(6); (xs ++ ys).foreach(HllLogic.addValue(u, _, 6))
+      assert(java.util.Arrays.equals(HllLogic.merge(a, b), u))
+    }
+  }
+
+  test("count is deterministic and add is idempotent") {
+    val a = HllLogic.init(5L, 8)
+    val before = HllLogic.count(a)
+    HllLogic.addValue(a, 5L, 8)
+    assert(HllLogic.count(a) == before)
+    assert(math.abs(before - 1.0) < 0.2) // single element ≈ 1
+  }
+}

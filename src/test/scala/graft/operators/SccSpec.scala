@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{Fixtures, TestSpark}
+import graft.core.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+class SccSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def canon(m: Map[Long, Long]): Map[Long, Long] = {
+    val mins = m.groupBy(_._2).map { case (c, kv) => c -> kv.keys.min }
+    m.map { case (v, c) => v -> mins(c) }
+  }
+
+  private def fbMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Scc.run(Graph.fromPairs(spark, edges)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bucket9: SCC sizes [2,2,1,1,1,1,1]; 3 and 4 share a component (test_sccs.rs:91-123)") {
+    val t = Scc.tarjanMap(Fixtures.bucket9)
+    val sizes = t.groupBy(_._2).map(_._2.size).toSeq.sorted.reverse
+    assert(sizes == Seq(2, 2, 1, 1, 1, 1, 1))
+    assert(t(3L) == t(4L) && t(1L) == t(2L))
+    assert(canon(fbMap(Fixtures.bucket9)) == canon(t))
+  }
+
+  test("triangle+tail: sizes [3,1] (test_sccs.rs:129-141)") {
+    val t = Scc.tarjanMap(Fixtures.triangleTail)
+    assert(t.groupBy(_._2).map(_._2.size).toSeq.sorted == Seq(1, 3))
+    assert(canon(fbMap(Fixtures.triangleTail)) == canon(t))
+  }
+
+  test("cycle4 / clique5 single SCC; tree7 all singletons (test_sccs.rs:145-204)") {
+    assert(Scc.tarjanMap(Fixtures.cycle4).values.toSet.size == 1)
+    assert(Scc.tarjanMap(Fixtures.clique5).values.toSet.size == 1)
+    assert(Scc.tarjanMap(Fixtures.tree7).values.toSet.size == 7)
+    assert(canon(fbMap(Fixtures.cycle4)).values.toSet.size == 1)
+    assert(canon(fbMap(Fixtures.tree7)).values.toSet.size == 7)
+  }
+
+  test("lozenge: exact Tarjan component vector [2,2,1,0] (test_sccs.rs:245-254)") {
+    val t = Scc.tarjanMap(Fixtures.lozenge)
+    assert(Seq(t(0L), t(1L), t(2L), t(3L)) == Seq(2L, 2L, 1L, 0L))
+  }
+
+  test("distributed FB equals Tarjan on ER graphs (Kosaraju-vs-Tarjan analogue, test_sccs.rs:229-242)") {
+    for (seed <- 1 to 3; p <- Seq(0.02, 0.06)) {
+      val edges = Fixtures.erdosRenyi(40, p, seed)
+      assert(canon(fbMap(edges)) == canon(Scc.tarjanMap(edges)), s"seed=$seed p=$p")
+    }
+  }
+
+  test("tarjanLocal DataFrame path + sort_by_size renumbering") {
+    val df = Scc.tarjanLocal(Graph.fromPairs(spark, Fixtures.bucket9))
+    val ranked = ConnectedComponents.sortBySize(df)
+    // largest components (size 2) first: ranks 0,1; then singletons
+    val sizesByRank = ranked.select("rank", "size").distinct().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizesByRank(0) == 2L && sizesByRank(1) == 2L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{Fixtures, TestSpark}
+import graft.core.Graph
+import graft.functions.GraphChecks
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopoSortSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dag4 is acyclic; layering is a valid topological order") {
+    val res = TopoSort.run(Graph.fromPairs(spark, Fixtures.dag4))
+    assert(res.acyclic)
+    val layer = res.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Fixtures.dag4.foreach { case (u, v) =>
+      assert(layer(u) < layer(v), s"edge ($u,$v) violates layering")
+    }
+  }
+
+  test("tree7 layering by depth") {
+    val res = TopoSort.run(Graph.fromPairs(spark, Fixtures.tree7))
+    assert(res.acyclic)
+    val layer = res.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(layer(0L) == 0 && layer(1L) == 1 && layer(6L) == 2)
+  }
+
+  test("cycles detected; off-cycle prefix still layered") {
+    assert(!TopoSort.isAcyclic(Graph.fromPairs(spark, Fixtures.cycle4)))
+    assert(!TopoSort.isAcyclic(Graph.fromPairs(spark, Seq((0L, 0L))))) // self-loop
+    // 0 -> 1 -> 2 -> 1 (cycle on 1,2): vertex 0 peels, 1/2 don't
+    val res = TopoSort.run(Graph.fromPairs(spark, Seq((0L, 1L), (1L, 2L), (2L, 1L))))
+    assert(!res.acyclic)
+    assert(res.layers.collect().map(_.getLong(0)).toSet == Set(0L))
+  }
+
+  test("random DAGs (ER upper-triangular) are acyclic; ER with cycles are not") {
+    val dag = Fixtures.erdosRenyi(30, 0.15, 5).filter { case (u, v) => u < v }
+    assert(TopoSort.isAcyclic(Graph.fromPairs(spark, dag)))
+    val res = TopoSort.run(Graph.fromPairs(spark, dag))
+    val layer = res.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    dag.foreach { case (u, v) => assert(layer(u) < layer(v)) }
+  }
+}
+
+class GraphChecksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("argmax/argmin: first instance on ties (reference semantics)") {
+    import spark.implicits._
+    val df = Seq((0L, 5.0), (1L, 9.0), (2L, 9.0), (3L, 1.0)).toDF("id", "v")
+    assert(GraphChecks.argmax(df, col("v"), col("id")).get.getLong(0) == 1L)
+    assert(GraphChecks.argmin(df, col("v"), col("id")).get.getLong(0) == 3L)
+    assert(GraphChecks.argmaxFiltered(df, col("v"), col("v"), col("id"),
+      col("id") =!= 1L).get.getLong(0) == 2L)
+  }
+
+  test("checkTransposed / checkSymmetric") {
+    val g = Graph.fromPairs(spark, Fixtures.triangleTail)
+    assert(GraphChecks.checkTransposed(g, g.transpose))
+    assert(!GraphChecks.checkTransposed(g, g))
+    assert(!GraphChecks.checkSymmetric(g))
+    assert(GraphChecks.checkSymmetric(g.symmetrize))
+  }
+}
