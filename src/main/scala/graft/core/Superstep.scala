@@ -79,9 +79,12 @@ final class IterationContext(
 
   /** Truncate the lineage of a freshly-built superstep state. Lazy: the
     * caller's convergence-stats action materializes it (exactly one
-    * pass over the data per superstep).
+    * pass over the data per superstep). Deserialized storage measured
+    * faster than MEMORY_AND_DISK_SER here (ser/deser cost exceeds the GC
+    * saving; UnsafeRow blocks are already compact byte-backed rows).
     */
-  def cut(df: DataFrame): DataFrame = df.localCheckpoint(false)
+  def cut(df: DataFrame): DataFrame =
+    df.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
 
   /** Checkpoint block storage of superseded states must be released
     * EXPLICITLY: localCheckpoint RDDs are otherwise only freed by the
