@@ -45,35 +45,67 @@ object Bench {
     s
   }
 
-  /** PageRank for `iters` supersteps; returns (edges, steady-state sec per
-    * superstep = median over supersteps>1, total sec).
+  private case class LegResult(edges: Long, secPerIter: Double, totalSec: Double,
+                               iters: Int, converged: Boolean)
+
+  /** Run one leg in a FRESH child JVM ([[BenchOne]]): GC/heap debris from
+    * one parallelism level measurably contaminates the next inside a
+    * shared JVM (8-core leg 24 s/iter after a 2-core leg vs 15 s/iter
+    * fresh). Falls back to in-process execution if spawning fails.
     */
-  private def steadyStateRun(cores: Int, parts: Int, edgesPath: String, iters: Int): (Long, Double, Double) = {
-    val spark = session(cores, parts)
-    try {
-      val g = Graph.fromEdges(spark.read.parquet(edgesPath))
-      g.adjacency.count()
-      val t0 = System.nanoTime()
-      val res = PageRank.run(g, tol = 0.0, maxIter = iters)
-      val total = (System.nanoTime() - t0) / 1e9
-      val steady = res.history.drop(1).map(_.wallMs).sorted
-      val medianMs =
-        if (steady.isEmpty) res.history.map(_.wallMs).max.toDouble
-        else steady(steady.length / 2).toDouble
-      (g.numEdges, medianMs / 1000.0, total)
-    } finally spark.stop()
+  private def runLeg(cores: Int, parts: Int, edgesPath: String, mode: String, arg: String): LegResult = {
+    spawnLeg(cores, parts, edgesPath, mode, arg).getOrElse {
+      val spark = session(cores, parts)
+      try {
+        val g = Graph.fromEdges(spark.read.parquet(edgesPath))
+        g.adjacency.count()
+        val t0 = System.nanoTime()
+        val res =
+          if (mode == "fixed") PageRank.run(g, tol = 0.0, maxIter = arg.toInt)
+          else PageRank.run(g, tol = arg.toDouble, maxIter = 100)
+        res.ranks.count()
+        val total = (System.nanoTime() - t0) / 1e9
+        val steady = res.history.drop(1).map(_.wallMs).sorted
+        val medianMs =
+          if (steady.isEmpty) res.history.map(_.wallMs).max.toDouble
+          else steady(steady.length / 2).toDouble
+        LegResult(g.numEdges, medianMs / 1000.0, total, res.iterations, res.converged)
+      } finally spark.stop()
+    }
   }
 
-  private def convergenceRun(cores: Int, parts: Int, edgesPath: String, tol: Double, maxIter: Int): (Long, Int, Boolean, Double) = {
-    val spark = session(cores, parts)
+  private def spawnLeg(cores: Int, parts: Int, edgesPath: String, mode: String, arg: String): Option[LegResult] = {
     try {
-      val g = Graph.fromEdges(spark.read.parquet(edgesPath))
-      g.adjacency.count()
-      val t0 = System.nanoTime()
-      val res = PageRank.run(g, tol = tol, maxIter = maxIter)
-      res.ranks.count()
-      (g.numEdges, res.iterations, res.converged, (System.nanoTime() - t0) / 1e9)
-    } finally spark.stop()
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.toArray.map(_.toString)
+        .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("-Xmx") || a.startsWith("-XX:") || a.startsWith("-D"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchOne", cores.toString, parts.toString, edgesPath, mode, arg)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .filter(_.startsWith("BENCHONE "))
+        .toList
+      val code = proc.waitFor()
+      val line = out.lastOption.map(_.stripPrefix("BENCHONE "))
+      if (code != 0 || line.isEmpty) {
+        System.err.println(s"[bench] child leg failed (exit $code), falling back in-process")
+        None
+      } else {
+        def num(k: String) = s""""$k":([-0-9.eE]+)""".r.findFirstMatchIn(line.get).get.group(1)
+        Some(LegResult(num("edges").toLong, num("secPerIter").toDouble,
+          num("totalSec").toDouble, num("iters").toInt,
+          line.get.contains("\"converged\":true")))
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] child spawn failed: ${e.getMessage}; in-process fallback")
+        None
+    }
   }
 
   private def genEdges(nodes: Long, cores: Int, parts: Int): String = {
@@ -103,16 +135,20 @@ object Bench {
     val scalePath = genEdges(scaleNodes, cpus, cpus)
     val convPath = if (convNodes == scaleNodes) scalePath else genEdges(convNodes, cpus, cpus)
 
-    val (nEdges, secIterLow, totLow) = steadyStateRun(lowCores, cpus, scalePath, scaleIters)
-    val (_, secIterHigh, totHigh) = steadyStateRun(highCores, cpus, scalePath, scaleIters)
+    val low = runLeg(lowCores, cpus, scalePath, "fixed", scaleIters.toString)
+    val high = runLeg(highCores, cpus, scalePath, "fixed", scaleIters.toString)
     // Headline throughput: steady state at FULL parallelism.
-    val (_, secIterFull, totFull) = steadyStateRun(cpus, cpus, scalePath, scaleIters)
+    val full = runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString)
+    val nEdges = low.edges
+    val (secIterLow, secIterHigh, secIterFull) = (low.secPerIter, high.secPerIter, full.secPerIter)
+    val (totLow, totHigh, totFull) = (low.totalSec, high.totalSec, full.totalSec)
     val epsLow = nEdges / secIterLow
     val epsHigh = nEdges / secIterHigh
     val epsFull = nEdges / secIterFull
     val scalingEff = (epsHigh / epsLow) / (highCores.toDouble / lowCores)
 
-    val (convEdges, convIters, convOk, convSec) = convergenceRun(cpus, cpus, convPath, 1e-6, 100)
+    val conv = runLeg(cpus, cpus, convPath, "conv", "1e-6")
+    val (convEdges, convIters, convOk, convSec) = (conv.edges, conv.iters, conv.converged, conv.totalSec)
 
     val spark = session(cpus, cpus)
     val queryTimes = try {
