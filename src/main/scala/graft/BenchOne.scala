@@ -18,6 +18,7 @@ object BenchOne {
       .appName(s"graft-benchone-$coresS")
       .config("spark.sql.shuffle.partitions", partsS)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
