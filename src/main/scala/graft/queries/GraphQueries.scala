@@ -275,18 +275,18 @@ object GraphQueries {
        |  (SELECT id  FROM ecc ORDER BY ecc DESC, id ASC LIMIT 1) AS diameter_vertex""".stripMargin
 
   /** Kahn topological layering on the acyclic sub-graph derived with
-    * jumps ≥ 13 (bounds the layer count, keeping both the driver loop and
+    * jumps ≥ 31 (bounds the layer count, keeping both the driver loop and
     * the recursive oracle shallow). Layer = longest-path length to the
     * vertex — exactly the peel round.
     */
   def topoLayers(spark: SparkSession, dir: String): DataFrame = {
-    val dag = edgesDf(spark, dir).filter(col("src") < col("dst") && col("dst") - col("src") >= 13)
+    val dag = edgesDf(spark, dir).filter(col("src") < col("dst") && col("dst") - col("src") >= 31)
     TopoSort.run(Graph.fromEdges(dag)).layers
   }
 
   val topoLayersSql: String =
     s"""WITH RECURSIVE $edgesSql,
-       |dagedges AS (SELECT src, dst FROM edges WHERE src < dst AND dst - src >= 13),
+       |dagedges AS (SELECT src, dst FROM edges WHERE src < dst AND dst - src >= 31),
        |dagnodes AS (SELECT src AS id FROM dagedges UNION SELECT dst FROM dagedges),
        |lp(id, d) AS (
        |  SELECT id, 0 FROM dagnodes
