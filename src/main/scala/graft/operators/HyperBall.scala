@@ -52,7 +52,19 @@ object HyperBall {
       threshold: Double = 0.0,
       maxIter: Int = 100,
       seed: Long = 42L,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      /** Optional node weights (id, weight int): weight w seeds the
+        * counter with w distinct elements instead of the node's own id —
+        * the reference's weighted init (`hyperball_impl.rs:1167-1174`;
+        * default = add own id, `:1176-1178`).
+        */
+      weights: Option[DataFrame] = None,
+      /** Optional discount function f(t): accumulates Σ_v Σ_t Δcount·f(t)
+        * per vertex — the reference's `discounted_centrality`
+        * (`hyperball_impl.rs:744-757`). Evaluated on the driver per
+        * iteration (t is a scalar), applied as a literal column.
+        */
+      discount: Option[Int => Double] = None
   ): Result = {
     val spark = graph.spark
     import spark.implicits._
@@ -63,16 +75,35 @@ object HyperBall {
 
     val ctx = new IterationContext("hyperball", verbose = verbose)
     // state: (id, regs, cnt, sumDist, sumInvDist, modified)
+    // Weighted init: weight w ⇒ w distinct seeded elements per counter
+    // (hash(id·2^20 + i) for i<w); default init = the node's own id.
+    val initRegs = weights match {
+      case None =>
+        graph.vertices.toDF("id")
+          .select($"id", Hll.hllInit(log2m, seed)($"id").as("regs"))
+      case Some(w) =>
+        val seeded = graph.vertices.toDF("id")
+          .join(w.select(col("id"), col("weight").cast("int").as("weight")), Seq("id"), "left")
+          .select($"id", coalesce($"weight", lit(1)).as("weight"))
+          .filter($"weight" > 0)
+          .select($"id", explode(sequence(lit(0), $"weight" - 1)).as("slot"))
+          .select($"id", Hll.hllInit(log2m, seed)(($"id" * 1048576L) + $"slot").as("r"))
+          .groupBy($"id").agg(Hll.hllMergeAgg($"r").as("regs"))
+        // weight-0 vertices get an EMPTY counter (reference semantics)
+        graph.vertices.toDF("id")
+          .join(seeded, Seq("id"), "left")
+          .select($"id", coalesce($"regs", lit(graft.functions.HllLogic.empty(log2m))).as("regs"))
+    }
     // cnt MUST be the sketch's own estimate (≈1.000122 for one element at
     // log2m=12), not literal 1.0 — otherwise unchanged vertices see a
     // phantom count delta on iteration 1 and accumulate bogus sumDist.
     var state = ctx.init(
-      graph.vertices.toDF("id")
-        .select($"id", Hll.hllInit(log2m, seed)($"id").as("regs"))
+      initRegs
         .select($"id", $"regs",
           Hll.hllCount($"regs").as("cnt"),
           lit(0.0).as("sumDist"),
           lit(0.0).as("sumInvDist"),
+          lit(0.0).as("sumDiscounted"),
           lit(true).as("modified")))
 
     val nf = scala.collection.mutable.ArrayBuffer[Double](n.toDouble) // NF(0) = n
@@ -91,22 +122,24 @@ object HyperBall {
         .groupBy($"id")
         .agg(Hll.hllMergeAgg($"regs").as("gregs"))
 
+      val fT = discount.map(f => f(iter)).getOrElse(0.0)
       val next = state
         .join(gathered, Seq("id"), "left")
         .select(
           $"id",
           Hll.hllMerge2($"regs", $"gregs").as("regs"),
           $"regs".as("prevRegs"), $"cnt".as("prevCnt"),
-          $"sumDist", $"sumInvDist")
+          $"sumDist", $"sumInvDist", $"sumDiscounted")
         .select(
           $"id", $"regs",
           Hll.hllCount($"regs").as("cnt"),
-          $"prevCnt", $"sumDist", $"sumInvDist",
+          $"prevCnt", $"sumDist", $"sumInvDist", $"sumDiscounted",
           ($"regs" =!= $"prevRegs").as("modified"))
         .select(
           $"id", $"regs", $"cnt",
           ($"sumDist" + (($"cnt" - $"prevCnt") * iter)).as("sumDist"),
           ($"sumInvDist" + (($"cnt" - $"prevCnt") / iter)).as("sumInvDist"),
+          ($"sumDiscounted" + (($"cnt" - $"prevCnt") * fT)).as("sumDiscounted"),
           $"modified")
       val cutNext = ctx.cut(next)
 
@@ -137,7 +170,8 @@ object HyperBall {
       when($"sumDist" > 0, lit(1.0) / $"sumDist").otherwise(0.0).as("closeness"),
       $"sumInvDist".as("harmonic"),
       when($"sumDist" > 0, $"cnt" * $"cnt" / $"sumDist").otherwise(1.0).as("lin"),
-      ($"cnt" * $"cnt" - $"sumDist").as("nieminen"))
+      ($"cnt" * $"cnt" - $"sumDist").as("nieminen"),
+      $"sumDiscounted".as("discounted"))
     Result(stats, nf.toSeq, iter, ctx.history.toSeq)
   }
 }

@@ -96,6 +96,35 @@ class HyperBallSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted init: weight w seeds ~w elements; weight 0 seeds none (hyperball_impl.rs:1155-1213)") {
+    import TestSpark.spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L))
+    val weights = Seq((0L, 100), (1L, 1), (2L, 0)).toDF("id", "weight")
+    val res = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 10, weights = Some(weights))
+    val reach = res.stats.select("id", "reachable").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // vertex 2: weight 0, no out-edges → empty counter stays empty
+    assert(reach(2L) == 0.0)
+    // vertex 0 reaches {0×100 seeds, 1×1, 2×0} ≈ 101 distinct elements
+    assert(math.abs(reach(0L) - 101) / 101 < 0.15)
+    assert(math.abs(reach(1L) - 1.0) < 0.2) // own seed + empty successor
+  }
+
+  test("discounted centrality: f(t)=1/t reproduces harmonic; f(t)=1 reproduces reachable-1") {
+    val edges = Fixtures.bucket9
+    val res = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 12,
+      discount = Some(t => 1.0 / t))
+    res.stats.select("id", "harmonic", "discounted").collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12, s"vertex ${r.getLong(0)}")
+    }
+    val res1 = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 12,
+      discount = Some(_ => 1.0))
+    res1.stats.select("id", "reachable", "discounted").collect().foreach { r =>
+      // Σ_t Δcount·1 = final count − initial estimate (≈1)
+      assert(math.abs(r.getDouble(2) - (r.getDouble(1) - 1.0)) < 0.05, s"vertex ${r.getLong(0)}")
+    }
+  }
+
   test("harmonic/closeness/lin/nieminen derivations (star graph, exact dists)") {
     // 0 -> 1,2,3: d(0,·)=1; leaves reach nothing.
     val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L))
