@@ -87,20 +87,9 @@ final class IterationContext(
     df.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
 
   /** Checkpoint block storage of superseded states must be released
-    * EXPLICITLY: localCheckpoint RDDs are otherwise only freed by the
-    * periodic-GC context cleaner (default every 30 min), and on long
-    * iterative runs the leaked blocks evict the cached adjacency —
-    * which then silently re-builds every superstep (measured 10×+
-    * slowdowns). We collect the RDDs behind any LogicalRDD scan in the
-    * superseded state's plan and unpersist them.
+    * EXPLICITLY — see [[Lineage.release]].
     */
-  private def releaseCheckpointBlocks(df: DataFrame): Unit = {
-    try {
-      df.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
-    } catch { case _: Throwable => () }
-  }
+  private def releaseCheckpointBlocks(df: DataFrame): Unit = Lineage.release(df)
 
   /** Record superstep `iteration` whose state `next` the caller has already
     * built via [[cut]] and materialized (via its stats action). Commits to

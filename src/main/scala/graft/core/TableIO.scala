@@ -93,11 +93,16 @@ object TableIO {
   def latestSnapshotId(dir: String): Option[Int] = {
     val md = manifestDir(dir)
     if (!Files.isDirectory(md)) return None
-    val ids = Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json").toInt)
-      .toSeq
+    // Close the directory stream (runs on every commit/resume — an open
+    // stream per superstep leaks one fd until GC).
+    val listing = Files.list(md)
+    val ids =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json").toInt)
+        .toSeq
+      finally listing.close()
     if (ids.isEmpty) None else Some(ids.max)
   }
 

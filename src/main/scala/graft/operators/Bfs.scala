@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.Graph
+import graft.core.{Graph, Lineage}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -54,7 +54,58 @@ object Bfs {
         .localCheckpoint(false)
       frontierSize = discovered.count()
       if (frontierSize > 0) {
-        visited = visited.union(discovered).localCheckpoint(true)
+        val newVisited = visited.union(discovered).localCheckpoint(true)
+        // Release superseded per-level checkpoints (frontier at depth 1 IS
+        // visited — double release is a harmless no-op).
+        Lineage.release(frontier)
+        Lineage.release(visited)
+        visited = newVisited
+        frontier = discovered
+      }
+    }
+    visited
+  }
+
+  /** Source-tagged multi-source BFS: one level-synchronous pipeline runs
+    * MANY independent BFS at once (the Spark way to amortize driver-loop
+    * latency across the reference's one-BFS-per-sweep structure,
+    * `/root/reference/src/algo/exact_sum_sweep/computer.rs:558-714`).
+    *
+    * `sources`: (tag, id) seed rows — each tag is an independent visit.
+    * `confine`: optional (tag, id) membership — a visit expands only into
+    * vertices listed under its tag (the reference's filtered visit, used
+    * for SCC-confined pivot BFS, `computer.rs:780-793`; Catalyst pushes
+    * the semi-join below the gather).
+    *
+    * Returns (tag, id, dist) for every reached pair.
+    */
+  def tagged(
+      adj: org.apache.spark.sql.Dataset[graft.core.AdjChunk],
+      sources: DataFrame,
+      confine: Option[DataFrame] = None): DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    var visited = sources.select($"tag", $"id", lit(0).as("dist")).localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    var n = frontier.count()
+    while (n > 0) {
+      depth += 1
+      var next = adj
+        .join(frontier.select($"id".as("src"), $"tag"), Seq("src"))
+        .select($"tag", explode($"dsts").as("id"))
+        .distinct()
+      confine.foreach(c => next = next.join(c, Seq("tag", "id"), "left_semi"))
+      val discovered = next
+        .join(visited.select($"tag", $"id"), Seq("tag", "id"), "left_anti")
+        .select($"tag", $"id", lit(depth).as("dist"))
+        .localCheckpoint(false)
+      n = discovered.count()
+      if (n > 0) {
+        val newVisited = visited.union(discovered).localCheckpoint(true)
+        Lineage.release(frontier)
+        Lineage.release(visited)
+        visited = newVisited
         frontier = discovered
       }
     }

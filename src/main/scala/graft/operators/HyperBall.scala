@@ -106,7 +106,14 @@ object HyperBall {
           lit(0.0).as("sumDiscounted"),
           lit(true).as("modified")))
 
-    val nf = scala.collection.mutable.ArrayBuffer[Double](n.toDouble) // NF(0) = n
+    // NF(0) = sum of the INITIAL counter estimates: ≈n for default init,
+    // but weighted init seeds w(v) elements, so the literal n would skew
+    // both the neighbourhood function and the relInc early-stop ratio.
+    val nf0 = state.agg(sum($"cnt")).head() match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+    val nf = scala.collection.mutable.ArrayBuffer[Double](nf0)
     var modified = n
     var iter = 0
     var done = false

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.Graph
+import graft.core.{Graph, Lineage}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -129,8 +129,12 @@ object Scc {
         .join(hasOut.join(hasIn, Seq("id"), "inner"), Seq("id"), "left_anti")
         .select($"id", $"id".as("comp"))
         .localCheckpoint(true)
-      result = result.union(trimmed).localCheckpoint(true)
+      val newResult = result.union(trimmed).localCheckpoint(true)
+      Lineage.release(result)
+      result = newResult
       val remaining = active.join(trimmed, Seq("id"), "left_anti").localCheckpoint(true)
+      Lineage.release(active)
+      Lineage.release(trimmed)
 
       if (!remaining.isEmpty) {
         // --- pivots: min id per partition
@@ -154,7 +158,9 @@ object Scc {
               .localCheckpoint(true)
             n = next.count()
             if (n > 0) {
-              visited = visited.union(next).localCheckpoint(true)
+              val newVisited = visited.union(next).localCheckpoint(true)
+              if (visited ne seeds) { Lineage.release(frontier); Lineage.release(visited) }
+              visited = newVisited
               frontier = next
             }
           }
@@ -166,24 +172,36 @@ object Scc {
         val sccPart = fwd.join(bwd, Seq("id", "part")) // F ∩ B
         val withPivot = sccPart.join(pivots, Seq("part"))
           .select($"id", $"pivot".as("comp"))
-        result = result.union(withPivot).localCheckpoint(true)
+        val newResult = result.union(withPivot).localCheckpoint(true)
+        Lineage.release(result)
+        result = newResult
 
-        // --- split the rest into new partitions: F\B → pivot*3+1,
-        // B\F → *3+2, neither → *3+3 (any injective recoloring works)
+        // --- split the rest into new partitions by (old part, branch):
+        // branch ∈ {F\B, B\F, neither}. The new partition KEY is the min
+        // vertex id of the new partition (one extra agg) — NOT an
+        // accumulating encoding like part*3+k, which grows as 3^rounds
+        // and would overflow Long (colliding wrapped ids would merge
+        // partitions and silently mislabel SCCs on deep recursions).
         val rest = remaining.join(sccPart.select($"id"), Seq("id"), "left_anti")
         val inF = fwd.select($"id", $"part", lit(1).as("inF"))
         val inB = bwd.select($"id", $"part", lit(1).as("inB"))
-        active = rest
+        val branched = rest
           .join(inF, Seq("id", "part"), "left")
           .join(inB, Seq("id", "part"), "left")
-          .select($"id",
-            when($"inF" === 1, $"part" * 3 + 1)
-              .when($"inB" === 1, $"part" * 3 + 2)
-              .otherwise($"part" * 3 + 3).as("part"))
+          .select($"id", $"part",
+            when($"inF" === 1, 1).when($"inB" === 1, 2).otherwise(3).as("branch"))
+        val canon = branched.groupBy($"part", $"branch").agg(min($"id").as("newPart"))
+        active = branched.join(canon, Seq("part", "branch"))
+          .select($"id", $"newPart".as("part"))
           .localCheckpoint(true)
+        Lineage.release(remaining)
+        Lineage.release(seeds)
+        Lineage.release(fwd)
+        Lineage.release(bwd)
       } else {
         active = remaining
       }
+      Lineage.release(e)
     }
     edges.unpersist()
     // canonicalize comp labels to min member id (pivot is already the min

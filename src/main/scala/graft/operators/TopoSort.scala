@@ -1,9 +1,8 @@
 package graft.operators
 
-import graft.core.Graph
+import graft.core.{Graph, Lineage}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Topological layering + acyclicity by iterative Kahn peeling.
   *
@@ -17,8 +16,15 @@ import org.apache.spark.storage.StorageLevel
   * validity, not the reference's DFS-specific order), and the graph is
   * acyclic iff peeling empties it.
   *
-  * Rounds = longest path length; per round one aggregation + anti-join
-  * over the shrinking remainder. Web-DAG layerings are shallow; for
+  * State per round is ONLY the (id, indeg) vertex Dataset: peeling layer
+  * r subtracts the peeled vertices' out-contributions from the remaining
+  * in-degrees (a gather over the persisted adjacency, shuffling one row
+  * per touched vertex). The edge set is never rewritten — at web scale
+  * re-materializing the full remaining edge set per round would write
+  * O(E · depth) bytes; the delta state writes O(V) per round total
+  * across the run.
+  *
+  * Rounds = longest path length; web-DAG layerings are shallow; for
   * pathological deep chains the driver loop is the bound, as in every
   * label-propagation-style algorithm here.
   */
@@ -35,37 +41,50 @@ object TopoSort {
     val spark = graph.spark
     import spark.implicits._
 
-    var remainingEdges = graph.edges.toDF().persist(StorageLevel.MEMORY_AND_DISK)
-    var remainingVerts = graph.vertices.toDF("id").persist(StorageLevel.MEMORY_AND_DISK)
-    var remainingCount = remainingVerts.count()
+    val adj = graph.adjacency // persisted, hash-partitioned by src
+    adj.count()
+    // Self-loops never reach indegree 0: keep them in the state so the
+    // cycle is reported, like the reference's on-stack revisit.
+    var state = graph.inDegrees.localCheckpoint(true)
+    var remainingCount = state.count()
     var layers = spark.emptyDataset[(Long, Int)].toDF("id", "layer")
+    val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var progressing = true
 
     while (remainingCount > 0 && progressing && round < maxRounds) {
-      val zeroIn = remainingVerts
-        .join(remainingEdges.select($"dst".as("id")).distinct(), Seq("id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val peeled = zeroIn.count()
+      // Eager checkpoint: `layers` keeps a live reference to each round's
+      // peel, so the blocks must survive the release of the parent state.
+      val zero = state.filter($"deg" === 0L).select($"id").localCheckpoint(true)
+      val peeled = zero.count()
       if (peeled == 0) {
         progressing = false // remainder is all on cycles
-        zeroIn.unpersist()
+        Lineage.release(zero)
       } else {
-        layers = layers.union(zeroIn.select($"id", lit(round).as("layer")))
+        peels += zero
+        layers = layers.union(zero.select($"id", lit(round).as("layer")))
+        val dec = adj
+          .join(zero.select($"id".as("src")), Seq("src"), "left_semi")
+          .select(explode($"dsts").as("id"))
+          .groupBy($"id")
+          .agg(count(lit(1)).as("dec"))
+        val next = state
+          .join(zero, Seq("id"), "left_anti")
+          .join(dec, Seq("id"), "left")
+          .select($"id", ($"deg" - coalesce($"dec", lit(0L))).as("deg"))
           .localCheckpoint(true)
-        val newVerts = remainingVerts.join(zeroIn, Seq("id"), "left_anti")
-          .localCheckpoint(true)
-        val newEdges = remainingEdges
-          .join(zeroIn.select($"id".as("src")), Seq("src"), "left_anti")
-          .localCheckpoint(true)
-        remainingVerts.unpersist(); remainingEdges.unpersist(); zeroIn.unpersist()
-        remainingVerts = newVerts
-        remainingEdges = newEdges
+        Lineage.release(state)
+        state = next
         remainingCount -= peeled
         round += 1
       }
     }
-    Result(layers, acyclic = remainingCount == 0, rounds = round)
+    // Materialize the layer union off the per-round checkpoints, then the
+    // result is self-contained and the per-round blocks can be dropped.
+    val out = layers.localCheckpoint(true)
+    Lineage.release(state)
+    peels.foreach(Lineage.release)
+    Result(out, acyclic = remainingCount == 0, rounds = round)
   }
 
   def isAcyclic(graph: Graph): Boolean = run(graph).acyclic

@@ -162,8 +162,12 @@ object TextQueries {
   def simHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHash(docs(spark, dir))
 
+  /** maxHamming = 3 — the selective web-scale setting (16-bit chunks).
+    * Dedup.simHashPairs derives its chunk count from maxHamming, so any
+    * value is recall-complete; 3 keeps the banding buckets fine-grained.
+    */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(docs(spark, dir), maxHamming = 16)
+    Dedup.simHashPairs(docs(spark, dir), maxHamming = 3)
 
   // --- embedding similarity ------------------------------------------
 

@@ -15,12 +15,25 @@ object Dedup {
   /** Exact dedup: group identical texts; keeper = min doc_id.
     * (doc_id, keeper, group_size) for EVERY doc — `doc_id != keeper`
     * rows are the deletions a pipeline would apply.
+    *
+    * Fingerprint-first: the shuffle key is (md5, length, xxhash64) — 28
+    * bytes/doc — computed map-side, so grouping never ships document
+    * text across the cluster (grouping by `text` directly would shuffle
+    * bytes ≈ the corpus size). Two independent hashes plus the exact
+    * length stand in for the in-group text comparison: a pair colliding
+    * on all three simultaneously is beyond cosmic-ray probability, and
+    * unlike a verify-join it costs zero extra text shuffles.
     */
   def exact(docs: DataFrame): DataFrame = {
-    val groups = docs
-      .groupBy(col("text"))
+    val keyed = docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      length(col("text")).as("fp_len"),
+      xxhash64(col("text")).as("fp_xx"))
+    val groups = keyed
+      .groupBy(col("fp_md5"), col("fp_len"), col("fp_xx"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
-    docs.join(groups, Seq("text"))
+    keyed.join(groups, Seq("fp_md5", "fp_len", "fp_xx"))
       .select(col("doc_id"), col("keeper"), col("group_size"))
   }
 
@@ -116,15 +129,33 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming`: banded by 4×16-bit
-    * chunks (a pair within Hamming ≤3 of 64 bits must agree on ≥1 chunk),
+  /** SimHash near-dup pairs within `maxHamming`, banded by bit chunks and
     * verified by exact popcount of the XOR. (a, b, hamming).
+    *
+    * Candidate recall is guaranteed by pigeonhole: with `maxHamming + 1`
+    * chunks, a pair within `maxHamming` differing bits MUST agree on at
+    * least one whole chunk (maxHamming bits cannot touch maxHamming+1
+    * disjoint chunks). The chunk count is therefore DERIVED from
+    * `maxHamming` — a fixed 4-chunk banding would silently drop pairs at
+    * Hamming ≥ 4 that differ in all four chunks. Chunks shrink as
+    * maxHamming grows (64/(h+1) bits each ⇒ coarser buckets, more
+    * candidates); callers wanting web-scale selectivity should keep
+    * maxHamming ≤ 3 (16-bit chunks).
     */
   def simHashPairs(docs: DataFrame, shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming=$maxHamming: need at least 2 bits per chunk over a 64-bit simhash")
+    val nChunks = maxHamming + 1
+    val bits = 64 / nChunks // floor; trailing remainder bits fold into no chunk
+    // Cover ALL 64 bits: the last chunk takes the remainder, so every
+    // differing bit lands in exactly one chunk (pigeonhole stays valid).
+    val mask = (w: Int) => if (w >= 64) -1L else (1L << w) - 1
     val sigs = simHash(docs, shingleN).persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "v")))
+      posexplode(array((0 until nChunks).map { c =>
+        val width = if (c == nChunks - 1) 64 - c * bits else bits
+        shiftright(col("simhash"), c * bits).bitwiseAND(lit(mask(width)))
+      }: _*)).as(Seq("chunk", "v")))
     chunked.as("x").join(chunked.as("y"), Seq("chunk", "v"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

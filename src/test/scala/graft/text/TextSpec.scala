@@ -133,6 +133,42 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(_._1).contains((0L, 1L)))
     assert(pairs.forall(_._2 <= 3))
   }
+
+  test("simHashPairs recall is COMPLETE at any maxHamming (pigeonhole banding)") {
+    // Deterministic corpus of base docs + 2-word-mutated twins: twin pair
+    // hamming distances spread over 4..10 (verified to include a pair
+    // differing in all four 16-bit chunks). Brute-force ground truth vs
+    // the banded operator.
+    val words = Array("spark", "graph", "rank", "edge", "node", "scan", "join",
+      "hash", "sort", "page", "link", "crawl", "text", "dedup", "band")
+    val corpus = (0 until 20).flatMap { i =>
+      val base = Array.tabulate(12)(p => words((i * 7 + p) % 15))
+      val twin = base.clone()
+      twin(i % 12) = words((i * 3 + 1) % 15)
+      twin((i * 5 + 3) % 12) = words((i * 11 + 2) % 15)
+      Seq((2L * i) -> base.mkString(" "), (2L * i + 1) -> twin.mkString(" "))
+    }
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val h = Dedup.simHash(docs, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxHamming = 10
+    val want = (for {
+      a <- h.keys; b <- h.keys if a < b
+      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= maxHamming
+    } yield ((a, b), d)).toSet
+    // The old fixed 4×16-bit banding dropped pairs at hamming 4..16 that
+    // differ in all four chunks — require the fixture to contain one, so
+    // this test actually pins that regression.
+    def chunk16(x: Long, c: Int) = (x >>> (c * 16)) & 0xFFFFL
+    val coversBug = want.exists { case ((a, b), d) =>
+      d > 3 && (0 until 4).forall(c => chunk16(h(a), c) != chunk16(h(b), c))
+    }
+    assert(coversBug, "fixture must contain a >3-hamming pair differing in all 4 old chunks")
+    val got = Dedup.simHashPairs(docs, shingleN = 2, maxHamming = maxHamming)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+    assert(got == want)
+  }
 }
 
 class VectorSimSpec extends AnyFunSuite {
