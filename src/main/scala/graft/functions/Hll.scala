@@ -97,10 +97,13 @@ object HllLogic extends Serializable {
   }
 }
 
-/** Spark surface for the HLL kernel: scalar Columns + a merge Aggregator
-  * for `groupBy().agg()`. Registers travel as BinaryType.
+/** Spark surface for the HLL kernel: native Catalyst scalar expressions
+  * ([[HllExpressions]] — codegen'd, no ScalaUDF on HyperBall's hot loop)
+  * + a merge Aggregator for `groupBy().agg()`. Registers travel as
+  * BinaryType.
   */
 object Hll {
+  import org.apache.spark.sql.GraftSql.{column, expression}
 
   /** Aggregator: register-wise max over a group of register arrays. */
   class MergeAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
@@ -120,20 +123,13 @@ object Hll {
   /** groupBy aggregation: union (register-wise max) of HLL sketches. */
   def hllMergeAgg(regs: Column): Column = mergeUdaf(regs)
 
-  def hllInit(log2m: Int, seed: Long = 42L): Column => Column = {
-    val f = udf((id: Long) => HllLogic.init(id, log2m, seed))
-    (id: Column) => f(id)
-  }
+  def hllInit(log2m: Int, seed: Long = 42L): Column => Column =
+    (id: Column) => column(HllExpressions.HllInitExpr(expression(id), log2m, seed))
 
   /** Binary merge of two sketches (either side may be null). */
-  val hllMerge2: (Column, Column) => Column = {
-    val f = udf((a: Array[Byte], b: Array[Byte]) =>
-      if (a == null) b else if (b == null) a else HllLogic.merge(a, b))
-    (a, b) => f(a, b)
-  }
+  val hllMerge2: (Column, Column) => Column =
+    (a, b) => column(HllExpressions.HllMerge2Expr(expression(a), expression(b)))
 
-  val hllCount: Column => Column = {
-    val f = udf((r: Array[Byte]) => HllLogic.count(r))
-    r => f(r)
-  }
+  val hllCount: Column => Column =
+    r => column(HllExpressions.HllCountExpr(expression(r)))
 }

@@ -52,6 +52,30 @@ class PlanSpec extends AnyFunSuite {
       s"UDF leaked into the text hot path:\n$plan")
   }
 
+  test("HLL scalar surface is native expressions — no ScalaUDF in the HyperBall superstep shape") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hll
+    import spark.implicits._
+    // The exact per-superstep dataflow shape of HyperBall.run: init →
+    // gather-merge agg → merge with own regs → count.
+    val st = Seq(1L, 2L, 3L).toDF("id")
+      .select($"id", Hll.hllInit(6)($"id").as("regs"))
+    val gathered = st.select($"id", $"regs".as("gregs"))
+    val step = st.join(gathered, Seq("id"), "left")
+      .select($"id", Hll.hllMerge2($"regs", $"gregs").as("regs"))
+      .select($"id", Hll.hllCount($"regs").as("cnt"))
+    // Execute first: AQE finalizes the physical plan (and its codegen
+    // stage markers) only on execution.
+    val got = step.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plan = executedPlan(step)
+    assert(!plan.contains("ScalaUDF"), s"HLL scalar path still uses ScalaUDF:\n$plan")
+    assert(plan.contains("*("), s"no whole-stage codegen span:\n$plan")
+    Seq(1L, 2L, 3L).foreach { v =>
+      val expect = graft.functions.HllLogic.count(graft.functions.HllLogic.init(v, 6))
+      assert(math.abs(got(v) - expect) < 1e-12, s"vertex $v")
+    }
+  }
+
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
     val plan = g.adjacency.queryExecution.executedPlan.toString
