@@ -86,6 +86,9 @@ object SparkEntry {
     "t_fingerprint" -> graft.queries.TextQueries.fingerprintSql,
     "d_exact_dedup" -> graft.queries.TextQueries.exactDedupSql,
     "d_ngram_jaccard" -> graft.queries.TextQueries.ngramJaccardSql,
+    "d_minhash_lsh" -> graft.queries.TextQueries.minHashLshSql,
+    "d_simhash" -> graft.queries.TextQueries.simHashSql,
+    "d_simhash_pairs" -> graft.queries.TextQueries.simHashPairsSql,
     "e_cosine_topk" -> graft.queries.TextQueries.cosineTopKSql,
     "e_lsh_topk" -> graft.queries.TextQueries.lshTopKSql,
     "q1_agg" ->

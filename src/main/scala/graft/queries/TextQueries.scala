@@ -153,14 +153,93 @@ object TextQueries {
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2""".stripMargin
 
-  // --- minhash / simhash (no portable hash → rows-only driver check;
-  //     exact semantics verified in ScalaTest against in-repo oracles) ---
+  // --- minhash / simhash ----------------------------------------------
+  // Both use TextOps.portableHash60 (md5-prefix BIGINT, identical in
+  // Spark and DuckDB), so the full pipelines are hash-verified by the
+  // gate — round 1 had them rows-only because xxhash64 is Spark-only.
+
+  /** DuckDB-side rendering of [[graft.text.TextOps.portableHash60]]. */
+  private def hash60Sql(expr: String): String =
+    s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Shared SQL prelude: distinct word n-gram shingles per doc. */
+  private def shinglesSql(n: Int): String = {
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""$toksSql,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(w) - ${n - 1}, 0) + 1),
+       |                i -> $gram)) AS shingle
+       |  FROM toks
+       |)""".stripMargin
+  }
 
   def minHashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(docs(spark, dir), threshold = 0.125)
 
+  /** Oracle replicates the exact LSH pipeline: 32 salted min-hashes →
+    * 8 bands of 4 → candidate pairs agreeing on ≥1 band → signature-
+    * estimated jaccard ≥ threshold.
+    */
+  val minHashLshSql: String = {
+    val numHashes = 32
+    val bands = 8
+    val rows = numHashes / bands
+    val pivot = (0 until numHashes)
+      .map(i => s"max(CASE WHEN i = $i THEN h END) AS h$i").mkString(",\n         ")
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band, concat($key) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val matches = (0 until numHashes)
+      .map(i => s"CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${shinglesSql(3)},
+       |slots AS (
+       |  SELECT doc_id, i,
+       |         min(${hash60Sql("CAST(i AS VARCHAR) || '|' || shingle")}) AS h
+       |  FROM sh, range($numHashes) t(i) GROUP BY doc_id, i
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $pivot
+       |  FROM slots GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |)
+       |SELECT a, b, est AS estJaccard FROM (
+       |  SELECT a, b, round(($matches) / ${numHashes}.0, 6) AS est
+       |  FROM cand JOIN sig xa ON xa.doc_id = a JOIN sig xb ON xb.doc_id = b
+       |) t WHERE est >= 0.125""".stripMargin
+  }
+
   def simHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHash(docs(spark, dir))
+
+  /** Shared oracle body computing the per-doc simhash over 2-gram
+    * features (row-wise bit sums — no 64-column pivot).
+    */
+  private val simHashBodySql: String =
+    s"""${shinglesSql(2)},
+       |fh AS (SELECT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM fh, range(64) t(j) GROUP BY doc_id, j
+       |),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
+  val simHashSql: String =
+    s"""WITH $simHashBodySql
+       |SELECT doc_id, simhash FROM sim""".stripMargin
 
   /** maxHamming = 3 — the selective web-scale setting (16-bit chunks).
     * Dedup.simHashPairs derives its chunk count from maxHamming, so any
@@ -168,6 +247,18 @@ object TextQueries {
     */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), maxHamming = 3)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+
+  val simHashPairsSql: String =
+    s"""WITH $simHashBodySql,
+       |chunks AS (
+       |  SELECT doc_id, simhash, c, (simhash >> CAST(c * 16 AS INTEGER)) & 65535 AS v
+       |  FROM sim, range(4) t(c)
+       |)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM chunks x JOIN chunks y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
 
   // --- embedding similarity ------------------------------------------
 

@@ -70,13 +70,16 @@ object Dedup {
   }
 
   /** MinHash signatures: (doc_id, sig array<long>) — sig(i) = min over the
-    * doc's shingles of xxhash64(i, shingle). Same estimator family as the
-    * reference's HLL register trick: per-slot min of a salted hash.
+    * doc's shingles of hash60(i ++ '|' ++ shingle). Same estimator family
+    * as the reference's HLL register trick: per-slot min of a salted hash.
+    * The hash is [[TextOps.portableHash60]], so a DuckDB oracle can
+    * recompute signatures bit-identically.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val mins = (0 until numHashes).map(i =>
+      min(TextOps.portableHash60(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -93,11 +96,14 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minHashSignatures(docs, numHashes, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Band key = the band's raw slot values joined as a string: equality
+    // is EXACTLY slot-tuple equality (no band-hash collisions), and it is
+    // trivially portable to the SQL oracle.
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
-        .as(Seq("band", "bandHash")))
-    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bandHash"))
+        concat_ws(",", (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+        .as(Seq("band", "bandKey")))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bandKey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
@@ -110,14 +116,17 @@ object Dedup {
     est.filter(col("estJaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per document over word `shingleN`-gram features:
-    * bit j of the hash = sign of Σ_features (bit j set ? +1 : −1).
+  /** SimHash per document over word `shingleN`-gram features: bit j of
+    * the hash = sign of Σ_features (bit j set ? +1 : −1). The feature
+    * hash is the portable 60-bit md5 prefix (bits 60–63 are always 0 and
+    * their sums always negative, so the simhash is effectively 60-bit —
+    * the banding math below stays over the full 64-bit layout).
     */
   def simHash(docs: DataFrame, shingleN: Int = 2): DataFrame = {
     val feats = docs.select(col("doc_id"),
       explode(TextOps.shinglesCol(col("text"), shingleN)).as("f"))
       .distinct()
-      .select(col("doc_id"), xxhash64(col("f")).as("h"))
+      .select(col("doc_id"), TextOps.portableHash60(col("f")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }

@@ -16,6 +16,18 @@ object TextOps {
   def tokensCol(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Portable 60-bit hash: the top 15 hex digits of md5, as a BIGINT.
+    * Both engines compute it identically (Spark:
+    * `conv(substring(md5(s),1,15),16,10)`; DuckDB:
+    * `CAST('0x'||substring(md5(s),1,15) AS BIGINT)`), which turns the
+    * MinHash/SimHash operators from rows-only driver checks into
+    * hash-verified ones. 60 bits keep the value non-negative and inside
+    * BIGINT in both engines; the statistical guarantees only need a
+    * uniform hash, which an md5 prefix is.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word n-gram shingles (space-joined). Empty array when fewer than n
     * tokens (guarded: sequence(1,0) would DESCEND, not be empty).
     */
