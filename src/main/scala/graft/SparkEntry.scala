@@ -35,6 +35,7 @@ object SparkEntry {
     "g_radius_diameter" -> (GraphQueries.radiusDiameter _),
     "g_topo_layers" -> (GraphQueries.topoLayers _),
     "g_hyperball" -> (GraphQueries.hyperball _),
+    "i_links" -> (graft.queries.IngestQueries.links _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
     "q_setop" -> (graft.queries.RelationalQueries.setOps _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "g_reach" -> GraphQueries.reachSql,
     "g_radius_diameter" -> GraphQueries.radiusDiameterSql,
     "g_topo_layers" -> GraphQueries.topoLayersSql,
+    "i_links" -> graft.queries.IngestQueries.linksSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
     "q_setop" -> graft.queries.RelationalQueries.setOpsSql,

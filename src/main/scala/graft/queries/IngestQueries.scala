@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.ingest.LinkExtract
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query for the ingest pipeline (north-rule "pages →
+  * links → dense ids → edges"), with a DuckDB oracle.
+  *
+  * The sf dirs carry no pages table, so a Common-Crawl-SHAPED pages table
+  * (url, html) is derived DETERMINISTICALLY from `documents` with string
+  * arithmetic both engines evaluate identically; the Spark side then runs
+  * the real ingest operators (LinkExtract regexp anchor extraction →
+  * DenseIds range-partitioned id assignment → edge resolve joins) while
+  * the oracle re-derives the same pages and replicates the extraction
+  * with `regexp_extract_all` + a window row_number (the oracle-sized
+  * equivalent of DenseIds' partition-offset scheme).
+  */
+object IngestQueries {
+
+  private def urlOf(id: Column): Column =
+    concat(lit("http://site"), id % 40, lit(".test/p"), id)
+
+  /** (url, html) pages: doc d links to targets (d·31 + j·17 + 1) mod n,
+    * j < d mod 5 (so some pages have no links and stay dangling vertices).
+    */
+  def pages(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    val n = d.count()
+    val nLinks = col("doc_id") % 5
+    val anchors = transform(
+      sequence(lit(0), nLinks.cast("long") - 1),
+      j => concat(lit("<a href=\""), urlOf((col("doc_id") * 31 + j * 17 + 1) % n), lit("\">x</a>")))
+    d.select(
+      urlOf(col("doc_id")).as("url"),
+      concat(
+        lit("<html><body>"),
+        // sequence(0,-1) DESCENDS in Spark: guard the no-link case.
+        concat_ws("", when(nLinks > 0, anchors).otherwise(array().cast("array<string>"))),
+        lit("</body></html>")).as("html"))
+  }
+
+  /** Dense-id edge table from the full ingest pipeline. */
+  def links(spark: SparkSession, dir: String): DataFrame = {
+    val (vm, edges) = LinkExtract.ingest(pages(spark, dir))
+    edges.distinct().select(col("src"), col("dst"))
+  }
+
+  val linksSql: String =
+    """WITH cnt AS (SELECT count(*) AS n FROM documents),
+      |pages AS (
+      |  SELECT 'http://site' || (doc_id % 40) || '.test/p' || doc_id AS url,
+      |         '<html><body>' || array_to_string(
+      |           list_transform(range(0, doc_id % 5),
+      |             j -> '<a href="http://site' || (((doc_id * 31 + j * 17 + 1) % n) % 40)
+      |                  || '.test/p' || ((doc_id * 31 + j * 17 + 1) % n) || '">x</a>'),
+      |           '') || '</body></html>' AS html
+      |  FROM documents CROSS JOIN cnt
+      |),
+      |lnk AS (
+      |  SELECT url AS src_url,
+      |         unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS dst_url
+      |  FROM pages
+      |),
+      |ids AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS id FROM pages)
+      |SELECT DISTINCT s.id AS src, t.id AS dst
+      |FROM lnk JOIN ids s ON s.url = lnk.src_url JOIN ids t ON t.url = lnk.dst_url""".stripMargin
+}
