@@ -1,0 +1,386 @@
+package graft.operators
+
+import graft.core.{Graph, Lineage}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ExactSumSweep (Borassi et al. 2015) — exact eccentricities / radius /
+  * diameter with FEW BFS instead of all-pairs distances.
+  *
+  * Re-creates the reference's adaptive computer
+  * (`/root/reference/src/algo/exact_sum_sweep/computer.rs`):
+  *
+  *  - per-vertex forward/backward eccentricity lower & upper bounds,
+  *    initialized (0, n); a vertex is COMPLETE when low == high
+  *    (`computer.rs:218-223, 250-258`);
+  *  - each sweep = one BFS: a forward BFS from s fixes eccF(s) exactly
+  *    and raises the BACKWARD lower bound of every visited v to d(s,v)
+  *    (`computer.rs:655-714`); backward sweeps mirror it on the transpose
+  *    (`computer.rs:576-653`);
+  *  - the `all_cc_upper_bound` step: per-SCC pivot BFS confined to the
+  *    SCC + a DP over the condensation DAG (one best "bridge" arc per
+  *    child, picked by max indeg(start)+outdeg(end) — `scc_graph.rs:
+  *    34-43,114-226`) refines per-node UPPER bounds
+  *    (`computer.rs:735-936`);
+  *  - step choice is adaptive: 5 step types scored by recent
+  *    missing-node reduction (`computer.rs:337-414`), convergence by
+  *    per-output-level missing-node accounting (`computer.rs:943-1014`).
+  *
+  * Spark-native re-expression: the bound book-keeping is a vertex-state
+  * Dataset (id, comp, radial, fLow, fHigh, bLow, bHigh, fTot, bTot); a
+  * sweep's bound update is one join of the state with the BFS distance
+  * Dataset; the condensation DP runs on the driver over the (small)
+  * component graph, exactly as the reference holds it in memory.
+  * Deliberate deviations, both documented here: (a) sweeps run in
+  * BATCHES of `batch` sources through one source-tagged multi-source BFS
+  * ([[Bfs.tagged]]) — bound updates are monotone max/min so batching is
+  * exact, and it amortizes the driver-loop latency Spark pays per level;
+  * (b) radius/diameter candidates are re-derived each round from the
+  * closed-vertex aggregate (any complete vertex's ecc bounds them),
+  * which subsumes the reference's per-sweep incremental updates and is
+  * strictly tighter, never looser.
+  */
+object SumSweep {
+
+  sealed trait Output
+  object Output {
+    /** Radius only. */ case object Radius extends Output
+    /** Diameter only. */ case object Diameter extends Output
+    case object RadiusDiameter extends Output
+    /** All forward eccentricities. */ case object AllForward extends Output
+    /** All forward + backward eccentricities. */ case object All extends Output
+  }
+
+  final case class Result(
+      /** (id, ecc): exact forward eccentricities (complete when output is
+        * AllForward/All; for the scalar outputs only the certified rows
+        * are meaningful).
+        */
+      ecc: DataFrame,
+      radius: Int,
+      radiusVertex: Long,
+      diameter: Int,
+      diameterVertex: Long,
+      /** BFS-equivalents performed (allCC counts 3, like the reference). */
+      iterations: Int,
+      /** (id) radial set used for the radius. */
+      radial: DataFrame)
+
+  // ------------------------------------------------------------------
+
+  def compute(
+      graph: Graph,
+      output: Output = Output.All,
+      /** Sweep sources per multi-source BFS round. ≤ 0 ⇒ auto-size from
+        * `stateBudgetRows`: one round's distance state is ≤ batch·reach
+        * rows, so the budget bounds it the way the reference's per-sweep
+        * memory is bounded by one BFS — the difference from the O(n²)
+        * all-pairs closure is exactly this cap. Small graphs get big
+        * batches (driver-latency-bound); web-scale graphs get small ones
+        * (BFS-cost-bound).
+        */
+      batch: Int = 0,
+      stateBudgetRows: Long = 50L * 1000 * 1000,
+      verbose: Boolean = false): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+
+    val n = graph.numVertices
+    require(n > 0, "ExactSumSweep on an empty graph (reference panics too)")
+    val nInt = math.min(n, Int.MaxValue.toLong).toInt
+    val effBatch =
+      if (batch > 0) batch
+      else math.max(4L, math.min(256L, stateBudgetRows / n)).toInt
+    val adj = graph.adjacency
+    val tAdj = graph.transposeAdjacency
+    adj.count(); tAdj.count()
+
+    // --- SCCs, radial set, degrees -----------------------------------
+    val comps = Scc.run(graph).persist()
+    comps.count()
+    // Largest SCC by (size desc, label asc); its label IS its min member
+    // id, so the label doubles as the radial-BFS seed (computer.rs:495-544).
+    val largest = comps.groupBy($"comp").agg(count(lit(1)).as("sz"))
+      .orderBy($"sz".desc, $"comp".asc).limit(1).head().getLong(0)
+    val radialDf = Bfs.tagged(tAdj, Seq((0L, largest)).toDF("tag", "id"))
+      .select($"id").persist()
+    radialDf.count()
+
+    val maxOutVertex = graph.outDegrees
+      .orderBy($"deg".desc, $"id".asc).limit(1).head().getLong(0)
+
+    // --- bounds state -------------------------------------------------
+    var b = graph.vertices.toDF("id")
+      .join(comps, Seq("id"))
+      .join(radialDf.select($"id", lit(true).as("radial")), Seq("id"), "left")
+      .select($"id", $"comp", coalesce($"radial", lit(false)).as("radial"),
+        lit(0).as("fLow"), lit(nInt).as("fHigh"),
+        lit(0).as("bLow"), lit(nInt).as("bHigh"),
+        lit(0L).as("fTot"), lit(0L).as("bTot"))
+      .localCheckpoint(true)
+
+    var diameterLow = 0
+    var diameterVertex = -1L
+    var radiusHigh = Int.MaxValue
+    var radiusVertex = -1L
+    var iterations = 0
+
+    def incF = $"fLow" =!= $"fHigh"
+    def incB = $"bLow" =!= $"bHigh"
+
+    var lastBatchSize = 1
+
+    /** One batched sweep; `forward` chooses graph vs transpose. */
+    def sweep(forward: Boolean, sources: Seq[Long]): Unit = {
+      lastBatchSize = math.max(sources.distinct.length, 1)
+      if (verbose) println(s"[graft/sumsweep] sweep fwd=$forward sources=${sources.distinct.length}")
+      if (sources.isEmpty) return
+      val srcDf = sources.distinct.map(s => (s, s)).toDF("tag", "id")
+      val dists = Bfs.tagged(if (forward) adj else tAdj, srcDf)
+      val perId = dists.groupBy($"id")
+        .agg(max($"dist").as("maxd"), sum($"dist").as("sumd"))
+      val srcEcc = dists.groupBy($"tag").agg(max($"dist").as("ecc"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val eccDf = srcEcc.toSeq.toDF("id", "srcEcc")
+      val fixed = Seq($"id", $"comp", $"radial")
+      val next = b
+        .join(perId, Seq("id"), "left")
+        .join(eccDf, Seq("id"), "left")
+        .select(fixed ++
+          (if (forward)
+            // source: ecc exact; others: bLow/bTot updated through perId
+            Seq(
+              coalesce($"srcEcc", $"fLow").as("fLow"),
+              coalesce($"srcEcc", $"fHigh").as("fHigh"),
+              when(incB && coalesce($"maxd", lit(-1)) > $"bLow", $"maxd")
+                .otherwise($"bLow").as("bLow"),
+              $"bHigh",
+              $"fTot",
+              ($"bTot" + coalesce($"sumd", lit(0L))).as("bTot"))
+          else
+            Seq(
+              when(incF && coalesce($"maxd", lit(-1)) > $"fLow", $"maxd")
+                .otherwise($"fLow").as("fLow"),
+              $"fHigh",
+              coalesce($"srcEcc", $"bLow").as("bLow"),
+              coalesce($"srcEcc", $"bHigh").as("bHigh"),
+              ($"fTot" + coalesce($"sumd", lit(0L))).as("fTot"),
+              $"bTot")): _*)
+        .localCheckpoint(true)
+      // (fixed prefix keeps the column order stable across both branches)
+      Lineage.release(b)
+      Lineage.release(dists)
+      b = next
+      iterations += sources.distinct.length
+    }
+
+    /** Top-k selection for the reference's argmax/argmin_filtered:
+      * (value, tie) ordering, smallest id on full ties.
+      */
+    def pick(filter: org.apache.spark.sql.Column, order: Seq[org.apache.spark.sql.Column]): Seq[Long] =
+      b.filter(filter).orderBy(order :+ $"id".asc: _*).limit(effBatch)
+        .select($"id").collect().map(_.getLong(0)).toSeq
+
+    // --- the all_cc_upper_bound step ---------------------------------
+    def allCcUpperBound(): Unit = {
+      // find_best_pivot (computer.rs:431-486): per SCC, minimize
+      // bLow + fLow (+n per already-complete direction), tie min
+      // fTot+bTot, tie min id.
+      val key = ($"bLow" + $"fLow" +
+        when(incF, 0).otherwise(nInt) + when(incB, 0).otherwise(nInt)).cast("long")
+      val staged = b.select($"comp", $"id",
+        key.as("pKey"), ($"fTot" + $"bTot").as("pTot"))
+      val pivotDf = staged.groupBy($"comp")
+        .agg(expr("min_by(id, struct(pKey, pTot, id))").as("pivot"))
+        .persist()
+      pivotDf.count()
+
+      val confine = comps.select($"comp".as("tag"), $"id")
+      val seeds = pivotDf.select($"comp".as("tag"), $"pivot".as("id"))
+      val distF = Bfs.tagged(adj, seeds, Some(confine))
+        .select($"tag".as("comp"), $"id", $"dist".as("dF")).persist()
+      val distB = Bfs.tagged(tAdj, seeds, Some(confine))
+        .select($"tag".as("comp"), $"id", $"dist".as("dB")).persist()
+      distF.count(); distB.count()
+
+      // Condensation bridges: best arc per (c1,c2) by
+      // indeg(start)+outdeg(end) (scc_graph.rs:34-43), then its
+      // dF(start) / dB(end) for the DP.
+      val cDf = comps
+      val bridgeCand = graph.edges.toDF()
+        .join(cDf.select($"id".as("src"), $"comp".as("c1")), Seq("src"))
+        .join(cDf.select($"id".as("dst"), $"comp".as("c2")), Seq("dst"))
+        .filter($"c1" =!= $"c2")
+        .join(graph.inDegrees.select($"id".as("src"), $"deg".as("inDeg")), Seq("src"))
+        .join(graph.outDegrees.select($"id".as("dst"), $"deg".as("outDeg")), Seq("dst"))
+        .select($"c1", $"c2", $"src", $"dst", ($"inDeg" + $"outDeg").as("arcValue"))
+      val bridges = bridgeCand
+        .groupBy($"c1", $"c2")
+        .agg(expr("max_by(struct(src, dst), struct(arcValue, src, dst))").as("bridge"))
+        .select($"c1", $"c2", $"bridge.src".as("start"), $"bridge.dst".as("bEnd"))
+      val bridgeRows = bridges
+        .join(distF.select($"id".as("start"), $"dF"), Seq("start"))
+        .join(distB.select($"id".as("bEnd"), $"dB"), Seq("bEnd"))
+        .select($"c1", $"c2", $"dF", $"dB")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+
+      // Driver-side per-pivot data: initial within-SCC eccs + the
+      // pivots' current upper bounds for clamping.
+      val eccF0 = distF.groupBy($"comp").agg(max($"dF").as("e"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val eccB0 = distB.groupBy($"comp").agg(max($"dB").as("e"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val pivotBounds = pivotDf.join(b, pivotDf("pivot") === b("id"))
+        .select(pivotDf("comp"), $"fHigh", $"bHigh")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+
+      val allComps = pivotBounds.keys.toSeq
+      val children = bridgeRows.groupBy(_._1)
+      // Kahn topological order of the condensation (sources first).
+      val indeg = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+      val succ = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+      bridgeRows.map(r => (r._1, r._2)).distinct.foreach { case (a, c) =>
+        succ(a) = c :: succ(a); indeg(c) += 1
+      }
+      val queue = scala.collection.mutable.Queue(
+        allComps.filter(indeg(_) == 0).sorted: _*)
+      val topo = scala.collection.mutable.ArrayBuffer[Long]()
+      while (queue.nonEmpty) {
+        val c = queue.dequeue(); topo += c
+        succ(c).foreach { d => indeg(d) -= 1; if (indeg(d) == 0) queue += d }
+      }
+
+      // Forward DP children-first (computer.rs:835-853): clamp at the
+      // pivot's current upper bound (break-equivalent, see scaladoc).
+      val eccF = scala.collection.mutable.Map(eccF0.toSeq: _*).withDefaultValue(0)
+      val eccB = scala.collection.mutable.Map(eccB0.toSeq: _*).withDefaultValue(0)
+      topo.reverseIterator.foreach { c =>
+        children.getOrElse(c, Array.empty[(Long, Long, Int, Int)]).foreach {
+          case (_, next, dF, dB) =>
+            eccF(c) = math.max(eccF(c), dF + 1 + dB + eccF(next))
+        }
+        eccF(c) = math.min(eccF(c), pivotBounds(c)._1)
+      }
+      // Backward DP parents-first (computer.rs:858-877).
+      topo.foreach { c =>
+        children.getOrElse(c, Array.empty[(Long, Long, Int, Int)]).foreach {
+          case (_, next, dF, dB) =>
+            eccB(next) = math.min(
+              math.max(eccB(next), dF + 1 + dB + eccB(c)),
+              pivotBounds(next)._2)
+        }
+      }
+
+      // Per-node refinement (computer.rs:885-927):
+      //   fHigh <- min(fHigh, d(node→pivot) + eccF(pivot))
+      //   bHigh <- min(bHigh, d(pivot→node) + eccB(pivot))
+      // plus a strictly-tightening addition the reference skips: the
+      // pivot distances are EXACT global distances (a path between
+      // same-SCC vertices cannot leave the SCC — leaving and returning
+      // would merge the SCCs), so they also RAISE the lower bounds:
+      //   fLow <- max(fLow, d(node→pivot));  bLow <- max(bLow, d(pivot→node)).
+      val eccMap = broadcast(allComps.map(c => (c, eccF(c), eccB(c)))
+        .toDF("comp", "pivotEccF", "pivotEccB"))
+      val next = b
+        .join(distF.select($"id", $"dF"), Seq("id"))
+        .join(distB.select($"id", $"dB"), Seq("id"))
+        .join(eccMap, Seq("comp"))
+        .select($"id", $"comp", $"radial",
+          when(incF, greatest($"fLow", $"dB")).otherwise($"fLow").as("fLow"),
+          least($"fHigh", $"dB" + $"pivotEccF").as("fHigh"),
+          when(incB, greatest($"bLow", $"dF")).otherwise($"bLow").as("bLow"),
+          least($"bHigh", $"dF" + $"pivotEccB").as("bHigh"),
+          $"fTot", $"bTot")
+        .localCheckpoint(true)
+      Lineage.release(b)
+      b = next
+      pivotDf.unpersist(); Lineage.release(distF); Lineage.release(distB)
+      distF.unpersist(); distB.unpersist()
+      iterations += 3
+    }
+
+    // --- missing-node accounting (computer.rs:943-1014) ---------------
+    final case class Missing(r: Long, dF: Long, dB: Long, aF: Long, aB: Long)
+    def findMissing(): Missing = {
+      val row = b.agg(
+        sum(when($"radial" && incF && $"fLow" < radiusHigh, 1L).otherwise(0L)),
+        sum(when(incF && $"fHigh" > diameterLow, 1L).otherwise(0L)),
+        sum(when(incB && $"bHigh" > diameterLow, 1L).otherwise(0L)),
+        sum(when(incF, 1L).otherwise(0L)),
+        sum(when(incB, 1L).otherwise(0L)),
+        max(when(!incF, struct($"fLow", -$"id"))),
+        max(when(!incB, $"bLow")),
+        min(when($"radial" && !incF, struct($"fLow", $"id")))).head()
+      // diameter/radius candidates from closed vertices (see scaladoc (b))
+      if (!row.isNullAt(5)) {
+        val s = row.getStruct(5)
+        val (e, v) = (s.getInt(0), -s.getLong(1))
+        if (e > diameterLow || (e == diameterLow && diameterVertex == -1L)) {
+          diameterLow = e; diameterVertex = v
+        }
+      }
+      if (!row.isNullAt(6) && row.getInt(6) > diameterLow) diameterLow = row.getInt(6)
+      if (!row.isNullAt(7)) {
+        val s = row.getStruct(7)
+        val (e, v) = (s.getInt(0), s.getLong(1))
+        if (e < radiusHigh || (e == radiusHigh && radiusVertex == -1L)) {
+          radiusHigh = e; radiusVertex = v
+        }
+      }
+      Missing(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    }
+    def missingFor(m: Missing): Long = output match {
+      case Output.Radius => m.r
+      case Output.Diameter => math.min(m.dF, m.dB)
+      case Output.RadiusDiameter => m.r + math.min(m.dF, m.dB)
+      case Output.AllForward => m.aF
+      case Output.All => m.aF + m.aB
+    }
+
+    // --- heuristic phase (computer.rs:269-306): 6 sweeps from the
+    // max-outdegree vertex, alternating fwd/bwd. Batched: 1 exact fwd
+    // start, then one bwd and one fwd batch picked by the same argmax
+    // criteria (deviation (a) in the scaladoc).
+    sweep(forward = true, Seq(maxOutVertex))
+    sweep(forward = false, pick(incB, Seq($"bTot".desc, $"bLow".desc)))
+    sweep(forward = true, pick(incF, Seq($"fTot".desc, $"fLow".desc)))
+
+    // --- adaptive loop (computer.rs:337-424) --------------------------
+    val points = Array.fill(5)(n.toDouble)
+    var m = findMissing()
+    var missing = missingFor(m)
+    var stall = 0
+    while (missing > 0) {
+      val step =
+        if (stall >= 2) { if (m.aF > 0) 1 else 3 } // guaranteed progress
+        else points.indexOf(points.max)
+      step match {
+        case 0 => allCcUpperBound()
+        case 1 => sweep(forward = true, pick(incF, Seq($"fHigh".desc, $"fTot".desc)))
+        case 2 => sweep(forward = true, pick($"radial", Seq($"fLow".asc, $"fTot".asc)))
+        case 3 => sweep(forward = false, pick(incB, Seq($"bHigh".desc, $"bTot".desc)))
+        case 4 => sweep(forward = false, pick(incB, Seq($"bTot".desc, $"bHigh".desc)))
+      }
+      m = findMissing()
+      val newMissing = missingFor(m)
+      // Reference utility units are PER SINGLE BFS (computer.rs:404-414);
+      // a batched sweep's gain is normalized by its batch size so the
+      // adaptive comparison against the (unbatched) allCC step stays fair
+      // — without this, a batch that only completes its own sources
+      // registers `batch` gain and starves every other step type.
+      val denom = if (step == 0) 1.0 else lastBatchSize.toDouble
+      points(step) = (missing - newMissing).toDouble / denom
+      for (i <- points.indices if i != step && points(i) >= 0.0)
+        points(i) += 2.0 / math.max(iterations, 1)
+      stall = if (newMissing < missing) 0 else stall + 1
+      if (verbose)
+        println(s"[graft/sumsweep] step=$step missing=$newMissing iters=$iterations " +
+          s"diamLow=$diameterLow radHigh=$radiusHigh")
+      missing = newMissing
+    }
+
+    val ecc = b.select($"id", $"fLow".as("ecc"))
+    comps.unpersist()
+    Result(ecc, radiusHigh, radiusVertex, diameterLow, diameterVertex, iterations, radialDf)
+  }
+}

@@ -66,6 +66,21 @@ object GraphQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** SCCs, shared by g_scc and the condensation-based reach query. */
+  private def sccShared(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"scc:$dir") {
+      Scc.run(graph(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** One SumSweep run (AllForward) shared by g_ecc / g_radius_diameter. */
+  private def essShared(spark: SparkSession, dir: String): SumSweep.Result =
+    memoized(spark, s"ess:$dir") {
+      val r = SumSweep.compute(graph(spark, dir), SumSweep.Output.AllForward)
+      r.ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      r
+    }
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -219,7 +234,7 @@ object GraphQueries {
     * (u,v same SCC ⟺ mutual reachability), labels = min member id.
     */
   def scc(spark: SparkSession, dir: String): DataFrame =
-    Scc.run(graph(spark, dir))
+    sccShared(spark, dir)
 
   val sccSql: String =
     s"""WITH RECURSIVE $edgesSql,
@@ -249,7 +264,7 @@ object GraphQueries {
        |dist AS (SELECT src, id, min(d) AS dist FROM walk GROUP BY src, id)""".stripMargin
 
   def ecc(spark: SparkSession, dir: String): DataFrame =
-    Eccentricity.forwardEcc(graph(spark, dir))
+    essShared(spark, dir).ecc
 
   val eccSql: String =
     s"""WITH RECURSIVE $edgesSql,
@@ -258,12 +273,11 @@ object GraphQueries {
 
   /** Exact per-vertex reachable-set size (the exact form of HyperBall's
     * per-vertex ball size; HyperBall itself is spec-verified — its hash
-    * isn't portable to SQL).
+    * isn't portable to SQL). Computed via SCC condensation
+    * ([[Reachability]]), not an all-pairs closure.
     */
   def reach(spark: SparkSession, dir: String): DataFrame =
-    Eccentricity.allPairsDistances(graph(spark, dir))
-      .groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("reach"))
+    Reachability.counts(graph(spark, dir), Some(sccShared(spark, dir)))
 
   val reachSql: String =
     s"""WITH RECURSIVE $edgesSql,
@@ -275,7 +289,8 @@ object GraphQueries {
        |SELECT a AS id, count(*) AS reach FROM reach GROUP BY a""".stripMargin
 
   def radiusDiameter(spark: SparkSession, dir: String): DataFrame = {
-    val r = Eccentricity.radiusDiameter(graph(spark, dir))
+    val ess = essShared(spark, dir)
+    val r = Eccentricity.fromEcc(ess.ecc, ess.radial)
     import spark.implicits._
     Seq((r.radius, r.radiusVertex, r.diameter, r.diameterVertex))
       .toDF("radius", "radius_vertex", "diameter", "diameter_vertex")

@@ -58,6 +58,56 @@ class EccentricitySpec extends AnyFunSuite {
     }
   }
 
+  test("SumSweep certifies radius+diameter in FAR fewer BFS than 2n (bounded sweeps)") {
+    // The reference's headline property (Borassi et al.): radius/diameter
+    // certified with tens of BFS where the textbook needs n fwd + n bwd.
+    // batch=1 = the reference's exact per-sweep granularity. (AllForward
+    // on a FLAT-eccentricity random graph degenerates to ~1 BFS/vertex in
+    // the reference too — that regime is covered by the differential
+    // tests above, not a sweep-count bound.)
+    val edges = Fixtures.erdosRenyi(120, 0.04, 5)
+    val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.size
+    val r = SumSweep.compute(Graph.fromPairs(spark, edges), SumSweep.Output.RadiusDiameter, batch = 1)
+    assert(r.iterations < n / 2, s"${r.iterations} BFS for $n vertices (textbook: ${2 * n})")
+    val allEcc = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      .map(v => v -> SeqOracles.bfs(edges, Seq(v)).values.max).toMap
+    assert(r.diameter == allEcc.values.max)
+    // radius = min ecc over RADIAL vertices (those reaching the largest SCC)
+    val comp = Scc.tarjanMap(edges)
+    val largest = comp.groupBy(_._2).maxBy { case (c, m) => (m.size, -c) }._2.keySet
+    val radial = allEcc.keys.filter(v => SeqOracles.bfs(edges, Seq(v)).keySet.exists(largest))
+    assert(r.radius == radial.map(allEcc).min)
+  }
+
+  test("multi-SCC chain exercises the condensation-DAG upper-bound step") {
+    // two 4-cycles bridged by a directed path: distinct SCCs, deep DAG
+    val c1 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val c2 = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val bridge = Seq((2L, 20L), (20L, 21L), (21L, 10L))
+    val edges = c1 ++ c2 ++ bridge
+    val got = eccMap(edges)
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    verts.foreach { v =>
+      assert(got(v) == SeqOracles.bfs(edges, Seq(v)).values.max, s"vertex $v")
+    }
+    val rd = Eccentricity.radiusDiameter(Graph.fromPairs(spark, edges))
+    // radial set = vertices reaching the largest SCC (c1, label 0)
+    assert(rd.radius == verts.filter(v => SeqOracles.bfs(edges, Seq(v)).contains(0L))
+      .map(v => SeqOracles.bfs(edges, Seq(v)).values.max).min)
+    assert(rd.diameter == got.values.max)
+  }
+
+  test("Reachability via condensation matches the closure oracle") {
+    for (edges <- Seq(Fixtures.bucket9, Fixtures.lozenge, Fixtures.erdosRenyi(50, 0.03, 9))) {
+      val got = Reachability.counts(Graph.fromPairs(spark, edges))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      verts.foreach { v =>
+        assert(got(v) == SeqOracles.bfs(edges, Seq(v)).size, s"vertex $v")
+      }
+    }
+  }
+
   test("effective diameter interpolation on an exact NF") {
     val nf = SeqHyperBall.exactNf(Fixtures.cycle4) // 4, 8, 12, 16
     assert(Eccentricity.effectiveDiameter(nf, 1.0) == 3.0)
