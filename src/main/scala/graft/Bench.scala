@@ -123,8 +123,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleNodes = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "8000000").toLong
+    // The scaling PAIR uses a smaller graph than the full-throughput
+    // headline: the pair's job is the RATIO on byte-identical input, and
+    // a 4M-node graph keeps 2 interleaved repeats of 11 iterations
+    // inside the bench budget.
+    val pairNodes = sys.env.getOrElse("SPARK_GRAFT_PAIR_NODES", "4000000").toLong
     val convNodes = sys.env.getOrElse("SPARK_GRAFT_CONV_NODES", "2000000").toLong
-    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "6").toInt
+    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "11").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     // The N vs 4N pair runs with hardware HEADROOM (cpus/16 vs cpus/4
     // cores of a cpus-core box): saturating every hardware thread of one
     // box measures its shared memory-bandwidth/GC ceiling, not the
@@ -133,20 +139,35 @@ object Bench {
     val lowCores = math.max(1, cpus / 16)
     val highCores = math.max(2, cpus / 4)
 
-    val scalePath = genEdges(scaleNodes, cpus, cpus)
+    val pairPath = genEdges(pairNodes, cpus, cpus)
+    val scalePath = if (scaleNodes == pairNodes) pairPath else genEdges(scaleNodes, cpus, cpus)
     val convPath = if (convNodes == scaleNodes) scalePath else genEdges(convNodes, cpus, cpus)
 
-    val low = runLeg(lowCores, cpus, scalePath, "fixed", scaleIters.toString)
-    val high = runLeg(highCores, cpus, scalePath, "fixed", scaleIters.toString)
+    // Interleaved repeats (L,H,L,H,…), each leg a fresh child JVM; the
+    // per-leg estimator is the MINIMUM of the repeats' steady-state
+    // medians — the standard noise-robust throughput estimator on a
+    // shared box (r1's 0.438 outlier was one contended high leg).
+    val lowRuns = Vector.newBuilder[LegResult]
+    val highRuns = Vector.newBuilder[LegResult]
+    for (_ <- 1 to math.max(repeats, 1)) {
+      lowRuns += runLeg(lowCores, cpus, pairPath, "fixed", scaleIters.toString)
+      highRuns += runLeg(highCores, cpus, pairPath, "fixed", scaleIters.toString)
+    }
+    val (lows, highs) = (lowRuns.result(), highRuns.result())
     // Headline throughput: steady state at FULL parallelism.
     val full = runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString)
-    val nEdges = low.edges
-    val (secIterLow, secIterHigh, secIterFull) = (low.secPerIter, high.secPerIter, full.secPerIter)
-    val (totLow, totHigh, totFull) = (low.totalSec, high.totalSec, full.totalSec)
+    val nEdges = lows.head.edges
+    val secIterLow = lows.map(_.secPerIter).min
+    val secIterHigh = highs.map(_.secPerIter).min
+    val secIterFull = full.secPerIter
+    val (totLow, totHigh, totFull) =
+      (lows.map(_.totalSec).sum, highs.map(_.totalSec).sum, full.totalSec)
     val epsLow = nEdges / secIterLow
     val epsHigh = nEdges / secIterHigh
-    val epsFull = nEdges / secIterFull
+    val epsFull = full.edges / secIterFull
     val scalingEff = (epsHigh / epsLow) / (highCores.toDouble / lowCores)
+    def runsJson(rs: Vector[LegResult]) =
+      rs.map(r => f"${r.secPerIter}%.3f").mkString("[", ",", "]")
 
     val conv = runLeg(cpus, cpus, convPath, "conv", "1e-6")
     val (convEdges, convIters, convOk, convSec) = (conv.edges, conv.iters, conv.converged, conv.totalSec)
@@ -163,9 +184,12 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum + totLow + totHigh + totFull + convSec
     val pr =
-      f"""{"scaleNodes":$scaleNodes,"scaleEdges":$nEdges,""" +
+      f"""{"pairNodes":$pairNodes,"pairEdges":$nEdges,"scaleNodes":$scaleNodes,""" +
       f""""coresLow":$lowCores,"secPerIterLow":$secIterLow%.3f,"epsLow":${epsLow.round},""" +
+      f""""secPerIterLowRuns":${runsJson(lows)},""" +
       f""""coresHigh":$highCores,"secPerIterHigh":$secIterHigh%.3f,"epsHigh":${epsHigh.round},""" +
+      f""""secPerIterHighRuns":${runsJson(highs)},""" +
+      f""""repeats":$repeats,"steadyItersPerRun":${scaleIters - 1},""" +
       f""""scalingEfficiency":$scalingEff%.3f,""" +
       f""""coresFull":$cpus,"secPerIterFull":$secIterFull%.3f,"epsFull":${epsFull.round},""" +
       f""""convNodes":$convNodes,"convEdges":$convEdges,"convTol":1e-6,""" +

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming face of the engine: the events table consumed as
   * a stream (file source), watermarked, aggregated in tumbling event-time
@@ -34,22 +34,128 @@ object EventStream {
 
   /** Run the streaming query over a parquet directory until all available
     * input is processed; results land in an in-memory table `name`.
+    *
+    * APPEND output: a window row is emitted once, when the watermark
+    * passes its end — which is the mode where `withWatermark` actually
+    * EVICTS window state (Complete mode keeps every window forever, so
+    * round 1's "watermark bounds state" claim was untrue there). Windows
+    * still open when the stream drains are not emitted; tests advance the
+    * watermark with sentinel events to flush them.
     */
-  def runOnce(spark: SparkSession, sourceDir: String, name: String): DataFrame = {
+  def runOnce(spark: SparkSession, sourceDir: String, name: String,
+              mode: OutputMode = OutputMode.Append()): StreamingDrain = {
     val schema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(sourceDir)
-    val q: StreamingQuery = hourlyAgg(stream).writeStream
-      .outputMode(OutputMode.Complete())
+    startDrain(hourlyAgg(stream), name, mode)
+  }
+
+  /** A started memory-sink query the caller can feed (by dropping files
+    * into the source dir), drain, and stop.
+    */
+  final class StreamingDrain(val query: StreamingQuery, spark: SparkSession, name: String) {
+    /** Process everything currently available. */
+    def drain(): StreamingDrain = { query.processAllAvailable(); this }
+    def table: DataFrame = spark.table(name)
+    def stop(): DataFrame = { query.processAllAvailable(); query.stop(); table }
+  }
+
+  private[streaming] def startDrain(df: DataFrame, name: String, mode: OutputMode): StreamingDrain = {
+    val q = df.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.ProcessingTime(0))
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    new StreamingDrain(q, df.sparkSession, name)
+  }
+
+  // --- sessionization ------------------------------------------------
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Open-session interval in epoch MICROS (Spark timestamps are
+    * microsecond-precision; millis would truncate session bounds).
+    */
+  final case class SessState(start: Long, end: Long, n: Long, sum: Double)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(micros: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    t
+  }
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  /** Incremental gap-based sessionization over a STREAM:
+    * `flatMapGroupsWithState` with event-time timeout — the
+    * KeyValueGroupedDataset custom-state path the north_star names.
+    * State per user = the list of OPEN session intervals (pairwise more
+    * than `gap` apart); a session is emitted (Append) and dropped once
+    * the watermark passes `end + gap`, so state is watermark-bounded.
+    * Semantics match the batch [[sessionize]] exactly — the spec asserts
+    * stream == batch on the same input.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermarkDelay: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        sessionStep(gapMs))
+  }
+
+  /** One state transition: merge new events into the open intervals,
+    * emit+evict intervals the watermark has sealed.
+    */
+  private def sessionStep(gapMs: Long)(
+      user: Long, it: Iterator[SessEvent], state: GroupState[List[SessState]]): Iterator[Session] = {
+    val gapUs = gapMs * 1000L
+    var sessions = state.getOption.getOrElse(Nil)
+    if (!state.hasTimedOut) {
+      it.foreach { e =>
+        val t = toMicros(e.ts)
+        // Intervals stay pairwise > gap apart, so an event can bridge at
+        // most the ones within gap of it — merge them all into one.
+        val (mergeable, rest) = sessions.partition(s =>
+          t >= s.start - gapUs && t <= s.end + gapUs)
+        val merged = mergeable.foldLeft(SessState(t, t, 1L, e.value)) { (a, s) =>
+          SessState(math.min(a.start, s.start), math.max(a.end, s.end),
+            a.n + s.n, a.sum + s.sum)
+        }
+        sessions = merged :: rest
+      }
+    }
+    val wm = state.getCurrentWatermarkMs() // millis; arriving events have ts ≥ wm
+    // No event with ts < wm can arrive ⇒ a session is final once even an
+    // event AT the watermark could not extend it.
+    val (closed, open) = sessions.partition(_.end + gapUs < wm * 1000L)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(open)
+      state.setTimeoutTimestamp(
+        math.max(Math.floorDiv(open.map(_.end).min, 1000L) + gapMs + 1, wm + 1))
+    }
+    closed.sortBy(_.start).iterator.map(s =>
+      Session(user, toTimestamp(s.start), toTimestamp(s.end),
+        s.n,
+        // match batch `round(sum, 3)` (BigDecimal HALF_UP, not rint's half-even)
+        BigDecimal(s.sum).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
   /** Sessionization with custom state: gap-based sessions per user via

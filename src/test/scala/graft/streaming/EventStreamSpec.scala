@@ -8,20 +8,58 @@ class EventStreamSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
-  test("streaming hourly aggregation equals the batch aggregation") {
-    // streaming file source needs a DIRECTORY: stage the single parquet
-    // file into a temp dir (with several copies ≙ several micro-batches)
+  /** Stage the events table into a stream-source dir, then append
+    * far-future sentinel rows (twice — the batch that ADVANCES the
+    * watermark emits nothing; the next one flushes) so every real
+    * window/session is sealed in Append mode.
+    */
+  private def withSentinels(test: (String, java.sql.Timestamp) => Unit): Unit = {
+    import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("part-0.parquet"))
-    // ts is TimestampNTZ in Spark 4 parquet reads → generic get, not getTimestamp
-    val batch = EventStream.hourlyAgg(spark.read.parquet(srcDir.toString))
-      .collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    val streamed = EventStream.runOnce(spark, srcDir.toString, "ev_test")
-      .collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-    assert(streamed == batch)
-    assert(batch.nonEmpty)
+    val maxTs = spark.read.parquet(srcDir.toString)
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 365L * 24 * 3600 * 1000)
+    test(srcDir.toString, sentinelTs)
+  }
+
+  private def addSentinel(srcDir: String, ts: java.sql.Timestamp, name: String): Unit = {
+    // Clone one source row and rewrite its fields: keeps the exact schema
+    // (ts is TimestampNTZ in Spark 4 parquet; cast is exact under the
+    // fixed UTC session timezone).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
+    spark.read.parquet(s"$srcDir/part-0.parquet").limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(ts).cast("timestamp_ntz"))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+      .withColumn("value", lit(-1.0))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
+    // the file source lists FILES in srcDir (not subdirs): move the part
+    // file in as a sibling of part-0.parquet
+    val part = java.nio.file.Files.list(tmp.resolve("d")).iterator()
+    val found = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(found, java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+  }
+
+  test("streaming hourly aggregation (Append, watermark-evicted state) equals batch") {
+    withSentinels { (srcDir, sentinelTs) =>
+      val batch = EventStream.hourlyAgg(spark.read.parquet(s"$srcDir/part-0.parquet"))
+        .collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val drain = EventStream.runOnce(spark, srcDir, "ev_test")
+      drain.drain()
+      addSentinel(srcDir, sentinelTs, "sent1")
+      drain.drain()
+      addSentinel(srcDir, new java.sql.Timestamp(sentinelTs.getTime + 3600_000L), "sent2")
+      val streamed = drain.stop()
+        .filter(col("event_type") =!= "sentinel")
+        .collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    }
   }
 
   test("sessionization: gap splits, per-session bounds and counts") {
@@ -37,5 +75,36 @@ class EventStreamSpec extends AnyFunSuite {
       (1L, 1L) -> (2L, 3.0), // first session: 2 events, value 1+2
       (1L, 2L) -> (1L, 3.0),
       (2L, 1L) -> (1L, 4.0)))
+  }
+
+  test("STREAMING sessionization (flatMapGroupsWithState) equals batch sessionize") {
+    withSentinels { (srcDir, sentinelTs) =>
+      // cast NTZ → timestamp so batch session bounds compare exactly with
+      // the stream's Timestamp output
+      val events = spark.read.parquet(s"$srcDir/part-0.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val batch = EventStream.sessionize(events, gapMinutes = 30)
+        .collect()
+        .map(r => (r.getLong(0), r.get(2).toString, r.get(3).toString) ->
+          (r.getLong(4), r.getDouble(5))).toMap
+
+      val schema = events.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val sessions = EventStream.sessionizeStream(stream, gapMinutes = 30)
+      val drain = EventStream.startDrain(sessions.toDF(), "sess_test",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      drain.drain()
+      addSentinel(srcDir, sentinelTs, "sent1")
+      drain.drain()
+      addSentinel(srcDir, new java.sql.Timestamp(sentinelTs.getTime + 3600_000L), "sent2")
+      val streamed = drain.stop()
+        .filter(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    }
   }
 }
