@@ -33,14 +33,10 @@ object Bench {
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    val s = graft.core.Sessions.tuned(SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false") // per-superstep SMJ sorts measured 3.5x slower than SHJ
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -13,14 +13,10 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val Array(coresS, partsS, edgesPath, mode, arg) = args
-    val spark = SparkSession.builder()
+    val spark = graft.core.Sessions.tuned(SparkSession.builder()
       .master(s"local[$coresS]")
       .appName(s"graft-benchone-$coresS")
-      .config("spark.sql.shuffle.partitions", partsS)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", partsS))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -81,6 +81,10 @@ object SumSweep {
         */
       batch: Int = 0,
       stateBudgetRows: Long = 50L * 1000 * 1000,
+      /** Precomputed (id, comp) SCCs (e.g. shared with other queries);
+        * computed here when absent.
+        */
+      components: Option[DataFrame] = None,
       verbose: Boolean = false): Result = {
     val spark = graph.spark
     import spark.implicits._
@@ -90,13 +94,13 @@ object SumSweep {
     val nInt = math.min(n, Int.MaxValue.toLong).toInt
     val effBatch =
       if (batch > 0) batch
-      else math.max(4L, math.min(256L, stateBudgetRows / n)).toInt
+      else math.max(4L, math.min(1024L, stateBudgetRows / n)).toInt
     val adj = graph.adjacency
     val tAdj = graph.transposeAdjacency
     adj.count(); tAdj.count()
 
     // --- SCCs, radial set, degrees -----------------------------------
-    val comps = Scc.run(graph).persist()
+    val comps = components.getOrElse(Scc.run(graph)).persist()
     comps.count()
     // Largest SCC by (size desc, label asc); its label IS its min member
     // id, so the label doubles as the radial-BFS seed (computer.rs:495-544).
@@ -380,7 +384,7 @@ object SumSweep {
     }
 
     val ecc = b.select($"id", $"fLow".as("ecc"))
-    comps.unpersist()
+    if (components.isEmpty) comps.unpersist()
     Result(ecc, radiusHigh, radiusVertex, diameterLow, diameterVertex, iterations, radialDf)
   }
 }

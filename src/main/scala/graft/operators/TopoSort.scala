@@ -37,7 +37,19 @@ object TopoSort {
       rounds: Int
   )
 
-  def run(graph: Graph, maxRounds: Int = 10000): Result = {
+  def run(
+      graph: Graph,
+      maxRounds: Int = 10000,
+      /** Finish the peel on the DRIVER once the remaining subgraph has at
+        * most this many vertices (0 = never): each distributed round
+        * costs a fixed 2–3 Spark jobs regardless of size, so a deep tail
+        * of tiny layers pays O(depth) driver latency for no parallelism —
+        * the same cost-based small-graph policy as [[Scc.tarjanLocal]]
+        * (and Spark's own broadcast threshold). The collected state is
+        * one (id, indeg) row per remaining vertex plus the edges among
+        * them; callers size the threshold to their driver heap.
+        */
+      localFinishVertices: Long = 0): Result = {
     val spark = graph.spark
     import spark.implicits._
 
@@ -52,7 +64,8 @@ object TopoSort {
     var round = 0
     var progressing = true
 
-    while (remainingCount > 0 && progressing && round < maxRounds) {
+    while (remainingCount > 0 && progressing && round < maxRounds
+           && remainingCount > localFinishVertices) {
       // Eager checkpoint: `layers` keeps a live reference to each round's
       // peel, so the blocks must survive the release of the parent state.
       val zero = state.filter($"deg" === 0L).select($"id").localCheckpoint(true)
@@ -78,6 +91,36 @@ object TopoSort {
         remainingCount -= peeled
         round += 1
       }
+    }
+    // Driver finish of the small remainder: same Kahn semantics, zero
+    // per-layer Spark jobs.
+    if (remainingCount > 0 && progressing && remainingCount <= localFinishVertices) {
+      val ids = state.select($"id").collect().map(_.getLong(0)).toSet
+      val localEdges = graph.edges.toDF()
+        .join(state.select($"id".as("src")), Seq("src"), "left_semi")
+        .join(state.select($"id".as("dst")), Seq("dst"), "left_semi")
+        .filter($"src" =!= $"dst")
+        .select($"src", $"dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      val indeg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      val succ = scala.collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+      ids.foreach(v => indeg(v) = 0L)
+      localEdges.foreach { case (s, d) => succ(s) = d :: succ(s); indeg(d) += 1 }
+      val localLayers = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+      var frontier = ids.filter(indeg(_) == 0L).toSeq.sorted
+      while (frontier.nonEmpty) {
+        frontier.foreach(v => localLayers += ((v, round)))
+        val next = scala.collection.mutable.ArrayBuffer[Long]()
+        frontier.foreach { v =>
+          succ(v).foreach { d => indeg(d) -= 1; if (indeg(d) == 0L) next += d }
+        }
+        frontier = next.distinct.sorted.toSeq
+        round += 1
+      }
+      remainingCount -= localLayers.length
+      progressing = remainingCount == 0
+      if (localLayers.nonEmpty)
+        layers = layers.union(localLayers.toSeq.toDF("id", "layer"))
     }
     // Materialize the layer union off the per-round checkpoints, then the
     // result is self-contained and the per-round blocks can be dropped.

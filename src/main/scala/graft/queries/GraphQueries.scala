@@ -76,7 +76,8 @@ object GraphQueries {
   /** One SumSweep run (AllForward) shared by g_ecc / g_radius_diameter. */
   private def essShared(spark: SparkSession, dir: String): SumSweep.Result =
     memoized(spark, s"ess:$dir") {
-      val r = SumSweep.compute(graph(spark, dir), SumSweep.Output.AllForward)
+      val r = SumSweep.compute(graph(spark, dir), SumSweep.Output.AllForward,
+        components = Some(sccShared(spark, dir)))
       r.ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       r
     }
@@ -324,7 +325,11 @@ object GraphQueries {
     */
   def topoLayers(spark: SparkSession, dir: String): DataFrame = {
     val dag = edgesDf(spark, dir).filter(col("src") < col("dst") && col("dst") - col("src") >= 13)
-    TopoSort.run(Graph.fromEdges(dag)).layers
+    // localFinishVertices: the 601-vertex derived DAG peels ~46 tiny
+    // layers — per-layer driver latency dominates; finish on the driver
+    // (TopoSort doc: the tarjanLocal-style cost-based small-graph policy;
+    // TopoSpec asserts local == distributed).
+    TopoSort.run(Graph.fromEdges(dag), localFinishVertices = 200000).layers
   }
 
   val topoLayersSql: String =

@@ -194,10 +194,14 @@ object TextQueries {
     val matches = (0 until numHashes)
       .map(i => s"CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH ${shinglesSql(3)},
+       |base AS (
+       |  SELECT doc_id, ${hash60Sql("shingle")} AS ha,
+       |         ${hash60Sql("'~' || shingle")} >> 7 AS hb
+       |  FROM sh
+       |),
        |slots AS (
-       |  SELECT doc_id, i,
-       |         min(${hash60Sql("CAST(i AS VARCHAR) || '|' || shingle")}) AS h
-       |  FROM sh, range($numHashes) t(i) GROUP BY doc_id, i
+       |  SELECT doc_id, i, min(ha + i * hb) AS h
+       |  FROM base, range($numHashes) t(i) GROUP BY doc_id, i
        |),
        |sig AS (
        |  SELECT doc_id,

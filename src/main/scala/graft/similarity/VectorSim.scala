@@ -11,14 +11,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object VectorSim {
 
-  /** Σ aᵢ·bᵢ in double precision, left-to-right (deterministic). */
+  import org.apache.spark.sql.GraftSql.{column, expression}
+
+  /** Σ aᵢ·bᵢ in double precision, left-to-right (deterministic) — a
+    * native codegen'd expression ([[graft.functions.VectorExpressions]]);
+    * the interpreted `aggregate(zip_with(...))` equivalent cost ~14 µs
+    * per pair on the O(n²) baseline.
+    */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    column(graft.functions.VectorExpressions.DotExpr(expression(a), expression(b)))
 
   def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    column(graft.functions.VectorExpressions.NormExpr(expression(a)))
 
   /** Brute-force cosine top-k per vector (the exactness baseline).
     * Output (vec_id, nbr_id, sim, rank), rank 1..k; sim rounded to 6 dp

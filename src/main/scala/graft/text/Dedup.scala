@@ -70,16 +70,26 @@ object Dedup {
   }
 
   /** MinHash signatures: (doc_id, sig array<long>) — sig(i) = min over the
-    * doc's shingles of hash60(i ++ '|' ++ shingle). Same estimator family
-    * as the reference's HLL register trick: per-slot min of a salted hash.
-    * The hash is [[TextOps.portableHash60]], so a DuckDB oracle can
-    * recompute signatures bit-identically.
+    * doc's shingles of hᵢ(shingle). Same estimator family as the
+    * reference's HLL register trick: per-slot min of a salted hash.
+    *
+    * The k salted hashes are derived by Kirsch–Mitzenmacher double
+    * hashing, hᵢ = a + i·b, from TWO md5-based base hashes — computing k
+    * independent md5s per shingle measured ~2× the whole query's cost.
+    * `b` is shifted to 53 bits so i·b (i < 128) cannot overflow a signed
+    * 64-bit value: overflow WRAPS in Spark but ERRORS in DuckDB, and the
+    * whole point of the md5-derived hash ([[TextOps.portableHash60]]) is
+    * that the oracle recomputes signatures bit-identically.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(numHashes <= 128, "i*b stays below 2^60 only for i < 128")
     val sh = docs.select(col("doc_id"),
       explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
+      .select(col("doc_id"),
+        TextOps.portableHash60(col("shingle")).as("ha"),
+        shiftright(TextOps.portableHash60(concat(lit("~"), col("shingle"))), 7).as("hb"))
     val mins = (0 until numHashes).map(i =>
-      min(TextOps.portableHash60(concat_ws("|", lit(i), col("shingle")))).as(s"h$i"))
+      min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))

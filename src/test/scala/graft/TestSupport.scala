@@ -7,15 +7,11 @@ import scala.collection.mutable
 /** One shared local session for the whole forked test JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession
+    val s = graft.core.Sessions.tuned(SparkSession
       .builder()
       .master("local[4]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.join.preferSortMergeJoin", "false") // per-superstep SMJ sorts measured 3.5x slower than SHJ
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -41,6 +41,22 @@ class TopoSortSpec extends AnyFunSuite {
     val layer = res.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     dag.foreach { case (u, v) => assert(layer(u) < layer(v)) }
   }
+
+  test("driver-finish path (localFinishVertices) == pure distributed peel") {
+    for (edges <- Seq(
+      Fixtures.dag4,
+      Fixtures.erdosRenyi(40, 0.1, 7).filter { case (u, v) => u < v },
+      Seq((0L, 1L), (1L, 2L), (2L, 1L), (0L, 3L)))) { // partial cycle
+      val g1 = TopoSort.run(Graph.fromPairs(spark, edges))
+      val g2 = TopoSort.run(Graph.fromPairs(spark, edges), localFinishVertices = 1000000)
+      // mid-run switch: a few distributed rounds, then driver finish
+      val g3 = TopoSort.run(Graph.fromPairs(spark, edges), localFinishVertices = 10)
+      val m1 = g1.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(g2.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == m1)
+      assert(g3.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == m1)
+      assert(g2.acyclic == g1.acyclic && g3.acyclic == g1.acyclic)
+    }
+  }
 }
 
 class GraphChecksSpec extends AnyFunSuite {
