@@ -126,7 +126,7 @@ object Bench {
     val pairNodes = sys.env.getOrElse("SPARK_GRAFT_PAIR_NODES", "4000000").toLong
     val convNodes = sys.env.getOrElse("SPARK_GRAFT_CONV_NODES", "2000000").toLong
     val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "11").toInt
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     // The N vs 4N pair runs with hardware HEADROOM (cpus/16 vs cpus/4
     // cores of a cpus-core box): saturating every hardware thread of one
     // box measures its shared memory-bandwidth/GC ceiling, not the
@@ -150,14 +150,18 @@ object Bench {
       highRuns += runLeg(highCores, cpus, pairPath, "fixed", scaleIters.toString)
     }
     val (lows, highs) = (lowRuns.result(), highRuns.result())
-    // Headline throughput: steady state at FULL parallelism.
-    val full = runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString)
+    // Headline throughput: steady state at FULL parallelism — also
+    // min-of-repeats (full-saturation legs measured 3.8–7.2 s/iter
+    // run-to-run on a shared box).
+    val fulls = Vector.fill(math.min(repeats, 2))(
+      runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString))
+    val full = fulls.minBy(_.secPerIter)
     val nEdges = lows.head.edges
     val secIterLow = lows.map(_.secPerIter).min
     val secIterHigh = highs.map(_.secPerIter).min
     val secIterFull = full.secPerIter
     val (totLow, totHigh, totFull) =
-      (lows.map(_.totalSec).sum, highs.map(_.totalSec).sum, full.totalSec)
+      (lows.map(_.totalSec).sum, highs.map(_.totalSec).sum, fulls.map(_.totalSec).sum)
     val epsLow = nEdges / secIterLow
     val epsHigh = nEdges / secIterHigh
     val epsFull = full.edges / secIterFull

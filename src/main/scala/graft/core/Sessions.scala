@@ -25,11 +25,13 @@ object Sessions {
   /** Apply the engine defaults shared by Verify/Bench/Smoke sessions. */
   def tuned(b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder =
     b.config("spark.local.dir", scratchDir)
+      // graft's native expressions as SQL functions (hll_*, vec_*)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Shuffle files of superseded superstep RDDs are only deleted when
       // the RDD objects are GC'd; the default 30-min periodic GC lets
       // them pile up in tmpfs on long iterative runs.
       .config("spark.cleaner.periodicGC.interval", "60s")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.join.preferSortMergeJoin", "false") // per-superstep SMJ re-sorts measured 3.5x slower than SHJ
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

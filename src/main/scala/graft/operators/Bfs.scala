@@ -25,8 +25,16 @@ object Bfs {
 
   /** (id, dist, pred) for every vertex REACHED from `roots`; unreached
     * vertices are absent. Roots have dist 0 and pred = themselves.
+    *
+    * `allowed`: optional (id) membership Dataset — the visit expands only
+    * into listed vertices, the Dataset form of the reference's filtered
+    * visits (`breadth_first/mod.rs:68-76` FilterArgsPred; used there to
+    * confine a BFS to one SCC, `computer.rs:780-793`). Catalyst pushes
+    * the semi-join below the gather. `maxDepth` is the early-termination
+    * analogue of `ControlFlow::Break` (`visits/mod.rs:110-135`).
     */
-  def run(graph: Graph, roots: Seq[Long], maxDepth: Int = Int.MaxValue): DataFrame = {
+  def run(graph: Graph, roots: Seq[Long], maxDepth: Int = Int.MaxValue,
+          allowed: Option[DataFrame] = None): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
 
@@ -44,9 +52,11 @@ object Bfs {
 
     while (frontierSize > 0 && depth < maxDepth) {
       depth += 1
-      val discovered = adj
+      var expanded = adj
         .join(frontier.select($"id".as("src"), $"pred"), Seq("src"))
         .select(explode($"dsts").as("id"), $"src".as("predCand"))
+      allowed.foreach(a => expanded = expanded.join(a.select($"id"), Seq("id"), "left_semi"))
+      val discovered = expanded
         .join(visited.select($"id"), Seq("id"), "left_anti")
         .groupBy($"id")
         .agg(min($"predCand").as("pred"))

@@ -108,6 +108,9 @@ class HyperBallSpec extends AnyFunSuite {
     // vertex 0 reaches {0×100 seeds, 1×1, 2×0} ≈ 101 distinct elements
     assert(math.abs(reach(0L) - 101) / 101 < 0.15)
     assert(math.abs(reach(1L) - 1.0) < 0.2) // own seed + empty successor
+    // NF(0) = Σ initial estimates ≈ 100 + 1 + 0 — NOT the vertex count 3
+    // (the round-1 literal-n bug also skewed the relInc early stop)
+    assert(math.abs(res.neighbourhoodFunction.head - 101.0) / 101.0 < 0.15)
   }
 
   test("discounted centrality: f(t)=1/t reproduces harmonic; f(t)=1 reproduces reachable-1") {

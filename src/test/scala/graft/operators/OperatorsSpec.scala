@@ -187,4 +187,21 @@ class BfsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == SeqOracles.bfs(edges, Seq(0L)))
   }
+
+  test("filtered visit: expansion confined to an allowed set (FilterArgsPred analogue)") {
+    import spark.implicits._
+    val allowed = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val got = Bfs.run(Graph.fromPairs(spark, Fixtures.bucket9), Seq(2L), allowed = Some(allowed))
+      .select("id", "dist")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 2→{1,3,4,5} but 5 is filtered; 0 only via 1
+    assert(got == Map(2L -> 0, 1L -> 1, 3L -> 1, 4L -> 1, 0L -> 2))
+  }
+
+  test("maxDepth truncates the visit (ControlFlow::Break analogue)") {
+    val got = Bfs.run(Graph.fromPairs(spark, Fixtures.bucket9), Seq(2L), maxDepth = 1)
+      .select("id", "dist")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(2L -> 0, 1L -> 1, 3L -> 1, 4L -> 1, 5L -> 1))
+  }
 }

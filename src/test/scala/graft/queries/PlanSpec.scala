@@ -76,6 +76,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_*/vec_* are SQL-registered via SparkSessionExtensions") {
+    val est = spark.sql(
+      "SELECT hll_count(hll_merge2(hll_init(1L), hll_init(2L))) AS c").head().getDouble(0)
+    import graft.functions.HllLogic
+    val want = HllLogic.count(HllLogic.merge(HllLogic.init(1L, 6), HllLogic.init(2L, 6)))
+    assert(math.abs(est - want) < 1e-12)
+    val d = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
     val plan = g.adjacency.queryExecution.executedPlan.toString
