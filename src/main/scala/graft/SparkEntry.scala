@@ -76,6 +76,7 @@ object SparkEntry {
     "g_reach" -> GraphQueries.reachSql,
     "g_radius_diameter" -> GraphQueries.radiusDiameterSql,
     "g_topo_layers" -> GraphQueries.topoLayersSql,
+    "g_hyperball" -> GraphQueries.hyperballSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,

@@ -343,12 +343,100 @@ object GraphQueries {
        |)
        |SELECT id, max(d) AS layer FROM lp GROUP BY id""".stripMargin
 
-  /** HyperBall (no portable oracle — estimator hash; spec-verified
-    * bit-identical to the sequential oracle + vs exact counts).
-    */
   def hyperball(spark: SparkSession, dir: String): DataFrame =
     HyperBall.run(graph(spark, dir), log2m = 6)
       .stats.drop("regs")
+
+  /** Full DuckDB oracle for HyperBall (round 2 — no_oracle before).
+    *
+    * No iteration is simulated: register-max merge is idempotent/
+    * commutative/associative, so the sketch of v after t rounds is
+    * EXACTLY the register-max over {u : d(v,u) ≤ t} — every per-radius
+    * sketch falls out of the distance closure in closed form, and the
+    * per-iteration count deltas give Σd / Σ1/d like the engine's
+    * accumulators. The estimator hash (splitmix64, seed 42) is computed
+    * in SQL: wrapping 64-bit multiply via 32-bit limbs in HUGEINT
+    * (INT128 overflows on a full 64×64 product; DuckDB errors on
+    * overflow rather than wrapping), ρ via log2 of the isolated lowest
+    * set bit (exact — powers of two are exact doubles). Float tails
+    * (register-sum order) differ at ~1 ulp; the driver compares with
+    * rtol 1e-9.
+    */
+  val hyperballSql: String = {
+    val U = "18446744073709551616" // 2^64
+    // seed*C1 mod 2^64 precomputed (the 64-bit literal product would
+    // overflow BIGINT); C2/C3 as unsigned decimal literals.
+    val seedC1 = "17661420568835545970"
+    val c2 = "13787848793156543929"
+    val c3 = "10723151780598845931"
+    def wmul(z: String, c: String) =
+      s"""(($z % 4294967296) * ($c % 4294967296)
+         | + (((($z % 4294967296) * ($c // 4294967296)
+         |     + ($z // 4294967296) * ($c % 4294967296)) % 4294967296) * 4294967296)
+         |) % $U""".stripMargin
+    s"""WITH RECURSIVE $edgesSql,
+       |walk(src, id, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 15
+       |),
+       |dist AS (SELECT src, id, min(d) AS dist FROM walk GROUP BY src, id),
+       |maxt AS (SELECT max(dist) AS mt FROM dist),
+       |hz0 AS (
+       |  SELECT id,
+       |    (CASE WHEN id < 0 THEN CAST(id AS HUGEINT) + $U ELSE CAST(id AS HUGEINT) END
+       |     + $seedC1) % $U AS z
+       |  FROM nodes
+       |),
+       |hz1 AS (SELECT id, ${wmul("xor(z, z >> 30)", c2)} AS z FROM hz0),
+       |hz2 AS (SELECT id, ${wmul("xor(z, z >> 27)", c3)} AS z FROM hz1),
+       |hv AS (SELECT id, xor(z, z >> 31) AS h FROM hz2),
+       |reg AS (
+       |  SELECT id, CAST(h % 64 AS BIGINT) AS j,
+       |         CAST(log2(CAST(((h >> 6) | 288230376151711744) &
+       |              ($U - ((h >> 6) | 288230376151711744)) AS DOUBLE)) AS BIGINT) + 1 AS rho
+       |  FROM hv
+       |),
+       |ball AS (
+       |  SELECT d.src AS v, t.t, r.j, max(r.rho) AS rho
+       |  FROM dist d
+       |  JOIN reg r ON r.id = d.id
+       |  CROSS JOIN (SELECT unnest(range(0, (SELECT mt + 1 FROM maxt))) AS t) t
+       |  WHERE d.dist <= t.t
+       |  GROUP BY d.src, t.t, r.j
+       |),
+       |est AS (
+       |  SELECT v, t, count(*) AS present, sum(power(2.0, -rho)) AS invp
+       |  FROM ball GROUP BY v, t
+       |),
+       |cnt AS (
+       |  SELECT v, t,
+       |         CASE WHEN (64 - present) > 0
+       |               AND (0.709 * 64 * 64 / (invp + (64 - present))) <= 160.0
+       |              THEN 64 * ln(64.0 / (64 - present))
+       |              ELSE 0.709 * 64 * 64 / (invp + (64 - present)) END AS c
+       |  FROM est
+       |),
+       |delta AS (
+       |  SELECT c1.v, c1.t, c1.c - c0.c AS dc
+       |  FROM cnt c1 JOIN cnt c0 ON c0.v = c1.v AND c0.t = c1.t - 1
+       |),
+       |acc AS (
+       |  SELECT v, sum(dc * t) AS sumDist, sum(dc / t) AS sumInvDist
+       |  FROM delta GROUP BY v
+       |),
+       |fin AS (
+       |  SELECT c.v AS id, c.c AS reachable, a.sumDist, a.sumInvDist
+       |  FROM cnt c JOIN maxt ON c.t = maxt.mt JOIN acc a ON a.v = c.v
+       |)
+       |SELECT id, reachable, sumDist, sumInvDist,
+       |       CASE WHEN sumDist > 0 THEN 1.0 / sumDist ELSE 0.0 END AS closeness,
+       |       sumInvDist AS harmonic,
+       |       CASE WHEN sumDist > 0 THEN reachable * reachable / sumDist ELSE 1.0 END AS lin,
+       |       reachable * reachable - sumDist AS nieminen,
+       |       0.0 AS discounted
+       |FROM fin""".stripMargin
+  }
 
   /** Label propagation, fixed sync iterations, deterministic tie-breaks. */
   def lp(iters: Int)(spark: SparkSession, dir: String): DataFrame =
