@@ -85,6 +85,14 @@ object SumSweep {
         * computed here when absent.
         */
       components: Option[DataFrame] = None,
+      /** Explicit radial set (id rows) — the reference's
+        * `radial_vertices` parameter (`computer.rs:140-149`); when None
+        * the set is computed as the vertices reaching the largest SCC.
+        * An EMPTY set leaves the radius unknown: Int.MaxValue, the
+        * reference's usize::MAX semantics
+        * (`test_exact_sum_sweep.rs:253-281`).
+        */
+      radialVertices: Option[DataFrame] = None,
       verbose: Boolean = false): Result = {
     val spark = graph.spark
     import spark.implicits._
@@ -104,10 +112,12 @@ object SumSweep {
     comps.count()
     // Largest SCC by (size desc, label asc); its label IS its min member
     // id, so the label doubles as the radial-BFS seed (computer.rs:495-544).
-    val largest = comps.groupBy($"comp").agg(count(lit(1)).as("sz"))
-      .orderBy($"sz".desc, $"comp".asc).limit(1).head().getLong(0)
-    val radialDf = Bfs.tagged(tAdj, Seq((0L, largest)).toDF("tag", "id"))
-      .select($"id").persist()
+    val radialDf = radialVertices.getOrElse {
+      val largest = comps.groupBy($"comp").agg(count(lit(1)).as("sz"))
+        .orderBy($"sz".desc, $"comp".asc).limit(1).head().getLong(0)
+      Bfs.tagged(tAdj, Seq((0L, largest)).toDF("tag", "id"))
+        .select($"id")
+    }.persist()
     radialDf.count()
 
     val maxOutVertex = graph.outDegrees

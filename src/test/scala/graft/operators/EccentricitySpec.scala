@@ -108,6 +108,27 @@ class EccentricitySpec extends AnyFunSuite {
     }
   }
 
+  test("explicit EMPTY radial set: radius stays unknown (usize::MAX analogue; test_exact_sum_sweep.rs:253-281)") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("id")
+    val r = SumSweep.compute(Graph.fromPairs(spark, Fixtures.lozenge),
+      SumSweep.Output.RadiusDiameter, radialVertices = Some(empty))
+    assert(r.radius == Int.MaxValue && r.radiusVertex == -1L)
+    assert(r.diameter == 2) // lozenge: max ecc (0/1 reach everything in ≤2)
+  }
+
+  test("scalar output levels certify exactly their scalar (Radius / Diameter)") {
+    val edges = Fixtures.erdosRenyi(60, 0.05, 3)
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val allEcc = verts.map(v => v -> SeqOracles.bfs(edges, Seq(v)).values.max).toMap
+    val comp = Scc.tarjanMap(edges)
+    val largest = comp.groupBy(_._2).maxBy(_._2.size)._2.keySet
+    val radial = verts.filter(v => SeqOracles.bfs(edges, Seq(v)).keySet.exists(largest))
+    val g = Graph.fromPairs(spark, edges)
+    assert(SumSweep.compute(g, SumSweep.Output.Radius).radius == radial.map(allEcc).min)
+    assert(SumSweep.compute(g, SumSweep.Output.Diameter).diameter == allEcc.values.max)
+  }
+
   test("effective diameter interpolation on an exact NF") {
     val nf = SeqHyperBall.exactNf(Fixtures.cycle4) // 4, 8, 12, 16
     assert(Eccentricity.effectiveDiameter(nf, 1.0) == 3.0)

@@ -59,6 +59,49 @@ class TopoSortSpec extends AnyFunSuite {
   }
 }
 
+/** Driver-exact DFS visit: EXACT order parity with the reference's DFS
+  * goldens (the distributed analogues assert validity only — DFS order
+  * is procedure-specific).
+  */
+class DfsSpec extends AnyFunSuite {
+
+  test("top_sort exact orders (test_depth_first.rs:18-36)") {
+    assert(Dfs.topSortLocal(Seq((1L, 2L), (0L, 1L))) == Seq(0L, 1L, 2L))
+    assert(Dfs.topSortLocal(Seq((0L, 1L), (1L, 2L), (2L, 0L))) == Seq(0L, 1L, 2L))
+    assert(Dfs.topSortLocal(Seq((0L, 1L), (0L, 2L), (2L, 3L), (1L, 3L))) == Seq(0L, 2L, 1L, 3L))
+  }
+
+  test("acyclicity via on-stack revisit break (test_depth_first.rs:38-54)") {
+    assert(Dfs.isAcyclicLocal(Seq((1L, 2L), (0L, 1L))))
+    assert(!Dfs.isAcyclicLocal(Seq((0L, 1L), (1L, 2L), (2L, 0L))))
+    assert(Dfs.isAcyclicLocal(Seq((0L, 1L), (0L, 2L), (2L, 3L), (1L, 3L))))
+    // forward/cross arcs are NOT cycles (on_stack=false revisits)
+    assert(Dfs.isAcyclicLocal(Seq((0L, 1L), (0L, 2L), (1L, 2L))))
+  }
+
+  test("previsit depth equals path position on a chain (test_depth_first.rs:56-70)") {
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    Dfs.visit(chain, Seq(0L), {
+      case Dfs.Previsit(node, _, _, depth) => assert(node == depth); true
+      case _ => true
+    })
+  }
+
+  test("event stream is a valid DFS narrative (pre/post nest, preds are tree arcs)") {
+    val edges = graft.Fixtures.bucket9
+    val open = scala.collection.mutable.Set[Long]()
+    var events = 0
+    Dfs.visit(edges, Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L), {
+      case Dfs.Previsit(node, pred, root, depth) =>
+        assert(depth == 0 || open.contains(pred)); open += node; events += 1; true
+      case Dfs.Postvisit(node, _, _, _) =>
+        assert(open.contains(node)); open -= node; events += 1; true
+      case _ => events += 1; true
+    })
+    assert(open.isEmpty && events > 0)
+  }
+}
+
 class GraphChecksSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
