@@ -71,10 +71,35 @@ object HllLogic extends Serializable {
     r
   }
 
-  /** Register-wise max, into a fresh array. */
+  private val LONG_VIEW = java.lang.invoke.MethodHandles
+    .byteArrayViewVarHandle(classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+  private final val HIGH = 0x8080808080808080L
+  private final val LOW = 0x0101010101010101L
+
+  /** Register-wise max, into a fresh array.
+    *
+    * Word-parallel (SWAR) over 8 registers per long — the same published
+    * branch-free trick as the reference's carry-propagation merge
+    * (`hyper_log_log_logic.rs:469-576`), specialized to byte-wide
+    * registers: values are ρ ≤ 64−log2m+1 < 128, so the high guard bit
+    * of each byte lane absorbs the subtraction borrow and
+    * `(a|H) − b` leaves lane-wise a≥b flags in the guard bits; the flags
+    * expand to 0x00/0xFF select masks without cross-lane carries.
+    * Register counts are powers of two ≥ 16, so the array is always a
+    * whole number of longs (byte tail kept for safety).
+    */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](a.length)
+    val n8 = a.length & ~7
     var i = 0
+    while (i < n8) {
+      val la = LONG_VIEW.get(a, i).asInstanceOf[Long]
+      val lb = LONG_VIEW.get(b, i).asInstanceOf[Long]
+      val ge = ((la | HIGH) - lb) >>> 7 & LOW // 1 per lane where a >= b
+      val mask = (ge << 8) - ge               // 0xFF per selected lane
+      LONG_VIEW.set(out, i, lb ^ ((la ^ lb) & mask))
+      i += 8
+    }
     while (i < a.length) {
       out(i) = if (a(i) >= b(i)) a(i) else b(i)
       i += 1

@@ -177,6 +177,18 @@ class HllLogicSpec extends AnyFunSuite {
     }
   }
 
+  test("word-parallel (SWAR) merge == scalar register-wise max (hyper_log_log_logic.rs:469-576)") {
+    val rnd = new scala.util.Random(13)
+    for (len <- Seq(16, 64, 4096, 23)) { // 23 exercises the byte tail
+      for (_ <- 1 to 50) {
+        val a = Array.fill(len)(rnd.nextInt(62).toByte) // ρ range
+        val b = Array.fill(len)(rnd.nextInt(62).toByte)
+        val want = a.zip(b).map { case (x, y) => if (x >= y) x else y }
+        assert(java.util.Arrays.equals(HllLogic.merge(a, b), want), s"len=$len")
+      }
+    }
+  }
+
   test("count is deterministic and add is idempotent") {
     val a = HllLogic.init(5L, 8)
     val before = HllLogic.count(a)
