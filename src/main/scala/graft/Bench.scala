@@ -153,7 +153,7 @@ object Bench {
     // Headline throughput: steady state at FULL parallelism — also
     // min-of-repeats (full-saturation legs measured 3.8–7.2 s/iter
     // run-to-run on a shared box).
-    val fulls = Vector.fill(math.min(repeats, 2))(
+    val fulls = Vector.fill(math.max(math.min(repeats, 2), 1))(
       runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString))
     val full = fulls.minBy(_.secPerIter)
     val nEdges = lows.head.edges

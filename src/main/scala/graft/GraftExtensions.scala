@@ -30,7 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case None => dflt
           case other => throw new IllegalArgumentException(s"hll_init: literal expected, got $other")
         }
-        HllExpressions.HllInitExpr(args.head, intArg(1, 6L).toInt, intArg(2, 42L))
+        // SQL integer literals are IntegerType; the kernel hashes a Long —
+        // cast so interpreted eval and codegen agree (a bare int CCEs on
+        // the interpreted path, silently widens under codegen).
+        val id = org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.LongType)
+        HllExpressions.HllInitExpr(id, intArg(1, 6L).toInt, intArg(2, 42L))
       }))
     ext.injectFunction((FunctionIdentifier("hll_merge2"), info("hll_merge2"),
       (args: Seq[Expression]) => HllExpressions.HllMerge2Expr(args(0), args(1))))

@@ -49,13 +49,17 @@ object Eccentricity {
   def fromEcc(ecc: DataFrame, radial: DataFrame): RadiusDiameterResult = {
     val spark = ecc.sparkSession
     import spark.implicits._
-    val e = ecc.persist()
+    // Only own the cache if the caller hasn't already persisted it —
+    // essShared hands in a deliberately long-lived MEMORY_AND_DISK frame
+    // shared across gate queries; evicting it here would force recompute.
+    val cachedHere = ecc.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val e = if (cachedHere) ecc.persist() else ecc
     val (diamV, diam) = e.orderBy($"ecc".desc, $"id".asc).limit(1).collect()
       .headOption.map(r => (r.getLong(0), r.getInt(1))).getOrElse((-1L, 0))
     val rad = e.join(radial.select($"id"), Seq("id"))
       .orderBy($"ecc".asc, $"id".asc).limit(1).collect()
     val (radV, radE) = rad.headOption.map(x => (x.getLong(0), x.getInt(1))).getOrElse((-1L, 0))
-    e.unpersist()
+    if (cachedHere) e.unpersist()
     RadiusDiameterResult(radE, radV, diam, diamV)
   }
 

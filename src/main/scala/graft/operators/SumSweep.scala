@@ -323,7 +323,7 @@ object SumSweep {
         sum(when(incF, 1L).otherwise(0L)),
         sum(when(incB, 1L).otherwise(0L)),
         max(when(!incF, struct($"fLow", -$"id"))),
-        max(when(!incB, $"bLow")),
+        max(when(!incB, struct($"bLow", -$"id"))),
         min(when($"radial" && !incF, struct($"fLow", $"id")))).head()
       // diameter/radius candidates from closed vertices (see scaladoc (b))
       if (!row.isNullAt(5)) {
@@ -333,7 +333,16 @@ object SumSweep {
           diameterLow = e; diameterVertex = v
         }
       }
-      if (!row.isNullAt(6) && row.getInt(6) > diameterLow) diameterLow = row.getInt(6)
+      // Backward eccentricities bound the diameter too (D = max eccF =
+      // max eccB); when this path wins, the witness attains the diameter
+      // as its BACKWARD eccentricity — same contract as the forward case.
+      if (!row.isNullAt(6)) {
+        val s = row.getStruct(6)
+        val (e, v) = (s.getInt(0), -s.getLong(1))
+        if (e > diameterLow || (e == diameterLow && diameterVertex == -1L)) {
+          diameterLow = e; diameterVertex = v
+        }
+      }
       if (!row.isNullAt(7)) {
         val s = row.getStruct(7)
         val (e, v) = (s.getInt(0), s.getLong(1))

@@ -96,10 +96,11 @@ object TopoSort {
     // per-layer Spark jobs.
     if (remainingCount > 0 && progressing && remainingCount <= localFinishVertices) {
       val ids = state.select($"id").collect().map(_.getLong(0)).toSet
+      // Self-loops are KEPT (same as the distributed peel): a (v,v) edge
+      // pins indeg(v) ≥ 1 forever, so v is correctly reported cyclic.
       val localEdges = graph.edges.toDF()
         .join(state.select($"id".as("src")), Seq("src"), "left_semi")
         .join(state.select($"id".as("dst")), Seq("dst"), "left_semi")
-        .filter($"src" =!= $"dst")
         .select($"src", $"dst")
         .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
       val indeg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)

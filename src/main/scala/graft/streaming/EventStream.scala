@@ -125,7 +125,13 @@ object EventStream {
     */
   private def sessionStep(gapMs: Long)(
       user: Long, it: Iterator[SessEvent], state: GroupState[List[SessState]]): Iterator[Session] = {
-    val gapUs = gapMs * 1000L
+    val gapSec = gapMs / 1000L
+    // Gap comparisons happen at SECOND precision — the batch sessionize
+    // compares `unix_timestamp` (floor-seconds) diffs, and stream == batch
+    // must hold for sub-second timestamps at the gap boundary too.
+    // Session bounds keep full micros; floor is monotone, so the
+    // interval-merge argument is unchanged.
+    def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
     var sessions = state.getOption.getOrElse(Nil)
     if (!state.hasTimedOut) {
       it.foreach { e =>
@@ -133,7 +139,7 @@ object EventStream {
         // Intervals stay pairwise > gap apart, so an event can bridge at
         // most the ones within gap of it — merge them all into one.
         val (mergeable, rest) = sessions.partition(s =>
-          t >= s.start - gapUs && t <= s.end + gapUs)
+          sec(t) >= sec(s.start) - gapSec && sec(t) <= sec(s.end) + gapSec)
         val merged = mergeable.foldLeft(SessState(t, t, 1L, e.value)) { (a, s) =>
           SessState(math.min(a.start, s.start), math.max(a.end, s.end),
             a.n + s.n, a.sum + s.sum)
@@ -143,13 +149,16 @@ object EventStream {
     }
     val wm = state.getCurrentWatermarkMs() // millis; arriving events have ts ≥ wm
     // No event with ts < wm can arrive ⇒ a session is final once even an
-    // event AT the watermark could not extend it.
-    val (closed, open) = sessions.partition(_.end + gapUs < wm * 1000L)
+    // event AT the watermark could not extend it (in floor-seconds).
+    val (closed, open) = sessions.partition(s =>
+      sec(s.end) + gapSec < Math.floorDiv(wm, 1000L))
     if (open.isEmpty) state.remove()
     else {
       state.update(open)
+      // Earliest instant the seal condition can flip: watermark reaching
+      // the first millisecond of second sec(end)+gap+1.
       state.setTimeoutTimestamp(
-        math.max(Math.floorDiv(open.map(_.end).min, 1000L) + gapMs + 1, wm + 1))
+        math.max((sec(open.map(_.end).min) + gapSec + 1) * 1000L, wm + 1))
     }
     closed.sortBy(_.start).iterator.map(s =>
       Session(user, toTimestamp(s.start), toTimestamp(s.end),

@@ -125,8 +125,29 @@ class EccentricitySpec extends AnyFunSuite {
     val largest = comp.groupBy(_._2).maxBy(_._2.size)._2.keySet
     val radial = verts.filter(v => SeqOracles.bfs(edges, Seq(v)).keySet.exists(largest))
     val g = Graph.fromPairs(spark, edges)
-    assert(SumSweep.compute(g, SumSweep.Output.Radius).radius == radial.map(allEcc).min)
-    assert(SumSweep.compute(g, SumSweep.Output.Diameter).diameter == allEcc.values.max)
+    val rRes = SumSweep.compute(g, SumSweep.Output.Radius)
+    assert(rRes.radius == radial.map(allEcc).min)
+    assert(allEcc(rRes.radiusVertex) == rRes.radius, "radius witness must attain the radius")
+    val dRes = SumSweep.compute(g, SumSweep.Output.Diameter)
+    assert(dRes.diameter == allEcc.values.max)
+    // the witness must ATTAIN the diameter — as its forward ecc (forward
+    // closure path) or backward ecc (the D = max eccB path); a vertex
+    // whose ecc is merely a stale earlier candidate is an invalid witness
+    val w = dRes.diameterVertex
+    val eccBw = SeqOracles.bfs(edges.map(_.swap), Seq(w)).values.max
+    assert(allEcc(w) == dRes.diameter || eccBw == dRes.diameter,
+      s"diameter witness $w: eccF=${allEcc(w)} eccB=$eccBw diameter=${dRes.diameter}")
+  }
+
+  test("fromEcc does not evict a caller-persisted ecc frame (essShared reuse)") {
+    val g = Graph.fromPairs(spark, Fixtures.cycle4)
+    val r = SumSweep.compute(g, SumSweep.Output.AllForward)
+    val cached = r.ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    Eccentricity.fromEcc(cached, r.radial)
+    assert(cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "fromEcc must not unpersist a frame it didn't cache")
+    cached.unpersist()
   }
 
   test("effective diameter interpolation on an exact NF") {

@@ -46,7 +46,8 @@ class TopoSortSpec extends AnyFunSuite {
     for (edges <- Seq(
       Fixtures.dag4,
       Fixtures.erdosRenyi(40, 0.1, 7).filter { case (u, v) => u < v },
-      Seq((0L, 1L), (1L, 2L), (2L, 1L), (0L, 3L)))) { // partial cycle
+      Seq((0L, 1L), (1L, 2L), (2L, 1L), (0L, 3L)), // partial cycle
+      Seq((0L, 1L), (1L, 1L), (0L, 2L)))) { // self-loop must stay cyclic in BOTH paths
       val g1 = TopoSort.run(Graph.fromPairs(spark, edges))
       val g2 = TopoSort.run(Graph.fromPairs(spark, edges), localFinishVertices = 1000000)
       // mid-run switch: a few distributed rounds, then driver finish

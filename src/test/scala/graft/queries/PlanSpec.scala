@@ -86,6 +86,20 @@ class PlanSpec extends AnyFunSuite {
       "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
       .head().getDouble(0)
     assert(d == 11.0)
+    // array<double> literals (the natural SQL spelling) dispatch to the
+    // double kernel — getFloat over 8-byte slots would silently return
+    // garbage; and plain-int hll_init ids are cast, not CCE'd.
+    val dd = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(dd == 11.0)
+    val nd = spark.sql("SELECT vec_norm(array(3.0D, 4.0D)) AS n").head().getDouble(0)
+    assert(nd == 5.0)
+    val estInt = spark.sql(
+      "SELECT hll_count(hll_merge2(hll_init(1), hll_init(2))) AS c").head().getDouble(0)
+    assert(math.abs(estInt - want) < 1e-12)
+    // unsupported element types fail ANALYSIS, not silently compute
+    val err = intercept[Exception](spark.sql("SELECT vec_norm(array(1, 2))").collect())
+    assert(err.getMessage.contains("vec_norm"), err.getMessage)
   }
 
   test("adjacency build is one exchange + in-partition sort (no object agg)") {

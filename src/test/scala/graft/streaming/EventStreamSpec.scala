@@ -107,4 +107,58 @@ class EventStreamSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     }
   }
+
+  test("sessionization gap boundary at SUB-second precision: stream == batch") {
+    import spark.implicits._
+    // batch compares unix_timestamp (floor-seconds) diffs; the stream must
+    // use the same precision or events ~gap apart split differently.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-subsec")
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 10:00:00").getTime
+    def ts(offMs: Long) = new java.sql.Timestamp(t0 + offMs)
+    Seq(
+      // 1800.4 s apart but floor-second diff = 1800 (not > gap) → ONE session
+      (1L, ts(100), 1.0), (1L, ts(1800500), 2.0),
+      // floor-second diff 1801 > 1800 → split
+      (2L, ts(100), 3.0), (2L, ts(1801500), 4.0))
+      .toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+
+    val events = spark.read.parquet(srcDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def key(r: org.apache.spark.sql.Row, o: Int) =
+      (r.getLong(0), r.get(o).toString, r.get(o + 1).toString) ->
+        (r.getLong(o + 2), r.getDouble(o + 3))
+    val batch = EventStream.sessionize(events, gapMinutes = 30)
+      .collect().map(key(_, 2)).toMap
+    assert(batch.keys.count(_._1 == 1L) == 1, s"user 1 must be ONE session: $batch")
+    assert(batch.keys.count(_._1 == 2L) == 2, s"user 2 must split: $batch")
+
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val drain = EventStream.startDrain(
+      EventStream.sessionizeStream(stream, gapMinutes = 30).toDF(), "sess_subsec",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    drain.drain()
+    def sentinel(name: String, t: java.sql.Timestamp): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-subsec-sent")
+      Seq((-1L, t, -1.0)).toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
+      val listing = java.nio.file.Files.list(tmp.resolve("d"))
+      try {
+        val it = listing.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.copy(
+            f, java.nio.file.Paths.get(s"$srcDir/$name.parquet")))
+      } finally listing.close()
+    }
+    val far = new java.sql.Timestamp(t0 + 365L * 24 * 3600 * 1000)
+    sentinel("sent1", far); drain.drain()
+    sentinel("sent2", new java.sql.Timestamp(far.getTime + 3600_000L))
+    val streamed = drain.stop()
+      .filter(col("user_id") =!= -1L)
+      .collect().map(key(_, 1)).toMap
+    assert(streamed == batch)
+  }
 }
