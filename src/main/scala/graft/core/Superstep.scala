@@ -115,9 +115,18 @@ final class IterationContext(
       TableIO.commit(st, c.dir, iteration, m)
       if (iteration % durableCutEvery == 0) {
         // Swap in the durable snapshot as the live state: reliable
-        // lineage root + frees the in-process copy.
+        // lineage root + frees the in-process copy. The commit above
+        // fully materialized the snapshot, so the in-process checkpoint
+        // blocks of `next` can be dropped NOW — it is about to become
+        // neither `prev` nor the live state, and unreleased it would
+        // leak one full state's blocks per swap (the adjacency-eviction
+        // trap this class exists to prevent).
         st = TableIO.latest(st.sparkSession, c.dir).get._2
           .persist(StorageLevel.MEMORY_AND_DISK)
+        if (next ne st) {
+          next.unpersist()
+          releaseCheckpointBlocks(next)
+        }
       }
     }
     prev.filter(_ ne st).foreach { p =>

@@ -82,12 +82,25 @@ object HyperBall {
         graph.vertices.toDF("id")
           .select($"id", Hll.hllInit(log2m, seed)($"id").as("regs"))
       case Some(w) =>
+        // Seeded element = (id << shift) + slot must be INJECTIVE over
+        // (id, slot): a fixed 2^20 slot space silently aliases vertex
+        // id's elements with vertex id+1's once any weight ≥ 2^20
+        // (undercounting every union). Size the slot field to the actual
+        // max weight (one agg over the small weights table) and verify
+        // the id field still fits.
+        val wCast = w.select(col("id"), col("weight").cast("long").as("weight"))
+        val maxW = Option(wCast.agg(max($"weight")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(1L)
+        val shift = math.max(20, 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxW - 1, 1)))
+        require(shift <= 62 && n <= (1L << (62 - shift)),
+          s"weighted init: maxWeight=$maxW needs $shift slot bits; " +
+            s"$n vertices no longer fit the id field without aliasing")
         val seeded = graph.vertices.toDF("id")
-          .join(w.select(col("id"), col("weight").cast("int").as("weight")), Seq("id"), "left")
+          .join(wCast.select(col("id"), col("weight").cast("int").as("weight")), Seq("id"), "left")
           .select($"id", coalesce($"weight", lit(1)).as("weight"))
           .filter($"weight" > 0)
           .select($"id", explode(sequence(lit(0), $"weight" - 1)).as("slot"))
-          .select($"id", Hll.hllInit(log2m, seed)(($"id" * 1048576L) + $"slot").as("r"))
+          .select($"id", Hll.hllInit(log2m, seed)(shiftleft($"id", shift) + $"slot").as("r"))
           .groupBy($"id").agg(Hll.hllMergeAgg($"r").as("regs"))
         // weight-0 vertices get an EMPTY counter (reference semantics)
         graph.vertices.toDF("id")

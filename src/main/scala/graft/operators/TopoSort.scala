@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object TopoSort {
 
+  /** Rounds between layer-union compactions (plan depth bound). */
+  private val layerCompactEvery = 32
+
   final case class Result(
       /** (id, layer) for peeled vertices; vertices on cycles are ABSENT. */
       layers: DataFrame,
@@ -88,6 +91,19 @@ object TopoSort {
           .localCheckpoint(true)
         Lineage.release(state)
         state = next
+        // Compact the accumulated layer union every K rounds:
+        // Dataset.union re-analyzes the whole plan per call, so an
+        // unbounded chain is O(rounds²) driver work (and a StackOverflow
+        // on deep DAGs). The eager checkpoint collapses it to one leaf;
+        // the peel blocks it consumed can then be released — this
+        // round's `zero` included, since `next` is already materialized.
+        if ((round + 1) % layerCompactEvery == 0) {
+          val compact = layers.localCheckpoint(true)
+          peels.foreach(Lineage.release)
+          peels.clear()
+          peels += compact
+          layers = compact
+        }
         remainingCount -= peeled
         round += 1
       }

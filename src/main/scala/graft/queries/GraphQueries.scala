@@ -51,8 +51,27 @@ object GraphQueries {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
 
-  private def memoized[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T =
-    memo.computeIfAbsent((spark, key), _ => f).asInstanceOf[T]
+  /** NOT computeIfAbsent: the mapping functions nest (essShared →
+    * sccShared → graph), and nested computeIfAbsent on one CHM is
+    * spec-forbidden — it throws "Recursive update" whenever the two keys
+    * share a hash bin. get/putIfAbsent tolerates the nesting; queries run
+    * sequentially, so the lost-update race is benign (worst case one
+    * duplicate computation). Entries of stopped sessions are evicted so
+    * dead sessions and their persisted frames don't pin memory for the
+    * JVM lifetime.
+    */
+  private def memoized[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T = {
+    val it = memo.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val k = (spark, key)
+    val existing = memo.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = f
+      val prior = memo.putIfAbsent(k, v)
+      (if (prior != null) prior else v).asInstanceOf[T]
+    }
+  }
 
   def graph(spark: SparkSession, dir: String): Graph =
     memoized(spark, s"graph:$dir") { Graph.fromEdges(edgesDf(spark, dir)) }

@@ -40,8 +40,8 @@ object TextQueries {
        |SELECT doc_id,
        |       len(w) AS n_tokens,
        |       length(text) AS n_chars,
-       |       round(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE)))
-       |             / greatest(len(w), 1), 6) AS avg_token_len
+       |       coalesce(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))), 0.0)
+       |             / greatest(len(w), 1) AS avg_token_len
        |FROM toks""".stripMargin
 
   // --- quality -------------------------------------------------------
@@ -118,11 +118,10 @@ object TextQueries {
     Dedup.exact(docs(spark, dir))
 
   val exactDedupSql: String =
-    """SELECT d.doc_id, g.keeper, g.group_size
-      |FROM documents d JOIN (
-      |  SELECT text, min(doc_id) AS keeper, count(*) AS group_size
-      |  FROM documents GROUP BY text
-      |) g ON d.text = g.text""".stripMargin
+    """SELECT doc_id,
+      |       min(doc_id) OVER (PARTITION BY text) AS keeper,
+      |       count(*) OVER (PARTITION BY text) AS group_size
+      |FROM documents""".stripMargin
 
   // --- n-gram jaccard near-dup ---------------------------------------
 
@@ -245,7 +244,7 @@ object TextQueries {
     s"""WITH $simHashBodySql
        |SELECT doc_id, simhash FROM sim""".stripMargin
 
-  /** maxHamming = 3 — the selective web-scale setting (16-bit chunks).
+  /** maxHamming = 3 — the selective web-scale setting (15-bit chunks).
     * Dedup.simHashPairs derives its chunk count from maxHamming, so any
     * value is recall-complete; 3 keeps the banding buckets fine-grained.
     */

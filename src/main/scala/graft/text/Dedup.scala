@@ -25,15 +25,23 @@ object Dedup {
     * unlike a verify-join it costs zero extra text shuffles.
     */
   def exact(docs: DataFrame): DataFrame = {
+    // NULL-safe: null fingerprint keys would survive the groupBy (null is
+    // a group) but fall out of the null-UNSAFE equi-join back, silently
+    // dropping null-text docs from the output. Fingerprint over
+    // coalesce(text,'') and carry an is-null flag, so null texts form
+    // their own group (SQL GROUP BY semantics: nulls equal, distinct
+    // from '') and every doc_id appears exactly once.
+    val t = coalesce(col("text"), lit(""))
     val keyed = docs.select(
       col("doc_id"),
-      md5(col("text")).as("fp_md5"),
-      length(col("text")).as("fp_len"),
-      xxhash64(col("text")).as("fp_xx"))
+      md5(t).as("fp_md5"),
+      length(t).as("fp_len"),
+      xxhash64(t).as("fp_xx"),
+      col("text").isNull.as("fp_null"))
     val groups = keyed
-      .groupBy(col("fp_md5"), col("fp_len"), col("fp_xx"))
+      .groupBy(col("fp_md5"), col("fp_len"), col("fp_xx"), col("fp_null"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
-    keyed.join(groups, Seq("fp_md5", "fp_len", "fp_xx"))
+    keyed.join(groups, Seq("fp_md5", "fp_len", "fp_xx", "fp_null"))
       .select(col("doc_id"), col("keeper"), col("group_size"))
   }
 
@@ -156,23 +164,31 @@ object Dedup {
     * least one whole chunk (maxHamming bits cannot touch maxHamming+1
     * disjoint chunks). The chunk count is therefore DERIVED from
     * `maxHamming` — a fixed 4-chunk banding would silently drop pairs at
-    * Hamming ≥ 4 that differ in all four chunks. Chunks shrink as
-    * maxHamming grows (64/(h+1) bits each ⇒ coarser buckets, more
+    * Hamming ≥ 4 that differ in all four chunks.
+    *
+    * Banding runs over the EFFECTIVE 60 signature bits: [[simHash]]'s
+    * bits 60–63 are constant 0, so a chunk that fell wholly inside them
+    * would match every document against every other — a silent O(n²)
+    * cross join at exactly the chunk counts (maxHamming ≥ 14) where
+    * selectivity matters most. Differing bits only ever occur in 0–59,
+    * so the pigeonhole argument is unchanged. Chunks shrink as
+    * maxHamming grows (60/(h+1) bits each ⇒ coarser buckets, more
     * candidates); callers wanting web-scale selectivity should keep
-    * maxHamming ≤ 3 (16-bit chunks).
+    * maxHamming ≤ 3 (15-bit chunks).
     */
   def simHashPairs(docs: DataFrame, shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming=$maxHamming: need at least 2 bits per chunk over a 64-bit simhash")
+    val sigBits = 60 // simHash range: portable 60-bit hash, bits 60-63 = 0
+    require(maxHamming >= 0 && maxHamming < 30,
+      s"maxHamming=$maxHamming: need at least 2 bits per chunk over a $sigBits-bit simhash")
     val nChunks = maxHamming + 1
-    val bits = 64 / nChunks // floor; trailing remainder bits fold into no chunk
-    // Cover ALL 64 bits: the last chunk takes the remainder, so every
-    // differing bit lands in exactly one chunk (pigeonhole stays valid).
-    val mask = (w: Int) => if (w >= 64) -1L else (1L << w) - 1
+    val bits = sigBits / nChunks // floor; the last chunk takes the remainder
+    // Cover all 60 meaningful bits: every POSSIBLY-differing bit lands in
+    // exactly one chunk (pigeonhole stays valid).
+    val mask = (w: Int) => (1L << w) - 1
     val sigs = simHash(docs, shingleN).persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
-        val width = if (c == nChunks - 1) 64 - c * bits else bits
+        val width = if (c == nChunks - 1) sigBits - c * bits else bits
         shiftright(col("simhash"), c * bits).bitwiseAND(lit(mask(width)))
       }: _*)).as(Seq("chunk", "v")))
     chunked.as("x").join(chunked.as("y"), Seq("chunk", "v"))

@@ -48,9 +48,12 @@ object TextOps {
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
-      round(
-        aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), (a, x) => a + x)
-          / greatest(size(toks), lit(1)), 6).as("avg_token_len"))
+      // NOT rounded: both operands are exact integers in double, so the
+      // single IEEE division is bit-identical cross-engine — round(6)
+      // would reintroduce the dyadic-midpoint divergence (odd/128 ends in
+      // ...5 at digit 7: Spark HALF_UP vs DuckDB round disagree).
+      (aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), (a, x) => a + x)
+        / greatest(size(toks), lit(1))).as("avg_token_len"))
   }
 
   /** Sub-word-ish tokens: runs of letters, digits, or single punctuation —

@@ -42,6 +42,17 @@ class TopoSortSpec extends AnyFunSuite {
     dag.foreach { case (u, v) => assert(layer(u) < layer(v)) }
   }
 
+  test("deep path DAG (80 layers) exercises the layer-union compaction") {
+    // > layerCompactEvery rounds: the accumulated union is checkpointed
+    // mid-run; layering must survive the compaction intact.
+    val path = (0L until 79L).map(i => (i, i + 1))
+    val res = TopoSort.run(Graph.fromPairs(spark, path))
+    assert(res.acyclic && res.rounds >= 80)
+    val layer = res.layers.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(layer.size == 80)
+    (0L to 79L).foreach(v => assert(layer(v) == v.toInt, s"vertex $v"))
+  }
+
   test("driver-finish path (localFinishVertices) == pure distributed peel") {
     for (edges <- Seq(
       Fixtures.dag4,

@@ -88,6 +88,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == (2L, 1L) && got(5L) == (5L, 1L))
   }
 
+  test("exact dedup keeps NULL-text docs: one group, distinct from empty string") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("")), (5L, Some("a")))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"every doc_id must appear: $got")
+    assert(got(2L) == (2L, 2L) && got(3L) == (2L, 2L), "nulls group together")
+    assert(got(4L) == (4L, 1L), "empty string is its own group, not the null group")
+    assert(got(1L) == (1L, 2L) && got(5L) == (1L, 2L))
+  }
+
   test("ngramJaccard matches a brute-force oracle") {
     val got = Dedup.ngramJaccard(df(spark), n = 2, threshold = 0.05)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
