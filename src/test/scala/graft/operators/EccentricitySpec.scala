@@ -58,6 +58,20 @@ class EccentricitySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz differential: ecc == per-root BFS across topologies (incl. disconnected)") {
+    val graphs = Seq(
+      Fixtures.erdosRenyi(35, 0.04, 11), // sparse, fragmentary SCCs
+      Fixtures.erdosRenyi(30, 0.10, 12), // denser, near-flat ecc
+      Fixtures.erdosRenyi(20, 0.08, 13) ++ // two disjoint components
+        Fixtures.erdosRenyi(20, 0.08, 14).map { case (a, b) => (a + 100L, b + 100L) })
+    graphs.zipWithIndex.foreach { case (edges, i) =>
+      val got = eccMap(edges)
+      (edges.map(_._1) ++ edges.map(_._2)).distinct.foreach { v =>
+        assert(got(v) == SeqOracles.bfs(edges, Seq(v)).values.max, s"graph $i vertex $v")
+      }
+    }
+  }
+
   test("SumSweep certifies radius+diameter in FAR fewer BFS than 2n (bounded sweeps)") {
     // The reference's headline property (Borassi et al.): radius/diameter
     // certified with tens of BFS where the textbook needs n fwd + n bwd.
