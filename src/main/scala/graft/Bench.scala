@@ -116,6 +116,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // All output is machine-parsed JSON built with f"" (java.util.Formatter
+    // under the default locale): a comma-decimal locale would emit
+    // "value":12,34 — malformed JSON — and break the child-leg regex parse.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleNodes = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "8000000").toLong

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON line is regex-parsed by Bench
     val Array(coresS, partsS, edgesPath, mode, arg) = args
     val spark = graft.core.Sessions.tuned(SparkSession.builder()
       .master(s"local[$coresS]")

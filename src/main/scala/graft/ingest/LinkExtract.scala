@@ -21,11 +21,17 @@ object DenseIds {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Eager checkpoint, not persist: `keyed` is read twice (counts +
+    // final join) but must not outlive the call — a persist here had no
+    // release path and pinned one full key-set cache per ingest for the
+    // session lifetime. The result is checkpointed too, so releasing
+    // `keyed` leaves a self-contained map (callers re-persist if they
+    // want a longer-lived copy).
     val keyed = df.select(col(keyCol).as("key")).distinct()
       .repartitionByRange(parts, col("key"))
       .withColumn("pid", spark_partition_id())
       .withColumn("rn", row_number().over(Window.partitionBy("pid").orderBy("key")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val counts = keyed.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
@@ -35,6 +41,8 @@ object DenseIds {
       spark.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
     val out = keyed.join(offDf, Seq("pid"))
       .select(col("key").as(keyCol), (col("offset") + col("rn") - 1).as("id"))
+      .localCheckpoint(true)
+    graft.core.Lineage.release(keyed)
     out
   }
 }
@@ -75,9 +83,12 @@ object LinkExtract {
       .select(col("src"), col("dst"))
   }
 
-  /** Full ingest: pages → (vertexMap, edges). */
+  /** Full ingest: pages → (vertexMap, edges). The vertex map is already
+    * an eager checkpoint (see [[DenseIds.assign]]) — both resolve joins
+    * read its blocks without recompute, no extra persist needed.
+    */
   def ingest(pages: DataFrame): (DataFrame, DataFrame) = {
-    val vm = vertexMap(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    val vm = vertexMap(pages)
     (vm, edges(pages, vm))
   }
 }

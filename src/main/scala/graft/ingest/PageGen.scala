@@ -58,7 +58,9 @@ object PageGen {
     val mode = pmod(h(seed + 3, col("src"), col("i")), lit(10L))
     val host = (col("src") / 16).cast("long")
     val intraHost = least(host * 16 + pmod(h(seed + 4, col("src"), col("i")), lit(16L)), lit(n - 1))
-    val hubRange = math.max(16L, math.round(math.sqrt(n.toDouble)))
+    // clamped to n: for n < 16 the floor would emit dst ≥ n, inventing
+    // vertices and breaking the pages↔edges equivalence on tiny graphs
+    val hubRange = math.min(n, math.max(16L, math.round(math.sqrt(n.toDouble))))
     val hub = pmod(h(seed + 5, col("src"), col("i")), lit(hubRange))
     val uniform = pmod(h(seed + 6, col("src"), col("i")), lit(n))
     when(mode < 5, intraHost).when(mode < 7, hub).otherwise(uniform)

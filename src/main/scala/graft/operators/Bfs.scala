@@ -71,8 +71,13 @@ object Bfs {
         Lineage.release(visited)
         visited = newVisited
         frontier = discovered
+      } else {
+        Lineage.release(discovered) // terminal empty level
       }
     }
+    // the last non-empty frontier is dead once the loop exits (visited is
+    // its own checkpoint); at depth-0 exit frontier IS visited — keep it
+    if (frontier ne visited) Lineage.release(frontier)
     visited
   }
 
@@ -117,8 +122,11 @@ object Bfs {
         Lineage.release(visited)
         visited = newVisited
         frontier = discovered
+      } else {
+        Lineage.release(discovered) // terminal empty level
       }
     }
+    if (frontier ne visited) Lineage.release(frontier)
     visited
   }
 

@@ -137,8 +137,17 @@ object Scc {
       Lineage.release(trimmed)
 
       if (!remaining.isEmpty) {
-        // --- pivots: min id per partition
-        val pivots = remaining.groupBy($"part").agg(min($"id").as("pivot"))
+        // --- pivots: pseudo-random (hash-min) per partition. A
+        // deterministic min-id pivot degenerates on chain-shaped
+        // partitions (the head's F-set is the whole rest ⇒ one vertex
+        // peeled per round ⇒ O(n) rounds); a hash-random pivot splits a
+        // partition like a quicksort pivot ⇒ expected O(log n) rounds.
+        // Final labels don't depend on the choice (canonicalized to min
+        // member id below).
+        val pivots = remaining
+          .groupBy($"part")
+          .agg(min(struct(xxhash64($"id", lit(round)), $"id")).as("pk"))
+          .select($"part", $"pk.id".as("pivot"))
         val seeds = remaining.join(pivots, Seq("part"))
           .filter($"id" === $"pivot")
           .select($"id", $"part")
@@ -162,8 +171,13 @@ object Scc {
               if (visited ne seeds) { Lineage.release(frontier); Lineage.release(visited) }
               visited = newVisited
               frontier = next
+            } else {
+              Lineage.release(next) // terminal empty level
             }
           }
+          // the last non-empty frontier was never superseded — its blocks
+          // are dead once the loop exits (visited is its own checkpoint)
+          if (frontier ne seeds) Lineage.release(frontier)
           visited
         }
         val fwd = reach(e.select($"src", $"dst", $"part"))
@@ -203,10 +217,15 @@ object Scc {
       }
       Lineage.release(e)
     }
+    if (!active.isEmpty)
+      throw new IllegalStateException(
+        s"SCC did not converge in $maxRounds rounds: ${active.count()} vertices " +
+          "unassigned. Returning a partial labeling would silently corrupt every " +
+          "consumer (SumSweep joins would drop these vertices); raise maxRounds.")
     edges.unpersist()
-    // canonicalize comp labels to min member id (pivot is already the min
-    // id of its partition but not necessarily of the SCC after splits;
-    // trimmed singletons are their own id).
+    // canonicalize comp labels to min member id (the pivot label is a
+    // hash-random member, not necessarily the min; trimmed singletons are
+    // their own id).
     val byMin = result.groupBy($"comp").agg(min($"id").as("canon"))
     result.join(byMin, Seq("comp")).select($"id", $"canon".as("comp"))
   }

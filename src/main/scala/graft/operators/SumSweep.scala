@@ -108,7 +108,16 @@ object SumSweep {
     adj.count(); tAdj.count()
 
     // --- SCCs, radial set, degrees -----------------------------------
-    val comps = components.getOrElse(Scc.run(graph)).persist()
+    // Normalize the labeling to MIN MEMBER ids: the radial derivation
+    // below seeds a BFS at the largest-SCC LABEL, and the `components`
+    // contract is any (id, comp) assignment — an ordinal labeling (e.g.
+    // tarjanLocal's 0..k-1 pop order) would silently seed an unrelated
+    // vertex. For Scc.run output this is an already-canonical no-op.
+    val compsRaw = components.getOrElse(Scc.run(graph))
+    val comps = compsRaw
+      .join(compsRaw.groupBy($"comp").agg(min($"id").as("mn")), Seq("comp"))
+      .select($"id", $"mn".as("comp"))
+      .persist()
     comps.count()
     // Largest SCC by (size desc, label asc); its label IS its min member
     // id, so the label doubles as the radial-BFS seed (computer.rs:495-544).
@@ -271,7 +280,12 @@ object SumSweep {
       topo.reverseIterator.foreach { c =>
         children.getOrElse(c, Array.empty[(Long, Long, Int, Int)]).foreach {
           case (_, next, dF, dB) =>
-            eccF(c) = math.max(eccF(c), dF + 1 + dB + eccF(next))
+            // Long arithmetic, clamped at nInt: four Int terms can wrap
+            // 32-bit for n > 2^29, and a wrapped-negative term silently
+            // LOSES the max — an unsound (too small) upper bound. The
+            // true ecc is ≤ n−1, so clamping keeps the bound valid.
+            eccF(c) = math.max(eccF(c),
+              math.min(dF.toLong + 1L + dB + eccF(next), nInt.toLong).toInt)
         }
         eccF(c) = math.min(eccF(c), pivotBounds(c)._1)
       }
@@ -280,7 +294,8 @@ object SumSweep {
         children.getOrElse(c, Array.empty[(Long, Long, Int, Int)]).foreach {
           case (_, next, dF, dB) =>
             eccB(next) = math.min(
-              math.max(eccB(next), dF + 1 + dB + eccB(c)),
+              math.max(eccB(next),
+                math.min(dF.toLong + 1L + dB + eccB(c), nInt.toLong).toInt),
               pivotBounds(next)._2)
         }
       }
@@ -301,9 +316,14 @@ object SumSweep {
         .join(eccMap, Seq("comp"))
         .select($"id", $"comp", $"radial",
           when(incF, greatest($"fLow", $"dB")).otherwise($"fLow").as("fLow"),
-          least($"fHigh", $"dB" + $"pivotEccF").as("fHigh"),
+          // Long addition: dB + pivotEccF wraps Int at n > 2^30 and a
+          // wrapped-negative "upper bound" would poison least(); the
+          // result is ≤ fHigh ≤ n so the cast back to int is lossless.
+          least($"fHigh".cast("long"), $"dB".cast("long") + $"pivotEccF")
+            .cast("int").as("fHigh"),
           when(incB, greatest($"bLow", $"dF")).otherwise($"bLow").as("bLow"),
-          least($"bHigh", $"dF" + $"pivotEccB").as("bHigh"),
+          least($"bHigh".cast("long"), $"dF".cast("long") + $"pivotEccB")
+            .cast("int").as("bHigh"),
           $"fTot", $"bTot")
         .localCheckpoint(true)
       Lineage.release(b)

@@ -111,6 +111,24 @@ class EccentricitySpec extends AnyFunSuite {
     assert(rd.diameter == got.values.max)
   }
 
+  test("ORDINAL component labels (not min-member ids) are normalized at intake") {
+    import spark.implicits._
+    // tarjanLocal-style labeling: SCC ordinals 0..k-1 — NOT vertex ids.
+    // The radial derivation seeds a BFS at the largest-SCC label; an
+    // ordinal would silently seed an unrelated vertex.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (3L, 40L), (40L, 41L))
+    val t = Scc.tarjanMap(edges)
+    val ord = t.values.toSeq.distinct.sorted.zipWithIndex.toMap
+    val ordinal = t.toSeq.map { case (v, c) => (v, ord(c).toLong) }.toDF("id", "comp")
+    val g = Graph.fromPairs(spark, edges)
+    val r = SumSweep.compute(g, SumSweep.Output.All, components = Some(ordinal))
+    val allEcc = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      .map(v => v -> SeqOracles.bfs(edges, Seq(v)).values.max).toMap
+    assert(r.diameter == allEcc.values.max)
+    r.ecc.collect().foreach(row =>
+      assert(row.getInt(1) == allEcc(row.getLong(0)), s"vertex ${row.getLong(0)}"))
+  }
+
   test("Reachability via condensation matches the closure oracle") {
     for (edges <- Seq(Fixtures.bucket9, Fixtures.lozenge, Fixtures.erdosRenyi(50, 0.03, 9))) {
       val got = Reachability.counts(Graph.fromPairs(spark, edges))

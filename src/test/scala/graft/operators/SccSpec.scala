@@ -50,6 +50,19 @@ class SccSpec extends AnyFunSuite {
     }
   }
 
+  test("directed chain converges in O(log n) rounds (hash-random pivots), labels exact") {
+    // A path is all singleton SCCs; a min-id pivot policy peels the head
+    // each round with an F-reach over the ENTIRE rest — O(n) rounds and
+    // O(n²) total BFS levels, exhausting any sane round cap at web
+    // scale. Hash-random pivots split like quicksort: expected O(log n)
+    // rounds, O(n) total levels. 32 vertices keeps the wall-clock sane
+    // (levels are inherently sequential Spark jobs).
+    val edges = (0L until 31L).map(i => (i, i + 1))
+    val got = Scc.run(Graph.fromPairs(spark, edges), maxRounds = 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 32 && got.forall { case (v, c) => v == c })
+  }
+
   test("tarjanLocal DataFrame path + sort_by_size renumbering") {
     val df = Scc.tarjanLocal(Graph.fromPairs(spark, Fixtures.bucket9))
     val ranked = ConnectedComponents.sortBySize(df)
