@@ -137,7 +137,13 @@ object TableIO {
       .map(p => s"""{"partitionId":${p.partitionId},"rowCount":${p.rowCount},"checksum":${p.checksum}}""")
       .mkString("[", ",", "]")
     val met = m.metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }
+      // NaN/Infinity are not legal JSON and would poison any external
+      // json.load of the manifest; a non-finite metric carries no
+      // information, so render it as null (parse skips it).
+      .map { case (k, v) =>
+        val r = if (v.isNaN || v.isInfinite) "null" else v.toString
+        s""""$k":$r"""
+      }
       .mkString("{", ",", "}")
     s"""{"snapshot":${m.snapshot},"iteration":${m.iteration},"rowCount":${m.rowCount},""" +
       s""""checksum":${m.checksum},"committedAtMs":${m.committedAtMs},""" +

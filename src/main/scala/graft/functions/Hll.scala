@@ -89,6 +89,11 @@ object HllLogic extends Serializable {
     * whole number of longs (byte tail kept for safety).
     */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    // Mismatched log2m sketches (reachable from SQL: hll_merge2(
+    // hll_init(x,6), hll_init(y,7))) would otherwise silently truncate
+    // one side or throw an opaque ArrayIndexOutOfBounds mid-loop.
+    require(a.length == b.length,
+      s"hll merge: incompatible register counts ${a.length} vs ${b.length} (different log2m)")
     val out = new Array[Byte](a.length)
     val n8 = a.length & ~7
     var i = 0

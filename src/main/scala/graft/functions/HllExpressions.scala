@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the HLL kernel — the designed custom
   * surface of SURVEY §4 ("custom Catalyst surface actually needed").
@@ -29,6 +30,11 @@ object HllExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "hll_init"
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hll_init requires a BIGINT id, got ${child.dataType.catalogString}")
+
     override protected def nullSafeEval(id: Any): Any =
       HllLogic.init(id.asInstanceOf[Long], log2m, seed)
 
@@ -47,6 +53,11 @@ object HllExpressions {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "hll_count"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hll_count requires a BINARY sketch, got ${child.dataType.catalogString}")
 
     override protected def nullSafeEval(regs: Any): Any =
       HllLogic.count(regs.asInstanceOf[Array[Byte]])
@@ -68,6 +79,13 @@ object HllExpressions {
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = left.nullable && right.nullable
     override def prettyName: String = "hll_merge2"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == BinaryType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"hll_merge2 requires two BINARY sketches, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
     override def eval(input: InternalRow): Any = {
       val a = left.eval(input)

@@ -61,11 +61,18 @@ object MediaPipeline {
       }
   }
 
-  /** STUB decode of a single item (deterministic fake dimensions). */
+  /** STUB decode of a single item (deterministic fake dimensions).
+    * Magic checks use the SAME prefixes as [[sniffFormat]] (3-byte
+    * FFD8FF / 4-byte 89504E47) — a 2-byte check would classify blobs the
+    * sniffer calls "unknown", and the two classifiers in one pipeline
+    * must agree.
+    */
   private def decodeOne(id: Long, blob: Array[Byte]): MediaMeta = {
     val fmt =
-      if (blob.length >= 4 && blob(0) == 0x89.toByte && blob(1) == 'P') "png"
-      else if (blob.length >= 3 && blob(0) == 0xFF.toByte && blob(1) == 0xD8.toByte) "jpeg"
+      if (blob.length >= 4 && blob(0) == 0x89.toByte && blob(1) == 'P'
+          && blob(2) == 'N' && blob(3) == 'G') "png"
+      else if (blob.length >= 3 && blob(0) == 0xFF.toByte && blob(1) == 0xD8.toByte
+          && blob(2) == 0xFF.toByte) "jpeg"
       else "unknown"
     val h = java.util.Arrays.hashCode(blob)
     MediaMeta(id, fmt,

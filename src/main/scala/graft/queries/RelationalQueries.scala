@@ -124,6 +124,9 @@ object RelationalQueries {
   val binaryMetaSql: String =
     """SELECT doc_id,
       |       octet_length(encode(text)) AS n_bytes,
-      |       hex(encode(left(text, 4))) AS magic
+      |       left(hex(encode(text)), 8) AS magic
       |FROM documents""".stripMargin
+  // magic: first 4 BYTES (8 hex chars), not first 4 characters —
+  // left(text,4)||encode would take 4 CODEPOINTS and diverge from the
+  // Spark substring-on-binary on any non-ASCII document.
 }

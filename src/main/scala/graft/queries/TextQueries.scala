@@ -40,8 +40,9 @@ object TextQueries {
        |SELECT doc_id,
        |       len(w) AS n_tokens,
        |       length(text) AS n_chars,
-       |       coalesce(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))), 0.0)
-       |             / greatest(len(w), 1) AS avg_token_len
+       |       CASE WHEN text IS NULL THEN NULL
+       |            ELSE coalesce(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))), 0.0)
+       |                 / greatest(len(w), 1) END AS avg_token_len
        |FROM toks""".stripMargin
 
   // --- quality -------------------------------------------------------

@@ -34,6 +34,23 @@ class MediaSpec extends AnyFunSuite {
     assert(again == metas)
   }
 
+  test("decodeMeta and sniffFormat agree on truncated/partial magics") {
+    // 2-byte JPEG prefix with a wrong 3rd byte and a PNG prefix cut at 3
+    // bytes: sniffFormat says unknown, and the decoder must agree — the
+    // two classifiers live in one pipeline.
+    val tricky = Seq(
+      (10L, Array(0xFF, 0xD8, 0x00, 0x01).map(_.toByte)),
+      (11L, Array(0x89, 0x50, 0x4E).map(_.toByte)),
+      (12L, jpegMagic), (13L, pngMagic)).toDF("doc_id", "blob")
+    val sniffed = tricky.select($"doc_id", MediaPipeline.sniffFormat($"blob").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val decoded = MediaPipeline.decodeMeta(tricky).collect()
+      .map(m => m.doc_id -> m.format).toMap
+    assert(sniffed == decoded, s"sniff=$sniffed decode=$decoded")
+    assert(sniffed(10L) == "unknown" && sniffed(11L) == "unknown")
+    assert(sniffed(12L) == "jpeg" && sniffed(13L) == "png")
+  }
+
   test("byte-histogram features: 256 dims, L1-normalized, content-sensitive") {
     val feats = MediaPipeline.byteHistogram(blobs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

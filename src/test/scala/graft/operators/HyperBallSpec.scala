@@ -189,6 +189,14 @@ class HllLogicSpec extends AnyFunSuite {
     }
   }
 
+  test("merging sketches of different log2m throws, never truncates silently") {
+    val a = HllLogic.init(1L, 6)
+    val b = HllLogic.init(2L, 7)
+    val e = intercept[IllegalArgumentException](HllLogic.merge(a, b))
+    assert(e.getMessage.contains("log2m"))
+    intercept[IllegalArgumentException](HllLogic.merge(b, a))
+  }
+
   test("count is deterministic and add is idempotent") {
     val a = HllLogic.init(5L, 8)
     val before = HllLogic.count(a)
