@@ -3,7 +3,7 @@ package graft
 import graft.core.Graph
 import graft.ingest.PageGen
 import graft.operators.PageRank
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…, …extras}
@@ -177,16 +177,17 @@ object Bench {
     val (convEdges, convIters, convOk, convSec) = (conv.edges, conv.iters, conv.converged, conv.totalSec)
 
     val spark = session(cpus, cpus)
-    val queryTimes = try {
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    val (queryBest, queryCold, queryErrors) = try {
+      timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     } finally spark.stop()
 
-    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum + totLow + totHigh + totFull + convSec
+    val qs = queryBest.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qsCold = queryCold.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val qErrs = queryErrors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"${jsonSafe(v)}"""" }.mkString("{", ",", "}")
+    val total = queryCold.values.sum + totLow + totHigh + totFull + convSec
     val pr =
       f"""{"pairNodes":$pairNodes,"pairEdges":$nEdges,"scaleNodes":$scaleNodes,""" +
       f""""coresLow":$lowCores,"secPerIterLow":$secIterLow%.3f,"epsLow":${epsLow.round},""" +
@@ -199,6 +200,49 @@ object Bench {
       f""""convNodes":$convNodes,"convEdges":$convEdges,"convTol":1e-6,""" +
       f""""convIters":$convIters,"convConverged":$convOk,"convWallSec":$convSec%.2f}"""
     println(
-      f"""{"metric":"pagerank_scaling_and_convergence","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":$pr,"edges_per_sec_per_iter":${epsFull.round},"scaling_efficiency":$scalingEff%.3f}""")
+      f"""{"metric":"pagerank_scaling_and_convergence","value":$total%.2f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"query_errors":$qErrs,"query_failures":${queryErrors.size},"sf":"$sfDir","pagerank":$pr,"edges_per_sec_per_iter":${epsFull.round},"scaling_efficiency":$scalingEff%.3f}""")
   }
+
+  /** Time the driver-contract queries: `repeats` passes over the (sorted)
+    * query list in one session; per query the reported time is the MIN
+    * across passes (the d_* family varies ±20% run-to-run on a shared
+    * box) while the FIRST pass is kept separately — memoized shared
+    * state (graph/cc/scc/ess) is paid there, so the cold map preserves
+    * honest family attribution and sums to the real wall cost.
+    *
+    * A query that throws is recorded in the error map and keeps its
+    * attempt time — a bench-side regression must read as a FAILURE, not
+    * as a near-zero "speedup" (VERDICT r2). Unit-tested directly with an
+    * injected failing query.
+    */
+  private[graft] def timeQueries(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      repeats: Int = 2
+  ): (Map[String, Double], Map[String, Double], Map[String, String]) = {
+    val best = scala.collection.mutable.Map[String, Double]()
+    val cold = scala.collection.mutable.Map[String, Double]()
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (pass <- 1 to math.max(repeats, 1); (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (pass == 1) cold(name) = sec
+      err match {
+        case Some(m) => errors(name) = m
+        case None => if (!best.contains(name) || sec < best(name)) best(name) = sec
+      }
+    }
+    // a query that failed on every pass still appears in `best` (attempt
+    // time) so the maps stay keyed identically; the error marks it
+    for ((name, _) <- queries if !best.contains(name)) best(name) = cold(name)
+    (best.toMap, cold.toMap, errors.toMap)
+  }
+
+  private def jsonSafe(s: String): String =
+    Option(s).getOrElse("null").replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ").take(300)
 }

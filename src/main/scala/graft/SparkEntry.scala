@@ -31,6 +31,7 @@ object SparkEntry {
     "g_bfs" -> (GraphQueries.bfs(0) _),
     "g_scc" -> (GraphQueries.scc _),
     "g_ecc" -> (GraphQueries.ecc _),
+    "g_ecc_undir" -> (GraphQueries.eccUndirected _),
     "g_reach" -> (GraphQueries.reach _),
     "g_radius_diameter" -> (GraphQueries.radiusDiameter _),
     "g_topo_layers" -> (GraphQueries.topoLayers _),
@@ -42,6 +43,7 @@ object SparkEntry {
     "q_events_hourly" -> (graft.queries.RelationalQueries.eventsHourly _),
     "m_binary_meta" -> (graft.queries.RelationalQueries.binaryMeta _),
     "t_tokens" -> (graft.queries.TextQueries.tokenStats _),
+    "t_bpe_tokens" -> (graft.queries.TextQueries.bpeTokens _),
     "t_quality" -> (graft.queries.TextQueries.quality _),
     "t_langid" -> (graft.queries.TextQueries.langId _),
     "t_fingerprint" -> (graft.queries.TextQueries.fingerprint _),
@@ -73,6 +75,7 @@ object SparkEntry {
     "g_bfs" -> GraphQueries.bfsSql(0),
     "g_scc" -> GraphQueries.sccSql,
     "g_ecc" -> GraphQueries.eccSql,
+    "g_ecc_undir" -> GraphQueries.eccUndirectedSql,
     "g_reach" -> GraphQueries.reachSql,
     "g_radius_diameter" -> GraphQueries.radiusDiameterSql,
     "g_topo_layers" -> GraphQueries.topoLayersSql,
@@ -84,6 +87,7 @@ object SparkEntry {
     "q_events_hourly" -> graft.queries.RelationalQueries.eventsHourlySql,
     "m_binary_meta" -> graft.queries.RelationalQueries.binaryMetaSql,
     "t_tokens" -> graft.queries.TextQueries.tokenStatsSql,
+    "t_bpe_tokens" -> graft.queries.TextQueries.bpeTokensSql,
     "t_quality" -> graft.queries.TextQueries.qualitySql,
     "t_langid" -> graft.queries.TextQueries.langIdSql,
     "t_fingerprint" -> graft.queries.TextQueries.fingerprintSql,

@@ -42,8 +42,12 @@ object Bfs {
     // Lineage is cut every level (localCheckpoint): the visited set is
     // referenced both by the anti-join and the union, so the raw plan
     // would otherwise grow exponentially with depth.
-    var visited = roots.distinct.sorted
-      .toDF("id")
+    // `allowed` gates the ROOTS too, not just expansion: the reference's
+    // filtered visit applies its predicate to every visited node
+    // including the seeds — an out-of-set root must produce nothing.
+    var roots0 = roots.distinct.sorted.toDF("id")
+    allowed.foreach(a => roots0 = roots0.join(a.select($"id"), Seq("id"), "left_semi"))
+    var visited = roots0
       .select($"id", lit(0).as("dist"), $"id".as("pred"))
       .localCheckpoint(true)
     var frontier = visited
@@ -100,7 +104,10 @@ object Bfs {
       confine: Option[DataFrame] = None): DataFrame = {
     val spark = adj.sparkSession
     import spark.implicits._
-    var visited = sources.select($"tag", $"id", lit(0).as("dist")).localCheckpoint(true)
+    // confine gates the SEEDS too (filtered-visit parity with [[run]]).
+    var sources0 = sources
+    confine.foreach(c => sources0 = sources0.join(c, Seq("tag", "id"), "left_semi"))
+    var visited = sources0.select($"tag", $"id", lit(0).as("dist")).localCheckpoint(true)
     var frontier = visited
     var depth = 0
     var n = frontier.count()

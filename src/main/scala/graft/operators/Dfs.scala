@@ -31,42 +31,55 @@ object Dfs {
   final case class Done(root: Long) extends Event
 
   /** Visit every root in order; returns false iff the visitor broke. */
-  def visit(edges: Seq[(Long, Long)], roots: Seq[Long], visitor: Event => Boolean): Boolean = {
+  def visit(edges: Seq[(Long, Long)], roots: Seq[Long], visitor: Event => Boolean): Boolean =
+    visitWithPath(edges, roots, visitor)._1
+
+  /** [[visit]] plus interrupted-visit path recovery — the reference's
+    * `SeqPath`/`stack()` (`depth_first/seq.rs:24,170-183`): when the
+    * visitor breaks, the second element is the residual visit path
+    * (root → current node, in push order) that the break abandoned —
+    * Tarjan uses it to flush the in-progress path after its whole-graph
+    * early exit (`tarjan.rs:113-117`). Empty when the visit completed
+    * (or broke between trees, where the path is empty by definition).
+    */
+  def visitWithPath(edges: Seq[(Long, Long)], roots: Seq[Long],
+                    visitor: Event => Boolean): (Boolean, Seq[Long]) = {
     val adj = edges.distinct.groupBy(_._1).map { case (s, l) => s -> l.map(_._2).sorted }
     val known = mutable.Set[Long]()
     val onStack = mutable.Set[Long]()
 
     for (root <- roots if !known.contains(root)) {
-      if (!visitor(Init(root))) return false
       // stack frames: (node, pred, depth, successor iterator)
       val work = mutable.ArrayBuffer[(Long, Long, Int, Iterator[Long])]()
+      def path: Seq[Long] = work.map(_._1).toSeq
+      if (!visitor(Init(root))) return (false, path)
       def push(v: Long, pred: Long, depth: Int): Boolean = {
         known += v; onStack += v
         work += ((v, pred, depth, adj.getOrElse(v, Nil).iterator))
         visitor(Previsit(v, pred, root, depth))
       }
-      if (!push(root, root, 0)) return false
+      if (!push(root, root, 0)) return (false, path)
       while (work.nonEmpty) {
         val (v, pred, depth, it) = work.last
         var descended = false
         while (!descended && it.hasNext) {
           val w = it.next()
           if (!known.contains(w)) {
-            if (!push(w, v, depth + 1)) return false
+            if (!push(w, v, depth + 1)) return (false, path)
             descended = true
           } else {
-            if (!visitor(Revisit(w, v, root, depth + 1, onStack.contains(w)))) return false
+            if (!visitor(Revisit(w, v, root, depth + 1, onStack.contains(w)))) return (false, path)
           }
         }
         if (!descended) {
           work.remove(work.length - 1)
           onStack -= v
-          if (!visitor(Postvisit(v, pred, root, depth))) return false
+          if (!visitor(Postvisit(v, pred, root, depth))) return (false, path)
         }
       }
-      if (!visitor(Done(root))) return false
+      if (!visitor(Done(root))) return (false, path)
     }
-    true
+    (true, Nil)
   }
 
   private def verts(edges: Seq[(Long, Long)]): Seq[Long] =

@@ -95,11 +95,15 @@ object HyperBall {
         require(shift <= 62 && n <= (1L << (62 - shift)),
           s"weighted init: maxWeight=$maxW needs $shift slot bits; " +
             s"$n vertices no longer fit the id field without aliasing")
+        // weight stays LONG through the explode: a re-cast to int here
+        // would wrap weights >= 2^31 negative, and the weight>0 filter
+        // would then silently hand the vertex an empty counter instead of
+        // failing the require above (sequence() accepts long bounds).
         val seeded = graph.vertices.toDF("id")
-          .join(wCast.select(col("id"), col("weight").cast("int").as("weight")), Seq("id"), "left")
-          .select($"id", coalesce($"weight", lit(1)).as("weight"))
+          .join(wCast, Seq("id"), "left")
+          .select($"id", coalesce($"weight", lit(1L)).as("weight"))
           .filter($"weight" > 0)
-          .select($"id", explode(sequence(lit(0), $"weight" - 1)).as("slot"))
+          .select($"id", explode(sequence(lit(0L), $"weight" - 1)).as("slot"))
           .select($"id", Hll.hllInit(log2m, seed)(shiftleft($"id", shift) + $"slot").as("r"))
           .groupBy($"id").agg(Hll.hllMergeAgg($"r").as("regs"))
         // weight-0 vertices get an EMPTY counter (reference semantics)

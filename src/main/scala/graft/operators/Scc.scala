@@ -29,13 +29,32 @@ import scala.collection.mutable
   */
 object Scc {
 
+  /** Observability for the whole-graph early exit ([[tarjanMapStats]]). */
+  final case class TarjanStats(revisits: Long, earlyExit: Boolean)
+
   /** Iterative Tarjan; returns (id → component), components numbered from
     * 0 in pop order (reference `tarjan.rs:33-40` numbering, which it then
     * re-numbers via `sort_by_size` — we expose [[ConnectedComponents.sortBySize]]
     * for that step).
     */
-  def tarjanMap(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  def tarjanMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    tarjanMapStats(edges)._1
+
+  /** [[tarjanMap]] plus visit statistics, pinning the reference's
+    * whole-graph early exit (`tarjan.rs:60-76`): once every vertex is
+    * discovered and the current vertex links back to the root of the
+    * current DFS tree, every still-unassigned vertex (the Tarjan stack,
+    * which includes the residual visit path — the reference flushes it
+    * via `visit.stack()`, `seq.rs:170-183` / `tarjan.rs:113-117`) is one
+    * SCC: stack nodes all reach the current vertex (Tarjan invariant),
+    * it reaches the tree root, and the root reaches every discovered
+    * unemitted node. Remaining successor enumerations are skipped — on a
+    * single-SCC graph with heavy back-edge fan-in the visit ends at the
+    * FIRST closing revisit instead of examining every remaining arc.
+    */
+  private[operators] def tarjanMapStats(edges: Seq[(Long, Long)]): (Map[Long, Long], TarjanStats) = {
     val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val totalVerts = verts.length
     val adj = edges.distinct.groupBy(_._1).map { case (s, l) => s -> l.map(_._2).sorted }
     val index = mutable.Map[Long, Int]()
     val lowlink = mutable.Map[Long, Int]()
@@ -44,8 +63,10 @@ object Scc {
     val comp = mutable.Map[Long, Long]()
     var nextIndex = 0
     var nextComp = 0L
+    var revisits = 0L
+    var earlyExit = false
 
-    for (root <- verts if !index.contains(root)) {
+    for (root <- verts if !earlyExit && !index.contains(root)) {
       // Explicit work stack: (vertex, successor iterator position)
       val work = mutable.ArrayBuffer[(Long, Iterator[Long])]()
       def push(v: Long): Unit = {
@@ -54,15 +75,27 @@ object Scc {
         work += ((v, adj.getOrElse(v, Nil).iterator))
       }
       push(root)
-      while (work.nonEmpty) {
+      val rootIdx = index(root)
+      while (work.nonEmpty && !earlyExit) {
         val (v, it) = work.last
         var descended = false
-        while (!descended && it.hasNext) {
+        while (!descended && !earlyExit && it.hasNext) {
           val w = it.next()
           if (!index.contains(w)) { push(w); descended = true }
-          else if (onStack(w)) lowlink(v) = math.min(lowlink(v), index(w))
+          else {
+            revisits += 1
+            if (onStack(w)) {
+              lowlink(v) = math.min(lowlink(v), index(w))
+              if (lowlink(v) == rootIdx && nextIndex == totalVerts) {
+                // Whole-graph early exit + residual flush (see scaladoc).
+                stack.foreach(comp(_) = nextComp)
+                nextComp += 1
+                earlyExit = true
+              }
+            }
+          }
         }
-        if (!descended) {
+        if (!descended && !earlyExit) {
           work.remove(work.length - 1)
           if (work.nonEmpty) {
             val p = work.last._1
@@ -80,7 +113,7 @@ object Scc {
         }
       }
     }
-    comp.toMap
+    (comp.toMap, TarjanStats(revisits, earlyExit))
   }
 
   /** Driver-exact Tarjan as a DataFrame (id, comp); `maxNodes` guards

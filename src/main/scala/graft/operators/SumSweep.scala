@@ -64,7 +64,19 @@ object SumSweep {
       /** BFS-equivalents performed (allCC counts 3, like the reference). */
       iterations: Int,
       /** (id) radial set used for the radius. */
-      radial: DataFrame)
+      radial: DataFrame,
+      /** How many times the allCC condensation step ran (0 when the
+        * `maxComponents` guard disabled it — observable so tests can pin
+        * the degraded path).
+        */
+      allCcSteps: Int = 0,
+      /** BFS count at which the radius was certified (−1 if the level
+        * didn't require it) — the reference's `radius_iterations`
+        * (`dir_outputs.rs` / `undir_outputs.rs` fields).
+        */
+      radiusIterations: Int = -1,
+      /** BFS count at which the diameter was certified (−1 as above). */
+      diameterIterations: Int = -1)
 
   // ------------------------------------------------------------------
 
@@ -93,6 +105,18 @@ object SumSweep {
         * (`test_exact_sum_sweep.rs:253-281`).
         */
       radialVertices: Option[DataFrame] = None,
+      /** Driver-memory guard for the allCC condensation step: that step
+        * collects one row per SCC and per condensation edge to the driver
+        * (reference parity — `scc_graph.rs:25-31` holds the same state in
+        * memory), which is fine at cnr-2000 scale (~10⁵ SCCs) but an
+        * unbounded OOM on a 10⁹-page crawl (10⁷–10⁸ SCCs). Above the
+        * threshold the allCC step is DISABLED and the adaptive loop runs
+        * on the four sweep step types alone — still exact and still
+        * convergent (every sweep closes at least its own sources), just
+        * without the condensation shortcut. Same policy as
+        * [[Reachability.counts]]'s `maxComponents`.
+        */
+      maxComponents: Long = 1000000,
       verbose: Boolean = false): Result = {
     val spark = graph.spark
     import spark.implicits._
@@ -114,20 +138,34 @@ object SumSweep {
     // tarjanLocal's 0..k-1 pop order) would silently seed an unrelated
     // vertex. For Scc.run output this is an already-canonical no-op.
     val compsRaw = components.getOrElse(Scc.run(graph))
+    // `comps` is OURS (derived by the normalizing join even when the
+    // caller supplied components): persisted for the run, ALWAYS
+    // unpersisted before returning — repeated programmatic calls must not
+    // accumulate session-lifetime pinned frames (ADVICE r2).
     val comps = compsRaw
       .join(compsRaw.groupBy($"comp").agg(min($"id").as("mn")), Seq("comp"))
       .select($"id", $"mn".as("comp"))
       .persist()
     comps.count()
+    val sizesDf = comps.groupBy($"comp").agg(count(lit(1)).as("sz")).persist()
+    val numComponents = sizesDf.count()
+    // Above the guard the condensation step (driver-side one-row-per-SCC
+    // state) is disabled; the four sweep steps still certify every output.
+    val allCcEnabled = numComponents <= maxComponents
+    if (verbose && !allCcEnabled)
+      println(s"[graft/sumsweep] $numComponents SCCs > maxComponents=$maxComponents: allCC step disabled")
     // Largest SCC by (size desc, label asc); its label IS its min member
     // id, so the label doubles as the radial-BFS seed (computer.rs:495-544).
+    // Locally derived radial sets ride on Bfs.tagged's eager localCheckpoint
+    // (blocks reclaimed by periodic GC like all superstep state) — NOT a
+    // persist: the frame outlives this call inside Result, and a persist
+    // here would pin it for the session (cache ownership stays with the
+    // caller for caller-supplied radialVertices, which we don't touch).
     val radialDf = radialVertices.getOrElse {
-      val largest = comps.groupBy($"comp").agg(count(lit(1)).as("sz"))
-        .orderBy($"sz".desc, $"comp".asc).limit(1).head().getLong(0)
+      val largest = sizesDf.orderBy($"sz".desc, $"comp".asc).limit(1).head().getLong(0)
       Bfs.tagged(tAdj, Seq((0L, largest)).toDF("tag", "id"))
         .select($"id")
-    }.persist()
-    radialDf.count()
+    }
 
     val maxOutVertex = graph.outDegrees
       .orderBy($"deg".desc, $"id".asc).limit(1).head().getLong(0)
@@ -147,6 +185,7 @@ object SumSweep {
     var radiusHigh = Int.MaxValue
     var radiusVertex = -1L
     var iterations = 0
+    var allCcSteps = 0
 
     def incF = $"fLow" =!= $"fHigh"
     def incB = $"bLow" =!= $"bHigh"
@@ -331,6 +370,7 @@ object SumSweep {
       pivotDf.unpersist(); Lineage.release(distF); Lineage.release(distB)
       distF.unpersist(); distB.unpersist()
       iterations += 3
+      allCcSteps += 1
     }
 
     // --- missing-node accounting (computer.rs:943-1014) ---------------
@@ -390,7 +430,19 @@ object SumSweep {
 
     // --- adaptive loop (computer.rs:337-424) --------------------------
     val points = Array.fill(5)(n.toDouble)
+    // Guarded-out allCC scores -∞: indexOf(max) can never select it, and
+    // the `points(i) >= 0.0` bonus below can never resurrect it.
+    if (!allCcEnabled) points(0) = Double.NegativeInfinity
+    // Per-output iteration counters (the reference's radius_iterations /
+    // diameter_iterations, dir_outputs.rs): BFS count at first certification.
+    var radiusIter = -1
+    var diameterIter = -1
+    def recordIters(m: Missing): Unit = {
+      if (radiusIter < 0 && m.r == 0) radiusIter = iterations
+      if (diameterIter < 0 && math.min(m.dF, m.dB) == 0) diameterIter = iterations
+    }
     var m = findMissing()
+    recordIters(m)
     var missing = missingFor(m)
     var stall = 0
     while (missing > 0) {
@@ -405,6 +457,7 @@ object SumSweep {
         case 4 => sweep(forward = false, pick(incB, Seq($"bTot".desc, $"bHigh".desc)))
       }
       m = findMissing()
+      recordIters(m)
       val newMissing = missingFor(m)
       // Reference utility units are PER SINGLE BFS (computer.rs:404-414);
       // a batched sweep's gain is normalized by its batch size so the
@@ -423,7 +476,229 @@ object SumSweep {
     }
 
     val ecc = b.select($"id", $"fLow".as("ecc"))
-    if (components.isEmpty) comps.unpersist()
-    Result(ecc, radiusHigh, radiusVertex, diameterLow, diameterVertex, iterations, radialDf)
+    comps.unpersist(); sizesDf.unpersist()
+    Result(ecc, radiusHigh, radiusVertex, diameterLow, diameterVertex,
+      iterations, radialDf, allCcSteps, radiusIter, diameterIter)
+  }
+
+  /** Undirected (symmetric-graph) specialization — the reference's
+    * `compute_undirected` (`output_level.rs:63,137,238,296`, built by
+    * `computer.rs:101-127` with `transpose := graph`, `symm_seq`
+    * components, and a bridge-free `SccGraph::new_undirected`).
+    *
+    * On a symmetric graph eccF == eccB, so relative to [[compute]] this
+    * keeps ONE bound pair (half the state), sweeps only one direction
+    * (half the BFS), and — a strictly-tightening specialization the
+    * symmetric metric allows (d(s,v) == d(v,s)) — every sweep updates
+    * BOTH bounds of every reached vertex:
+    * {{{
+    *   low(v)  = max(low(v),  d(s,v))            // the sweep lower bound
+    *   high(v) = min(high(v), d(s,v) + ecc(s))   // triangle inequality
+    * }}}
+    * The reference routes the upper bound only through the per-SCC pivot
+    * DP; undirected condensations have no bridges (`SccGraph::
+    * new_undirected`), so the allCC step collapses to "one sweep seeded
+    * with a per-CC pivot" — which the triangle-inequality update gives us
+    * for free. Nothing is ever collected per-component: pivot selection
+    * is a groupBy argmin and seeds stay a DataFrame, so unlike the
+    * directed computer this path needs NO `maxComponents` driver guard.
+    *
+    * The caller asserts symmetry (reference `debug_assert!(
+    * check_symmetric)`); [[graft.functions.GraphChecks.checkSymmetric]]
+    * is the test-time check. `Output.All` clamps to AllForward like the
+    * reference (`computer.rs:104-109`).
+    */
+  def computeUndirected(
+      graph: Graph,
+      output: Output = Output.AllForward,
+      batch: Int = 0,
+      stateBudgetRows: Long = 50L * 1000 * 1000,
+      /** Precomputed weak CC (id, comp); computed here when absent. */
+      components: Option[DataFrame] = None,
+      verbose: Boolean = false): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+
+    val n = graph.numVertices
+    require(n > 0, "ExactSumSweep on an empty graph (reference panics too)")
+    val nInt = math.min(n, Int.MaxValue.toLong).toInt
+    val effBatch =
+      if (batch > 0) batch
+      else math.max(4L, math.min(1024L, stateBudgetRows / n)).toInt
+    val adj = graph.adjacency
+    adj.count()
+
+    val compsRaw = components.getOrElse(ConnectedComponents.run(graph).components)
+    val comps = compsRaw
+      .join(compsRaw.groupBy($"comp").agg(min($"id").as("mn")), Seq("comp"))
+      .select($"id", $"mn".as("comp"))
+      .persist()
+    comps.count()
+    val sizesDf = comps.groupBy($"comp").agg(count(lit(1)).as("sz")).persist()
+    val largest = sizesDf.orderBy($"sz".desc, $"comp".asc).limit(1).head().getLong(0)
+    // Radial set = the largest CC itself: the reference's backward BFS
+    // from a largest-SCC member (computer.rs:495-544) reaches exactly the
+    // CC when the graph is symmetric.
+    val radialDf = comps.filter($"comp" === largest).select($"id").localCheckpoint(true)
+
+    val maxDegVertex = graph.outDegrees
+      .orderBy($"deg".desc, $"id".asc).limit(1).head().getLong(0)
+
+    var b = graph.vertices.toDF("id")
+      .join(comps, Seq("id"))
+      .join(radialDf.select($"id", lit(true).as("radial")), Seq("id"), "left")
+      .select($"id", $"comp", coalesce($"radial", lit(false)).as("radial"),
+        lit(0).as("low"), lit(nInt).as("high"), lit(0L).as("tot"))
+      .localCheckpoint(true)
+
+    var diameterLow = 0
+    var diameterVertex = -1L
+    var radiusHigh = Int.MaxValue
+    var radiusVertex = -1L
+    var iterations = 0
+    var pivotSweeps = 0
+
+    def incU = $"low" =!= $"high"
+
+    /** One batched sweep from `seeds` (tag == source id); the seeds frame
+      * stays distributed end-to-end (the per-CC pivot step feeds one seed
+      * per component through here). Returns the number of sources.
+      */
+    def sweep(seeds: DataFrame): Long = {
+      val s = seeds.persist()
+      val cnt = s.count()
+      if (cnt == 0) { s.unpersist(); return 0L }
+      if (verbose) println(s"[graft/sumsweep-undir] sweep sources=$cnt")
+      val dists = Bfs.tagged(adj, s)
+      val srcEcc = dists.groupBy($"tag").agg(max($"dist").as("ecc")).persist()
+      srcEcc.count()
+      // Long arithmetic for d + ecc: two Int terms wrap past 2^31 vertices
+      // and a wrapped-negative bound would poison least() — clamped ≤ n.
+      val perId = dists.join(srcEcc, Seq("tag"))
+        .groupBy($"id")
+        .agg(max($"dist").as("maxd"),
+          sum($"dist".cast("long")).as("sumd"),
+          min(least($"dist".cast("long") + $"ecc", lit(nInt.toLong))).as("minUp"))
+      val ownEcc = srcEcc.select($"tag".as("id"), $"ecc".as("srcEcc"))
+      val next = b
+        .join(perId, Seq("id"), "left")
+        .join(ownEcc, Seq("id"), "left")
+        .select($"id", $"comp", $"radial",
+          coalesce($"srcEcc",
+            when(incU && coalesce($"maxd", lit(-1)) > $"low", $"maxd")
+              .otherwise($"low")).as("low"),
+          coalesce($"srcEcc",
+            when(incU && $"minUp".isNotNull,
+              least($"high".cast("long"), $"minUp").cast("int"))
+              .otherwise($"high")).as("high"),
+          ($"tot" + coalesce($"sumd", lit(0L))).as("tot"))
+        .localCheckpoint(true)
+      Lineage.release(b)
+      Lineage.release(dists)
+      b = next
+      srcEcc.unpersist(); s.unpersist()
+      iterations += cnt.toInt
+      cnt
+    }
+
+    def pick(filter: org.apache.spark.sql.Column, order: Seq[org.apache.spark.sql.Column]): DataFrame =
+      b.filter(filter).orderBy(order :+ $"id".asc: _*).limit(effBatch)
+        .select($"id".as("tag"), $"id")
+
+    /** Per-CC pivot sweep — the undirected allCC: one argmin pivot per
+      * component (reference tie-breaks: bound key, then tot, then id),
+      * then one distributed multi-source sweep from all pivots at once.
+      */
+    def pivotSweep(): Long = {
+      val key = ($"low" + when(incU, 0).otherwise(nInt)).cast("long")
+      val seeds = b.select($"comp", $"id", key.as("pKey"), $"tot".as("pTot"))
+        .groupBy($"comp")
+        .agg(expr("min_by(id, struct(pKey, pTot, id))").as("id"))
+        .select($"id".as("tag"), $"id")
+      pivotSweeps += 1
+      sweep(seeds)
+    }
+
+    /** Missing-node accounting, single bound pair (computer.rs:943-1014
+      * with fwd == bwd); radius/diameter candidates re-derived from closed
+      * vertices like the directed computer.
+      */
+    def findMissing(): (Long, Long, Long) = {
+      val row = b.agg(
+        sum(when($"radial" && incU && $"low" < radiusHigh, 1L).otherwise(0L)),
+        sum(when(incU && $"high" > diameterLow, 1L).otherwise(0L)),
+        sum(when(incU, 1L).otherwise(0L)),
+        max(when(!incU, struct($"low", -$"id"))),
+        min(when($"radial" && !incU, struct($"low", $"id")))).head()
+      if (!row.isNullAt(3)) {
+        val s = row.getStruct(3)
+        val (e, v) = (s.getInt(0), -s.getLong(1))
+        if (e > diameterLow || (e == diameterLow && diameterVertex == -1L)) {
+          diameterLow = e; diameterVertex = v
+        }
+      }
+      if (!row.isNullAt(4)) {
+        val s = row.getStruct(4)
+        val (e, v) = (s.getInt(0), s.getLong(1))
+        if (e < radiusHigh || (e == radiusHigh && radiusVertex == -1L)) {
+          radiusHigh = e; radiusVertex = v
+        }
+      }
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    def missingFor(m: (Long, Long, Long)): Long = output match {
+      case Output.Radius => m._1
+      case Output.Diameter => m._2
+      case Output.RadiusDiameter => m._1 + m._2
+      case Output.AllForward | Output.All => m._3
+    }
+
+    // --- heuristic phase: one sweep from the max-degree vertex, then one
+    // batch by descending distance totals (computer.rs:269-306 adapted to
+    // the single direction).
+    sweep(Seq((maxDegVertex, maxDegVertex)).toDF("tag", "id"))
+    var lastBatch = 1L
+    lastBatch = math.max(sweep(pick(incU, Seq($"tot".desc, $"low".desc))), 1L)
+
+    // --- adaptive loop, 3 step types: per-CC pivots / diameter hunters
+    // (max upper bound first) / radius hunters (min lower bound first).
+    val points = Array.fill(3)(n.toDouble)
+    var radiusIter = -1
+    var diameterIter = -1
+    def recordIters(m: (Long, Long, Long)): Unit = {
+      if (radiusIter < 0 && m._1 == 0) radiusIter = iterations
+      if (diameterIter < 0 && m._2 == 0) diameterIter = iterations
+    }
+    var m = findMissing()
+    recordIters(m)
+    var missing = missingFor(m)
+    var stall = 0
+    while (missing > 0) {
+      val step =
+        if (stall >= 2) 1
+        else points.indexOf(points.max)
+      val batchSize = step match {
+        case 0 => pivotSweep()
+        case 1 => sweep(pick(incU, Seq($"high".desc, $"tot".desc)))
+        case 2 => sweep(pick($"radial" && incU, Seq($"low".asc, $"tot".asc)))
+      }
+      lastBatch = math.max(batchSize, 1L)
+      m = findMissing()
+      recordIters(m)
+      val newMissing = missingFor(m)
+      points(step) = (missing - newMissing).toDouble / lastBatch.toDouble
+      for (i <- points.indices if i != step && points(i) >= 0.0)
+        points(i) += 2.0 / math.max(iterations, 1)
+      stall = if (newMissing < missing) 0 else stall + 1
+      if (verbose)
+        println(s"[graft/sumsweep-undir] step=$step missing=$newMissing iters=$iterations " +
+          s"diamLow=$diameterLow radHigh=$radiusHigh")
+      missing = newMissing
+    }
+
+    val ecc = b.select($"id", $"low".as("ecc"))
+    comps.unpersist(); sizesDf.unpersist()
+    Result(ecc, radiusHigh, radiusVertex, diameterLow, diameterVertex,
+      iterations, radialDf, pivotSweeps, radiusIter, diameterIter)
   }
 }

@@ -101,6 +101,14 @@ object GraphQueries {
       r
     }
 
+  /** The symmetrized derived graph (for the undirected-ESS query). */
+  private def symGraph(spark: SparkSession, dir: String): Graph =
+    memoized(spark, s"symgraph:$dir") {
+      val e = edgesDf(spark, dir)
+      Graph.fromEdges(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    }
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -289,6 +297,29 @@ object GraphQueries {
   val eccSql: String =
     s"""WITH RECURSIVE $edgesSql,
        |$distSql
+       |SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src""".stripMargin
+
+  /** Undirected ExactSumSweep ([[SumSweep.computeUndirected]] — the
+    * reference's `compute_undirected` path) on the symmetrized derived
+    * graph; CC shared with g_cc (the weak components of the directed
+    * graph ARE the components of its symmetrization).
+    */
+  def eccUndirected(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"essu:$dir") {
+      SumSweep.computeUndirected(symGraph(spark, dir),
+        SumSweep.Output.AllForward, components = Some(ccShared(spark, dir)))
+        .ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  val eccUndirectedSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |walk(src, id, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN sym e ON e.src = w.id WHERE w.d < 15
+       |),
+       |dist AS (SELECT src, id, min(d) AS dist FROM walk GROUP BY src, id)
        |SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src""".stripMargin
 
   /** Exact per-vertex reachable-set size (the exact form of HyperBall's

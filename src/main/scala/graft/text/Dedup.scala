@@ -16,33 +16,56 @@ object Dedup {
     * (doc_id, keeper, group_size) for EVERY doc — `doc_id != keeper`
     * rows are the deletions a pipeline would apply.
     *
-    * Fingerprint-first: the shuffle key is (md5, length, xxhash64) — 28
-    * bytes/doc — computed map-side, so grouping never ships document
-    * text across the cluster (grouping by `text` directly would shuffle
-    * bytes ≈ the corpus size). Two independent hashes plus the exact
-    * length stand in for the in-group text comparison: a pair colliding
-    * on all three simultaneously is beyond cosmic-ray probability, and
-    * unlike a verify-join it costs zero extra text shuffles.
+    * ==Equality contract==
+    * With `verify = false` (the default), "identical" means identical
+    * under the fingerprint (sha256-prefix-128, byte length, xxhash64) —
+    * NOT a byte comparison. The shuffle key is ~36 bytes/doc, computed
+    * map-side, so grouping never ships document text across the cluster
+    * (grouping by `text` directly would shuffle bytes ≈ the corpus
+    * size). The collision story is stated for dedup's actual threat
+    * model — adversarial training corpora, where an attacker WANTS two
+    * distinct documents merged so one becomes a deletion: the 128-bit
+    * prefix of SHA-256 is collision-resistant (best known attack ≈ 2⁶⁴
+    * work — generic birthday; no shortcut known), unlike md5 whose
+    * chosen-prefix collisions are practical. Random corpora are covered
+    * a fortiori (birthday bound ≈ n²/2¹²⁸).
+    *
+    * `verify = true` groups by the document text itself — byte-equality
+    * semantics with zero hash assumptions, at the cost of shuffling the
+    * corpus once — for pipelines that cannot accept any collision
+    * argument. Both modes emit identical results on non-adversarial
+    * data (the spec pins this).
     */
-  def exact(docs: DataFrame): DataFrame = {
-    // NULL-safe: null fingerprint keys would survive the groupBy (null is
-    // a group) but fall out of the null-UNSAFE equi-join back, silently
-    // dropping null-text docs from the output. Fingerprint over
-    // coalesce(text,'') and carry an is-null flag, so null texts form
-    // their own group (SQL GROUP BY semantics: nulls equal, distinct
-    // from '') and every doc_id appears exactly once.
-    val t = coalesce(col("text"), lit(""))
-    val keyed = docs.select(
-      col("doc_id"),
-      md5(t).as("fp_md5"),
-      length(t).as("fp_len"),
-      xxhash64(t).as("fp_xx"),
-      col("text").isNull.as("fp_null"))
-    val groups = keyed
-      .groupBy(col("fp_md5"), col("fp_len"), col("fp_xx"), col("fp_null"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
-    keyed.join(groups, Seq("fp_md5", "fp_len", "fp_xx", "fp_null"))
-      .select(col("doc_id"), col("keeper"), col("group_size"))
+  def exact(docs: DataFrame, verify: Boolean = false): DataFrame = {
+    if (verify) {
+      // One corpus-sized shuffle; window partitioning keeps null texts in
+      // their own group (SQL semantics: nulls group together) with no
+      // null-unsafe join to drop them.
+      val w = Window.partitionBy(col("text"))
+      docs.select(
+        col("doc_id"),
+        min(col("doc_id")).over(w).as("keeper"),
+        count(lit(1)).over(w).as("group_size"))
+    } else {
+      // NULL-safe: null fingerprint keys would survive the groupBy (null
+      // is a group) but fall out of the null-UNSAFE equi-join back,
+      // silently dropping null-text docs from the output. Fingerprint
+      // over coalesce(text,'') and carry an is-null flag, so null texts
+      // form their own group (distinct from '') and every doc_id appears
+      // exactly once.
+      val t = coalesce(col("text"), lit(""))
+      val keyed = docs.select(
+        col("doc_id"),
+        substring(sha2(t.cast("binary"), 256), 1, 32).as("fp_sha"),
+        length(t).as("fp_len"),
+        xxhash64(t).as("fp_xx"),
+        col("text").isNull.as("fp_null"))
+      val groups = keyed
+        .groupBy(col("fp_sha"), col("fp_len"), col("fp_xx"), col("fp_null"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+      keyed.join(groups, Seq("fp_sha", "fp_len", "fp_xx", "fp_null"))
+        .select(col("doc_id"), col("keeper"), col("group_size"))
+    }
   }
 
   /** Pairwise word-n-gram Jaccard near-dup pairs with similarity ≥
@@ -82,20 +105,27 @@ object Dedup {
     * reference's HLL register trick: per-slot min of a salted hash.
     *
     * The k salted hashes are derived by Kirsch–Mitzenmacher double
-    * hashing, hᵢ = a + i·b, from TWO md5-based base hashes — computing k
-    * independent md5s per shingle measured ~2× the whole query's cost.
-    * `b` is shifted to 53 bits so i·b (i < 128) cannot overflow a signed
-    * 64-bit value: overflow WRAPS in Spark but ERRORS in DuckDB, and the
-    * whole point of the md5-derived hash ([[TextOps.portableHash60]]) is
-    * that the oracle recomputes signatures bit-identically.
+    * hashing, hᵢ = a + i·b, from the two HALVES of a single md5 per
+    * shingle (hex digits 1–15 and 17–31 — md5 evaluation dominated the
+    * r2 query cost, and two md5s per shingle measured ~2× one; the two
+    * 60-bit halves of one digest are as independent as two digests for
+    * the uniformity the estimator needs). `b` is shifted to 53 bits so
+    * i·b (i < 128) cannot overflow a signed 64-bit value: overflow WRAPS
+    * in Spark but ERRORS in DuckDB, and the whole point of the
+    * md5-derived hash ([[TextOps.portableHash60]] family) is that the
+    * oracle recomputes signatures bit-identically.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     require(numHashes <= 128, "i*b stays below 2^60 only for i < 128")
+    // Two-step select: Catalyst's CollapseProject keeps non-cheap
+    // expressions (md5) un-duplicated when referenced twice downstream,
+    // so the digest is evaluated once per shingle row.
     val sh = docs.select(col("doc_id"),
       explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("m"))
       .select(col("doc_id"),
-        TextOps.portableHash60(col("shingle")).as("ha"),
-        shiftright(TextOps.portableHash60(concat(lit("~"), col("shingle"))), 7).as("hb"))
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("ha"),
+        shiftright(conv(substring(col("m"), 17, 15), 16, 10).cast("long"), 7).as("hb"))
     val mins = (0 until numHashes).map(i =>
       min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
     sh.groupBy("doc_id")

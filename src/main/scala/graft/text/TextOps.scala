@@ -56,11 +56,15 @@ object TextOps {
         / greatest(size(toks), lit(1))).as("avg_token_len"))
   }
 
-  /** Sub-word-ish tokens: runs of letters, digits, or single punctuation —
-    * the regex flavor of a BPE pre-tokenizer. (doc_id, n_subtokens).
+  /** Sub-word-ish tokens: runs of letters-or-digits, or single
+    * non-alphanumeric non-space characters — the regex flavor of a BPE
+    * pre-tokenizer's pre-split. Written as `regexp_extract_all` (not a
+    * lookaround split): RE2-based engines (the DuckDB oracle) don't
+    * support lookarounds, and extraction states the tokenization
+    * positively. Null text → null (both engines).
     */
   def bpeTokensCol(text: Column): Column =
-    filter(split(text, """(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"""), t => t =!= "" && t =!= " ")
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
   /** English-ish stopwords drawn from the corpus vocabulary. */
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")

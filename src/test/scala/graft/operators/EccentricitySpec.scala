@@ -182,6 +182,67 @@ class EccentricitySpec extends AnyFunSuite {
     cached.unpersist()
   }
 
+  test("undirected computer: star9 golden, fewer BFS than the directed route (undir_outputs.rs)") {
+    val base = Seq((0L, 1L), (0L, 3L), (0L, 5L), (0L, 7L),
+      (1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+    val sym = base ++ base.map(_.swap)
+    val g = Graph.fromPairs(spark, sym)
+    val r = SumSweep.computeUndirected(g, SumSweep.Output.AllForward, batch = 1)
+    val ecc = r.ecc.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(ecc == Map(0L -> 2, 1L -> 3, 2L -> 4, 3L -> 3, 4L -> 4,
+      5L -> 3, 6L -> 4, 7L -> 3, 8L -> 4))
+    assert(r.diameter == 4 && r.radius == 2 && r.radiusVertex == 0L)
+    // per-output iteration counters (undir_outputs.rs fields)
+    assert(r.radiusIterations > 0 && r.radiusIterations <= r.iterations)
+    assert(r.diameterIterations > 0 && r.diameterIterations <= r.iterations)
+    // the specialization's point: every sweep tightens BOTH bounds, so
+    // full certification needs measurably fewer BFS than the directed
+    // computer on the same symmetric graph
+    val dir = SumSweep.compute(g, SumSweep.Output.AllForward, batch = 1)
+    assert(r.iterations < dir.iterations,
+      s"undirected ${r.iterations} BFS vs directed ${dir.iterations}")
+  }
+
+  test("undirected differential: ecc/radius/diameter == BFS oracle on symmetric topologies (incl. disconnected)") {
+    val bases = Seq(
+      Fixtures.cycle4,
+      Fixtures.erdosRenyi(30, 0.06, 21),
+      Fixtures.erdosRenyi(15, 0.10, 22) ++ // two disjoint components
+        Fixtures.erdosRenyi(15, 0.10, 23).map { case (a, b) => (a + 100L, b + 100L) })
+    bases.foreach { b0 =>
+      val sym = (b0 ++ b0.map(_.swap)).distinct
+      val got = SumSweep.computeUndirected(Graph.fromPairs(spark, sym))
+      val eccGot = got.ecc.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+      val verts = (sym.map(_._1) ++ sym.map(_._2)).distinct
+      val eccWant = verts.map(v => v -> SeqOracles.bfs(sym, Seq(v)).values.max).toMap
+      assert(eccGot == eccWant)
+      assert(got.diameter == eccWant.values.max)
+      // radial set = largest CC (ties by min label): radius over it
+      val comp = SeqOracles.cc(sym)
+      val largest = comp.groupBy(_._2).maxBy { case (c, m) => (m.size, -c) }._2.keySet
+      assert(got.radius == largest.map(eccWant).min)
+    }
+  }
+
+  test("maxComponents guard: allCC step disabled above threshold, results still exact") {
+    // 8 directed 3-cycles chained by bridges: 8 SCCs, deep condensation
+    val edges = (0 until 8).flatMap { i =>
+      val b = 10L * i
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b)) ++
+        (if (i < 7) Seq((b, b + 10)) else Nil)
+    }
+    val g = Graph.fromPairs(spark, edges)
+    val guarded = SumSweep.compute(g, SumSweep.Output.All, maxComponents = 4)
+    assert(guarded.allCcSteps == 0, "guard must disable the condensation step")
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val eccWant = verts.map(v => v -> SeqOracles.bfs(edges, Seq(v)).values.max).toMap
+    guarded.ecc.collect().foreach(r =>
+      assert(r.getInt(1) == eccWant(r.getLong(0)), s"vertex ${r.getLong(0)}"))
+    val normal = SumSweep.compute(g, SumSweep.Output.All)
+    assert(guarded.diameter == normal.diameter && guarded.radius == normal.radius)
+    assert(normal.diameter == eccWant.values.max)
+  }
+
   test("effective diameter interpolation on an exact NF") {
     val nf = SeqHyperBall.exactNf(Fixtures.cycle4) // 4, 8, 12, 16
     assert(Eccentricity.effectiveDiameter(nf, 1.0) == 3.0)

@@ -63,6 +63,40 @@ class SccSpec extends AnyFunSuite {
     assert(got.size == 32 && got.forall { case (v, c) => v == c })
   }
 
+  test("tarjan whole-graph early exit: stops at the first closing revisit (tarjan.rs:60-76)") {
+    // chain 0→…→11, back edge 11→0, plus chords 11→k for k=1..10: the
+    // sorted successor scan at node 11 sees 0 first — that single
+    // revisit closes the graph into one SCC with every vertex
+    // discovered, so the remaining 10 chords must never be examined.
+    val n = 12
+    val chain = (0 until n - 1).map(i => (i.toLong, i + 1L))
+    val back = Seq((n - 1L, 0L))
+    val chords = (1 until n - 1).map(k => (n - 1L, k.toLong))
+    val (comp, stats) = Scc.tarjanMapStats(chain ++ back ++ chords)
+    assert(comp.keySet.size == n && comp.values.toSet == Set(0L))
+    assert(stats.earlyExit, "single-SCC graph with all nodes discovered must exit early")
+    assert(stats.revisits == 1L, s"examined ${stats.revisits} revisits; without the exit: ${n - 1}")
+    // same labels as the plain cycle (residual-path flush preserves numbering)
+    assert(comp == Scc.tarjanMap(chain ++ back))
+    // multi-SCC graphs never trigger it and keep exact pop-order numbering
+    val (loz, st2) = Scc.tarjanMapStats(Fixtures.lozenge)
+    assert(!st2.earlyExit)
+    assert(loz == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("Dfs.visitWithPath returns the residual visit path on break (seq.rs stack())") {
+    // break at the Previsit of node 3 on a 0→1→2→3 chain: the abandoned
+    // path is 0,1,2,3 (root → current, push order)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val (completed, path) = Dfs.visitWithPath(edges, Seq(0L), {
+      case Dfs.Previsit(3L, _, _, _) => false
+      case _ => true
+    })
+    assert(!completed && path == Seq(0L, 1L, 2L, 3L))
+    val (done, empty) = Dfs.visitWithPath(edges, Seq(0L), _ => true)
+    assert(done && empty.isEmpty)
+  }
+
   test("tarjanLocal DataFrame path + sort_by_size renumbering") {
     val df = Scc.tarjanLocal(Graph.fromPairs(spark, Fixtures.bucket9))
     val ranked = ConnectedComponents.sortBySize(df)

@@ -64,6 +64,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fp(0L) != fp(3L))
   }
 
+  test("bpeTokensCol: alnum runs + single punctuation, portable extraction semantics") {
+    import spark.implicits._
+    val docs = Seq((0L, Some("Hello, world! x2")), (1L, Some("a-b_c")),
+      (2L, Option.empty[String]), (3L, Some("   "))).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextOps.bpeTokensCol(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toList))).toMap
+    assert(got(0L).contains(List("Hello", ",", "world", "!", "x2")))
+    assert(got(1L).contains(List("a", "-", "b", "_", "c")))
+    assert(got(2L).isEmpty, "null text must stay null (oracle parity)")
+    assert(got(3L).contains(Nil), "whitespace-only text has zero subtokens")
+  }
+
   test("langId picks the language with most stopword hits, ties lexical") {
     import spark.implicits._
     val docs = Seq(
@@ -98,6 +111,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == (2L, 2L) && got(3L) == (2L, 2L), "nulls group together")
     assert(got(4L) == (4L, 1L), "empty string is its own group, not the null group")
     assert(got(1L) == (1L, 2L) && got(5L) == (1L, 2L))
+  }
+
+  test("exact dedup verify=true (byte-equality grouping) matches the fingerprint path") {
+    import spark.implicits._
+    def norm(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(norm(Dedup.exact(df(spark), verify = true)) == norm(Dedup.exact(df(spark))))
+    val tricky = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("")),
+      (5L, Some("a")), (6L, Some("b"))).toDF("doc_id", "text")
+    assert(norm(Dedup.exact(tricky, verify = true)) == norm(Dedup.exact(tricky)),
+      "verify path must keep null/empty group semantics identical")
   }
 
   test("ngramJaccard matches a brute-force oracle") {
@@ -224,5 +248,46 @@ class VectorSimSpec extends AnyFunSuite {
     val r4 = recall(4) // 16 buckets → ~1/16 of the work
     assert(r2 > 0.3, s"recall@5(2 bits) = $r2")
     assert(r2 >= r4, s"coarser buckets must not lose recall: $r2 vs $r4")
+  }
+
+  test("multi-probe raises recall at fixed bits (isotropic testdata)") {
+    val brute = VectorSim.bruteForceTopK(embDf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallP(bits: Int, probe: Int): Double = {
+      val lsh = VectorSim.lshTopK(embDf, k = 5, dims = 64, bits = bits, probe = probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.intersect(lsh).size.toDouble / brute.size
+    }
+    val p0 = recallP(4, 0)
+    val p1 = recallP(4, 1)
+    assert(p1 > p0, s"probe-1 must beat probe-0: $p1 vs $p0")
+  }
+
+  test("planted near-duplicates: recall@1 ≥ 0.9 at bits=8 probe=1 (ANN's real workload)") {
+    // Isotropic testdata caps recall at the candidate-sampling fraction
+    // (cosine neighbors are barely above random); near-dup search — the
+    // 100 TB dedup use case — has planted structure where selective
+    // sign-LSH keeps recall high. 64 gaussian base vectors + twins at
+    // cosine ≈ 0.999: per-plane flip prob ≈ θ/π ≈ 0.016, so P(bucket
+    // within hamming ≤ 1) ≈ 0.99.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 64).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val twin = v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v), (2L * i + 1, twin))
+    }
+    import spark.implicits._
+    val planted = rows.toDF("vec_id", "embedding")
+    val top1 = VectorSim.lshTopK(planted, k = 1, dims = 64, bits = 8, probe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 64).count(i => top1.get(2L * i).contains(2L * i + 1))
+    assert(hits >= 58, s"planted near-dup recall@1: $hits/64")
+  }
+
+  test("autoBits: log-grown with corpus size, floored at 4, capped at dims/4") {
+    assert(VectorSim.autoBits(1000, 64, 1024) == 4)
+    assert(VectorSim.autoBits(1L << 20, 64, 1024) == 10)
+    assert(VectorSim.autoBits(1000000000L, 64, 1024) == 16)
+    assert(VectorSim.autoBits(0, 64, 1024) == 4)
   }
 }
