@@ -181,9 +181,14 @@ object Bench {
       timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
     } finally spark.stop()
 
-    val qs = queryBest.toSeq.sortBy(_._1)
+    // "queries" keeps the ARTIFACT semantics of BENCH_r01/r02 (cold first
+    // pass, memo attribution included) so round-over-round comparisons
+    // stay cold-vs-cold; "queries_min2" is the noise-robust min across
+    // passes — for memoized g_* queries that is a warm-cache time, so it
+    // measures run-to-run stability, not cold cost.
+    val qs = queryCold.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val qsCold = queryCold.toSeq.sortBy(_._1)
+    val qsMin = queryBest.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val qErrs = queryErrors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"${jsonSafe(v)}"""" }.mkString("{", ",", "}")
@@ -200,20 +205,29 @@ object Bench {
       f""""convNodes":$convNodes,"convEdges":$convEdges,"convTol":1e-6,""" +
       f""""convIters":$convIters,"convConverged":$convOk,"convWallSec":$convSec%.2f}"""
     println(
-      f"""{"metric":"pagerank_scaling_and_convergence","value":$total%.2f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"query_errors":$qErrs,"query_failures":${queryErrors.size},"sf":"$sfDir","pagerank":$pr,"edges_per_sec_per_iter":${epsFull.round},"scaling_efficiency":$scalingEff%.3f}""")
+      f"""{"metric":"pagerank_scaling_and_convergence","value":$total%.2f,"unit":"sec","queries":$qs,"queries_min2":$qsMin,"query_errors":$qErrs,"query_failures":${queryErrors.size},"sf":"$sfDir","pagerank":$pr,"edges_per_sec_per_iter":${epsFull.round},"scaling_efficiency":$scalingEff%.3f}""")
   }
 
   /** Time the driver-contract queries: `repeats` passes over the (sorted)
-    * query list in one session; per query the reported time is the MIN
-    * across passes (the d_* family varies ±20% run-to-run on a shared
-    * box) while the FIRST pass is kept separately — memoized shared
-    * state (graph/cc/scc/ess) is paid there, so the cold map preserves
-    * honest family attribution and sums to the real wall cost.
+    * query list in one session. Returns (minAcrossPasses, firstPass,
+    * errors). The FIRST pass carries the artifact semantics (memoized
+    * shared graph/cc/scc/ess state is paid there — honest family
+    * attribution, sums to the real wall cost); the MIN map is the
+    * noise-robustness view (the d_* family varies ±20% run-to-run on a
+    * shared box; for memoized queries it is a warm-cache time by
+    * construction).
     *
     * A query that throws is recorded in the error map and keeps its
     * attempt time — a bench-side regression must read as a FAILURE, not
     * as a near-zero "speedup" (VERDICT r2). Unit-tested directly with an
     * injected failing query.
+    *
+    * Known limitation: operators that persist intermediates without
+    * transferring ownership (minhash/simhash signature frames, the
+    * similarity operators' normalized-vector frames) pin one extra copy
+    * per extra pass for the session; the frames are small (≤ a few MB at
+    * bench scale) and the session ends right after, but repeats should
+    * stay low.
     */
   private[graft] def timeQueries(
       spark: SparkSession,
@@ -242,7 +256,17 @@ object Bench {
     (best.toMap, cold.toMap, errors.toMap)
   }
 
+  /** Truncate BEFORE escaping (a cut mid-escape-pair would leave a lone
+    * trailing backslash that swallows the closing quote), then escape
+    * quotes, backslashes, and ALL control chars — a multi-line Spark
+    * AnalysisException must not break the one-JSON-line output contract
+    * exactly when a failure is being reported.
+    */
   private def jsonSafe(s: String): String =
-    Option(s).getOrElse("null").replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", " ").replace("\r", " ").replace("\t", " ").take(300)
+    Option(s).getOrElse("null").take(300).flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 }

@@ -80,6 +80,27 @@ object SumSweep {
 
   // ------------------------------------------------------------------
 
+  /** Normalize an (id, comp) assignment to MIN-MEMBER labels and derive
+    * per-component sizes. Shared by both computers — the min-label
+    * contract is load-bearing: the radial derivations seed a BFS at the
+    * largest component's LABEL, which must therefore be a member vertex
+    * id (an ordinal labeling would silently seed an unrelated vertex).
+    * Both returned frames are persisted; the CALLER owns both and must
+    * unpersist them before returning.
+    */
+  private def normalizedComponents(compsRaw: DataFrame): (DataFrame, DataFrame) = {
+    val spark = compsRaw.sparkSession
+    import spark.implicits._
+    val comps = compsRaw
+      .join(compsRaw.groupBy($"comp").agg(min($"id").as("mn")), Seq("comp"))
+      .select($"id", $"mn".as("comp"))
+      .persist()
+    comps.count()
+    val sizesDf = comps.groupBy($"comp").agg(count(lit(1)).as("sz")).persist()
+    sizesDf.count()
+    (comps, sizesDf)
+  }
+
   def compute(
       graph: Graph,
       output: Output = Output.All,
@@ -137,17 +158,11 @@ object SumSweep {
     // contract is any (id, comp) assignment — an ordinal labeling (e.g.
     // tarjanLocal's 0..k-1 pop order) would silently seed an unrelated
     // vertex. For Scc.run output this is an already-canonical no-op.
-    val compsRaw = components.getOrElse(Scc.run(graph))
-    // `comps` is OURS (derived by the normalizing join even when the
-    // caller supplied components): persisted for the run, ALWAYS
+    // `comps`/`sizesDf` are OURS (derived by the normalizing join even
+    // when the caller supplied components): persisted for the run, ALWAYS
     // unpersisted before returning — repeated programmatic calls must not
     // accumulate session-lifetime pinned frames (ADVICE r2).
-    val comps = compsRaw
-      .join(compsRaw.groupBy($"comp").agg(min($"id").as("mn")), Seq("comp"))
-      .select($"id", $"mn".as("comp"))
-      .persist()
-    comps.count()
-    val sizesDf = comps.groupBy($"comp").agg(count(lit(1)).as("sz")).persist()
+    val (comps, sizesDf) = normalizedComponents(components.getOrElse(Scc.run(graph)))
     val numComponents = sizesDf.count()
     // Above the guard the condensation step (driver-side one-row-per-SCC
     // state) is disabled; the four sweep steps still certify every output.
@@ -528,13 +543,8 @@ object SumSweep {
     val adj = graph.adjacency
     adj.count()
 
-    val compsRaw = components.getOrElse(ConnectedComponents.run(graph).components)
-    val comps = compsRaw
-      .join(compsRaw.groupBy($"comp").agg(min($"id").as("mn")), Seq("comp"))
-      .select($"id", $"mn".as("comp"))
-      .persist()
-    comps.count()
-    val sizesDf = comps.groupBy($"comp").agg(count(lit(1)).as("sz")).persist()
+    val (comps, sizesDf) = normalizedComponents(
+      components.getOrElse(ConnectedComponents.run(graph).components))
     val largest = sizesDf.orderBy($"sz".desc, $"comp".asc).limit(1).head().getLong(0)
     // Radial set = the largest CC itself: the reference's backward BFS
     // from a largest-SCC member (computer.rs:495-544) reaches exactly the

@@ -311,6 +311,12 @@ object GraphQueries {
         .ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Depth cap 15: the SYMMETRIZED graph's exact diameter is
+    * BFS-measured per sf — 4 (sf0.001), 2 (sf0.01), 2 (sf0.1) — NOT
+    * inherited from the directed measurement (symmetrization can create
+    * longer finite paths between previously mutually-unreachable pairs,
+    * so the directed cap justification doesn't transfer).
+    */
   val eccUndirectedSql: String =
     s"""WITH RECURSIVE $edgesSql,
        |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
