@@ -341,9 +341,12 @@ object TextQueries {
       size(array_distinct(toks)).cast("long").as("n_distinct_subtokens"))
   }
 
+  /** Space class spelled out (not `\s`): Java's `\s` includes `\x0B`,
+    * RE2's (DuckDB's) does not — see [[graft.text.TextOps.bpeTokensCol]].
+    */
   val bpeTokensSql: String =
     """SELECT doc_id,
-      |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
-      |       len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS n_distinct_subtokens
+      |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\f\r]')) AS n_subtokens,
+      |       len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\f\r]'))) AS n_distinct_subtokens
       |FROM documents""".stripMargin
 }

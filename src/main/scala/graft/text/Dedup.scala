@@ -18,9 +18,10 @@ object Dedup {
     *
     * ==Equality contract==
     * With `verify = false` (the default), "identical" means identical
-    * under the fingerprint (sha256-prefix-128, byte length, xxhash64) —
-    * NOT a byte comparison. The shuffle key is ~36 bytes/doc, computed
-    * map-side, so grouping never ships document text across the cluster
+    * under the fingerprint (sha256-prefix-128 as 16 raw bytes, character
+    * length, xxhash64) — NOT a byte comparison. The shuffle key is ~29
+    * bytes/doc, computed map-side, so grouping never ships document text
+    * across the cluster
     * (grouping by `text` directly would shuffle bytes ≈ the corpus
     * size). The collision story is stated for dedup's actual threat
     * model — adversarial training corpora, where an attacker WANTS two
@@ -56,7 +57,9 @@ object Dedup {
       val t = coalesce(col("text"), lit(""))
       val keyed = docs.select(
         col("doc_id"),
-        substring(sha2(t.cast("binary"), 256), 1, 32).as("fp_sha"),
+        // unhex → 16 raw bytes: BinaryType group keys are bit-compared,
+        // and half the key width of the 32-char hex prefix.
+        unhex(substring(sha2(t.cast("binary"), 256), 1, 32)).as("fp_sha"),
         length(t).as("fp_len"),
         xxhash64(t).as("fp_xx"),
         col("text").isNull.as("fp_null"))

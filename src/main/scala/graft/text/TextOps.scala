@@ -61,10 +61,13 @@ object TextOps {
     * pre-tokenizer's pre-split. Written as `regexp_extract_all` (not a
     * lookaround split): RE2-based engines (the DuckDB oracle) don't
     * support lookarounds, and extraction states the tokenization
-    * positively. Null text → null (both engines).
+    * positively. The space class is spelled out instead of `\s` because
+    * the engines disagree on it (Java's ASCII `\s` includes `\x0B`,
+    * RE2's does not) — with the explicit class both tokenize `\x0B`
+    * identically. Null text → null (both engines).
     */
   def bpeTokensCol(text: Column): Column =
-    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0))
 
   /** English-ish stopwords drawn from the corpus vocabulary. */
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
