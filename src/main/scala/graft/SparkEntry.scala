@@ -36,6 +36,7 @@ object SparkEntry {
     "g_radius_diameter" -> (GraphQueries.radiusDiameter _),
     "g_topo_layers" -> (GraphQueries.topoLayers _),
     "g_hyperball" -> (GraphQueries.hyperball _),
+    "g_eff_diameter" -> (GraphQueries.effDiameter _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "d_simhash_pairs" -> (graft.queries.TextQueries.simHashPairs _),
     "e_cosine_topk" -> (graft.queries.TextQueries.cosineTopK _),
     "e_lsh_topk" -> (graft.queries.TextQueries.lshTopK _),
+    "e_ivf_topk" -> (graft.queries.TextQueries.ivfTopK _),
     "q1_agg" -> ((s: SparkSession, dir: String) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -80,6 +82,7 @@ object SparkEntry {
     "g_radius_diameter" -> GraphQueries.radiusDiameterSql,
     "g_topo_layers" -> GraphQueries.topoLayersSql,
     "g_hyperball" -> GraphQueries.hyperballSql,
+    "g_eff_diameter" -> GraphQueries.effDiameterSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
@@ -98,6 +101,7 @@ object SparkEntry {
     "d_simhash_pairs" -> graft.queries.TextQueries.simHashPairsSql,
     "e_cosine_topk" -> graft.queries.TextQueries.cosineTopKSql,
     "e_lsh_topk" -> graft.queries.TextQueries.lshTopKSql,
+    "e_ivf_topk" -> graft.queries.TextQueries.ivfTopKSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin

@@ -399,9 +399,62 @@ object GraphQueries {
        |)
        |SELECT id, max(d) AS layer FROM lp GROUP BY id""".stripMargin
 
+  /** One HyperBall run shared by g_hyperball (per-vertex stats) and
+    * g_eff_diameter (the NF sequence) — same memo discipline as
+    * ccShared/essShared.
+    */
+  private def hbShared(spark: SparkSession, dir: String): HyperBall.Result =
+    memoized(spark, s"hyperball:$dir") {
+      val r = HyperBall.run(graph(spark, dir), log2m = 6)
+      r.stats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      r
+    }
+
   def hyperball(spark: SparkSession, dir: String): DataFrame =
-    HyperBall.run(graph(spark, dir), log2m = 6)
-      .stats.drop("regs")
+    hbShared(spark, dir).stats.drop("regs")
+
+  /** Effective diameter at α=0.9 from HyperBall's neighbourhood function
+    * (WebGraph-style linear interpolation, [[Eccentricity.effectiveDiameter]])
+    * — THE web-graph distance statistic at the scale where exact diameter
+    * sweeps stop paying (NF is one scalar per radius; the estimate costs
+    * nothing beyond the HyperBall run itself).
+    */
+  def effDiameter(spark: SparkSession, dir: String): DataFrame = {
+    val r = hbShared(spark, dir)
+    val ed = Eccentricity.effectiveDiameter(r.neighbourhoodFunction, alpha = 0.9)
+    spark.range(1).select(
+      lit(0.9).as("alpha"),
+      lit(ed).as("eff_diameter"),
+      lit(r.neighbourhoodFunction.last).as("nf_final"))
+  }
+
+  /** Closed-form oracle: per-radius counts from the same distance-closure
+    * sketch reconstruction as [[hyperballSql]]; NF(t) = Σ_v cnt(v,t); the
+    * crossing index + linear interpolation replicated in scalar
+    * subqueries. The engine's NF tail (iterations past the max distance
+    * repeat the converged value under the monotone clamp) cannot move the
+    * FIRST crossing, so both sides agree on the index.
+    */
+  // lazy: declared above hyperballSql in source order, and object vals
+  // initialize top-down — an eager val here reads null and NPEs the
+  // whole object's <clinit>.
+  lazy val effDiameterSql: String = {
+    // Reuse hyperballSql's CTE chain up to `cnt` by textual prefix: the
+    // chain is a WITH list, so cutting at the `delta AS` entry is stable.
+    val prefix = hyperballSql.substring(0, hyperballSql.indexOf(",\n|delta AS".replace("|", "")))
+    s"""$prefix,
+       |nf AS (SELECT t, sum(c) AS f FROM cnt GROUP BY t),
+       |fin AS (SELECT f AS fl FROM nf ORDER BY t DESC LIMIT 1),
+       |x AS (SELECT min(t) AS tc FROM nf, fin WHERE f >= 0.9 * fl)
+       |SELECT CAST(0.9 AS DOUBLE) AS alpha,
+       |       CASE WHEN s.tc <= 0 THEN 0.0
+       |            ELSE s.tc - 1 + (0.9 * s.fl - s.pf) / (s.cf - s.pf) END AS eff_diameter,
+       |       s.fl AS nf_final
+       |FROM (SELECT x.tc, fin.fl,
+       |             (SELECT f FROM nf WHERE t = x.tc - 1) AS pf,
+       |             (SELECT f FROM nf WHERE t = x.tc) AS cf
+       |      FROM x, fin) s""".stripMargin
+  }
 
   /** Full DuckDB oracle for HyperBall (round 2 — no_oracle before).
     *

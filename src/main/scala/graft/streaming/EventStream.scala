@@ -72,6 +72,45 @@ object EventStream {
     new StreamingDrain(q, df.sparkSession, name)
   }
 
+  // --- streaming exact dedup ------------------------------------------
+
+  /** Continuous-ingest twin of [[graft.text.Dedup.exact]]: documents
+    * arriving as a stream (crawl partitions landing in a directory) are
+    * deduplicated on the SAME equality fingerprint (sha256-prefix-128 /
+    * length / xxhash64 / null flag — `Dedup.fingerprintKeyCols`, one
+    * definition for both paths). `dropDuplicatesWithinWatermark` emits
+    * the FIRST arrival per key and drops every later duplicate whose key
+    * state is still live; the watermark EVICTS seen-key state once event
+    * time passes `horizon`, so dedup memory is bounded by keys-per-horizon
+    * — the batch operator's corpus-wide key set, windowed. Two duplicates
+    * more than `horizon` apart in event time may both survive (the
+    * documented watermark trade; the batch pass downstream catches them).
+    *
+    * Output: the surviving document rows (original columns).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+                  horizon: String = "1 hour"): DataFrame = {
+    val keyed = docs
+      .withColumn("ts", col(tsCol).cast("timestamp"))
+      .withColumns(graft.text.Dedup.fingerprintKeyNames
+        .zip(graft.text.Dedup.fingerprintKeyCols).toMap)
+      .withWatermark("ts", horizon)
+    keyed
+      .dropDuplicatesWithinWatermark(graft.text.Dedup.fingerprintKeyNames)
+      .drop(graft.text.Dedup.fingerprintKeyNames: _*)
+  }
+
+  /** Start [[dedupStream]] over a parquet directory into a memory sink. */
+  def runDedup(spark: SparkSession, sourceDir: String, name: String,
+               tsCol: String = "ts", horizon: String = "1 hour"): StreamingDrain = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sourceDir)
+    startDrain(dedupStream(stream, tsCol, horizon), name, OutputMode.Append())
+  }
+
   // --- sessionization ------------------------------------------------
 
   final case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -37,6 +37,24 @@ object Dedup {
     * argument. Both modes emit identical results on non-adversarial
     * data (the spec pins this).
     */
+  /** The equality-fingerprint key columns (sha256-prefix-128 raw bytes,
+    * character length, xxhash64, is-null flag) over `text` — the exact-
+    * dedup shuffle key, shared by the batch path and the streaming path
+    * ([[graft.streaming.EventStream.dedupStream]]) so the two contracts
+    * cannot drift.
+    */
+  private[graft] def fingerprintKeyCols: Seq[org.apache.spark.sql.Column] = {
+    val t = coalesce(col("text"), lit(""))
+    Seq(
+      // unhex → 16 raw bytes: BinaryType group keys are bit-compared,
+      // and half the key width of the 32-char hex prefix.
+      unhex(substring(sha2(t.cast("binary"), 256), 1, 32)).as("fp_sha"),
+      length(t).as("fp_len"),
+      xxhash64(t).as("fp_xx"),
+      col("text").isNull.as("fp_null"))
+  }
+  private[graft] val fingerprintKeyNames = Seq("fp_sha", "fp_len", "fp_xx", "fp_null")
+
   def exact(docs: DataFrame, verify: Boolean = false): DataFrame = {
     if (verify) {
       // One corpus-sized shuffle; window partitioning keeps null texts in
@@ -54,19 +72,11 @@ object Dedup {
       // over coalesce(text,'') and carry an is-null flag, so null texts
       // form their own group (distinct from '') and every doc_id appears
       // exactly once.
-      val t = coalesce(col("text"), lit(""))
-      val keyed = docs.select(
-        col("doc_id"),
-        // unhex → 16 raw bytes: BinaryType group keys are bit-compared,
-        // and half the key width of the 32-char hex prefix.
-        unhex(substring(sha2(t.cast("binary"), 256), 1, 32)).as("fp_sha"),
-        length(t).as("fp_len"),
-        xxhash64(t).as("fp_xx"),
-        col("text").isNull.as("fp_null"))
+      val keyed = docs.select(col("doc_id") +: fingerprintKeyCols: _*)
       val groups = keyed
-        .groupBy(col("fp_sha"), col("fp_len"), col("fp_xx"), col("fp_null"))
+        .groupBy(fingerprintKeyNames.map(col): _*)
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
-      keyed.join(groups, Seq("fp_sha", "fp_len", "fp_xx", "fp_null"))
+      keyed.join(groups, fingerprintKeyNames)
         .select(col("doc_id"), col("keeper"), col("group_size"))
     }
   }

@@ -62,6 +62,47 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  private def writePart(df: org.apache.spark.sql.DataFrame, srcDir: String, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
+    val part = java.nio.file.Files.list(tmp.resolve("d")).iterator()
+    val found = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(found, java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+  }
+
+  test("STREAMING exact dedup: first arrival survives, duplicates within the horizon drop, state evicts past it") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(minutes: Long) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    writePart(Seq((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "alpha", ts(2)))
+      .toDF("doc_id", "text", "ts"), srcDir, "part-0")
+    val drain = EventStream.runDedup(spark, srcDir, "dedup_test", horizon = "1 hour")
+    drain.drain()
+    writePart(Seq((4L, "beta", ts(3)), (5L, "gamma", ts(4)))
+      .toDF("doc_id", "text", "ts"), srcDir, "part-1")
+    drain.drain()
+    // Stream survivors so far == batch Dedup.exact groups over the same
+    // docs (everything within one horizon): one survivor per group, and
+    // arrival order == doc_id order here, so survivor == keeper.
+    val batchKeepers = graft.text.Dedup.exact(
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "beta"), (5L, "gamma"))
+        .toDF("doc_id", "text"))
+      .select("keeper").distinct().as[Long].collect().toSet
+    val sofar = drain.table.select("doc_id").as[Long].collect().toSet
+    assert(sofar == batchKeepers && sofar == Set(1L, 2L, 5L))
+    // Advance the watermark far past horizon: alpha's seen-key state must
+    // be EVICTED (this is what bounds memory), so a far-later duplicate
+    // is a fresh first arrival, not a drop.
+    writePart(Seq((6L, "omega", ts(600))).toDF("doc_id", "text", "ts"), srcDir, "part-2")
+    drain.drain()
+    writePart(Seq((7L, "alpha", ts(601))).toDF("doc_id", "text", "ts"), srcDir, "part-3")
+    val finalDocs = drain.stop().select("doc_id").as[Long].collect().toSet
+    assert(finalDocs == Set(1L, 2L, 5L, 6L, 7L),
+      s"expected horizon-evicted re-duplicate to survive, got $finalDocs")
+  }
+
   test("sessionization: gap splits, per-session bounds and counts") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")

@@ -291,3 +291,70 @@ class VectorSimSpec extends AnyFunSuite {
     assert(VectorSim.autoBits(0, 64, 1024) == 4)
   }
 }
+
+class IvfSpec extends AnyFunSuite {
+  import graft.similarity.Ivf
+  lazy val spark = TestSpark.spark
+
+  lazy val embDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("full probe (nprobe = nlist) is EXACTLY brute force — rank-for-rank") {
+    // Probing every cell scans every candidate through the same rounded
+    // cosine + tie-break, so the approximate path must reproduce the
+    // exact baseline bit-for-bit, not just on recall.
+    val brute = VectorSim.bruteForceTopK(embDf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ivf = Ivf.ivfTopK(embDf, k = 5, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ivf == brute)
+  }
+
+  test("recall@5 is monotone in nprobe and substantial at nprobe=4/16") {
+    val brute = pairs(VectorSim.bruteForceTopK(embDf, k = 5))
+    def recall(nprobe: Int): Double = {
+      val got = pairs(Ivf.ivfTopK(embDf, k = 5, nlist = 16, nprobe = nprobe))
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    assert(r4 >= r1, s"more probes must not lose recall: $r4 vs $r1")
+    assert(r4 > 0.25, s"recall@5(nprobe=4/16) = $r4") // ~25% corpus scanned
+  }
+
+  test("planted near-duplicates: trained cells keep twins together") {
+    // Same workload model as the LSH planted test: 64 gaussian bases +
+    // twins at cosine ≈ 0.999. A twin pair splits only when it straddles
+    // a Voronoi boundary; probing 2/8 cells recovers most splits.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 64).flatMap { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val twin = v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((2L * i, v), (2L * i + 1, twin))
+    }
+    import spark.implicits._
+    val planted = rows.toDF("vec_id", "embedding")
+    val cents = Ivf.kmeans(planted, nlist = 8, iters = 2)
+    val top1 = Ivf.ivfTopK(planted, k = 1, nlist = 8, nprobe = 2,
+        centroids = Some(cents)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 64).count(i => top1.get(2L * i).contains(2L * i + 1))
+    assert(hits >= 55, s"planted near-dup recall@1: $hits/64")
+  }
+
+  test("kmeans: Lloyd iterations do not worsen the spherical objective") {
+    val seed = Ivf.seedCentroids(embDf, 16)
+    val trained = Ivf.kmeans(embDf, nlist = 16, iters = 3)
+    val before = Ivf.objective(embDf, seed)
+    val after = Ivf.objective(embDf, trained)
+    assert(after <= before + 1e-9, s"objective rose: $before -> $after")
+  }
+
+  test("seedCentroids: deterministic, ordered by vec_id, cid dense from 0") {
+    val c1 = Ivf.seedCentroids(embDf, 5)
+    val c2 = Ivf.seedCentroids(embDf, 5)
+    assert(c1.map(_.cid) == (0 until 5))
+    assert(c1.zip(c2).forall { case (a, b) => a.vec.sameElements(b.vec) })
+  }
+}
