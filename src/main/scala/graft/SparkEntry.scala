@@ -25,6 +25,7 @@ object SparkEntry {
     "g_cc" -> (GraphQueries.cc _),
     "g_cc_sizes" -> (GraphQueries.ccSizes _),
     "g_pagerank5" -> (GraphQueries.pagerank(5) _),
+    "g_ppr5" -> (GraphQueries.ppr(5) _),
     "g_lp3" -> (GraphQueries.lp(3) _),
     "g_triangles" -> (GraphQueries.triangles _),
     "g_tri_per_vertex" -> (GraphQueries.triPerVertex _),
@@ -43,6 +44,7 @@ object SparkEntry {
     "q_setop" -> (graft.queries.RelationalQueries.setOps _),
     "q_events_hourly" -> (graft.queries.RelationalQueries.eventsHourly _),
     "m_binary_meta" -> (graft.queries.RelationalQueries.binaryMeta _),
+    "m_frame_sample" -> (graft.queries.RelationalQueries.frameSample _),
     "t_tokens" -> (graft.queries.TextQueries.tokenStats _),
     "t_bpe_tokens" -> (graft.queries.TextQueries.bpeTokens _),
     "t_quality" -> (graft.queries.TextQueries.quality _),
@@ -56,6 +58,8 @@ object SparkEntry {
     "e_cosine_topk" -> (graft.queries.TextQueries.cosineTopK _),
     "e_lsh_topk" -> (graft.queries.TextQueries.lshTopK _),
     "e_ivf_topk" -> (graft.queries.TextQueries.ivfTopK _),
+    "d_embed_neardup" -> (graft.queries.TextQueries.embedNearDup _),
+    "t_winnow" -> (graft.queries.TextQueries.winnow _),
     "q1_agg" -> ((s: SparkSession, dir: String) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -71,6 +75,7 @@ object SparkEntry {
     "g_cc" -> GraphQueries.ccSql,
     "g_cc_sizes" -> GraphQueries.ccSizesSql,
     "g_pagerank5" -> GraphQueries.pagerankSql(5),
+    "g_ppr5" -> GraphQueries.pprSql(5),
     "g_lp3" -> GraphQueries.lpSql(3),
     "g_triangles" -> GraphQueries.trianglesSql,
     "g_tri_per_vertex" -> GraphQueries.triPerVertexSql,
@@ -89,6 +94,7 @@ object SparkEntry {
     "q_setop" -> graft.queries.RelationalQueries.setOpsSql,
     "q_events_hourly" -> graft.queries.RelationalQueries.eventsHourlySql,
     "m_binary_meta" -> graft.queries.RelationalQueries.binaryMetaSql,
+    "m_frame_sample" -> graft.queries.RelationalQueries.frameSampleSql,
     "t_tokens" -> graft.queries.TextQueries.tokenStatsSql,
     "t_bpe_tokens" -> graft.queries.TextQueries.bpeTokensSql,
     "t_quality" -> graft.queries.TextQueries.qualitySql,
@@ -102,6 +108,8 @@ object SparkEntry {
     "e_cosine_topk" -> graft.queries.TextQueries.cosineTopKSql,
     "e_lsh_topk" -> graft.queries.TextQueries.lshTopKSql,
     "e_ivf_topk" -> graft.queries.TextQueries.ivfTopKSql,
+    "d_embed_neardup" -> graft.queries.TextQueries.embedNearDupSql,
+    "t_winnow" -> graft.queries.TextQueries.winnowSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin

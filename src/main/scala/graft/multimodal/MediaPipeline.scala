@@ -81,6 +81,81 @@ object MediaPipeline {
       n_bytes = blob.length.toLong)
   }
 
+  /** One sampled frame payload of a video/container blob. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling for video binary columns: every `stride`-th offset
+    * yields one fixed-size `frameBytes` payload, at most `maxFrames` per
+    * doc — the bounded fan-out a trainer's frame sampler needs (an
+    * UNbounded explode of a long video is the multimodal analogue of a
+    * hub vertex: one row that floods a partition).
+    *
+    * ==== STUB ==== a real demuxer replaces the byte slicing with
+    * container packet extraction + keyframe decode; the per-partition
+    * batching, the bound, and the (doc_id, frame_idx, frame) schema are
+    * the real plumbing — and because the stub is pure byte slicing, the
+    * gate ORACLE can replay it exactly (hex-slice in SQL), so the batch
+    * path is content-verified end to end, not just shape-checked.
+    */
+  def frameSample(df: DataFrame, frameBytes: Int = 48, stride: Int = 128,
+                  maxFrames: Int = 8, batchSize: Int = 64): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, blobOrNull) =>
+            val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
+            val n =
+              if (blob.length < frameBytes) 0
+              else math.min(maxFrames, (blob.length - frameBytes) / stride + 1)
+            (0 until n).iterator.map { i =>
+              Frame(id, i,
+                java.util.Arrays.copyOfRange(blob, i * stride, i * stride + frameBytes))
+            }
+          }
+        }
+      }
+  }
+
+  /** Resized image payload (target dims + stub pixel buffer). */
+  final case class Resized(doc_id: Long, width: Int, height: Int,
+                           pixels: Array[Byte])
+
+  /** Resize stage: binary in → fixed-size binary out, batched per
+    * partition — the shape of a preprocessing step feeding a vision
+    * encoder (every output is exactly width·height·3 bytes, so downstream
+    * batch tensors are rectangular by construction).
+    *
+    * ==== STUB ==== fills the RGB buffer by cycling the source bytes
+    * (deterministic, content-dependent) instead of decode+interpolate;
+    * swap ONLY the buffer fill for a codec call.
+    */
+  def resize(df: DataFrame, width: Int = 32, height: Int = 32,
+             batchSize: Int = 64): Dataset[Resized] = {
+    require(width > 0 && height > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outLen = width * height * 3
+    df.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, blobOrNull) =>
+            val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
+            val out = new Array[Byte](outLen)
+            if (blob.length > 0) {
+              var i = 0
+              while (i < outLen) { out(i) = blob(i % blob.length); i += 1 }
+            }
+            Resized(id, width, height, out)
+          }
+        }
+      }
+  }
+
   /** REAL feature extraction: L1-normalized 256-bin byte histogram per
     * blob — binary → float-vector, the standard multimodal feature shape
     * (swap the body for pixel/CLIP features; schema stays).

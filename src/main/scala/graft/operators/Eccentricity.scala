@@ -73,4 +73,26 @@ object Eccentricity {
     if (t <= 0) 0.0
     else t - 1 + (target - nf(t - 1)) / (nf(t) - nf(t - 1))
   }
+
+  /** Mean distance and spid (shortest-paths index of dispersion,
+    * variance/mean of the distance distribution — WebGraph's
+    * web-vs-social discriminator: spid > 1 ⇒ web-like) from a
+    * neighbourhood function. The distribution's mass at radius t is the
+    * NF increment Δ(t) (Δ(0) = NF(0), the distance-0 self-pairs).
+    */
+  def distanceStats(nf: Seq[Double]): (Double, Double) = {
+    require(nf.nonEmpty)
+    val total = nf.last
+    if (total <= 0) return (0.0, 0.0)
+    var m1 = 0.0
+    var m2 = 0.0
+    for (t <- 1 until nf.length) {
+      val d = nf(t) - nf(t - 1)
+      m1 += t * d
+      m2 += t.toDouble * t * d
+    }
+    val mean = m1 / total
+    val spid = if (mean > 0) (m2 / total - mean * mean) / mean else 0.0
+    (mean, spid)
+  }
 }

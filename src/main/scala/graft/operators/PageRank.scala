@@ -117,4 +117,71 @@ object PageRank {
     */
   def runFixed(graph: Graph, iterations: Int, alpha: Double = 0.85): DataFrame =
     run(graph, alpha, tol = 0.0, maxIter = iterations).ranks
+
+  /** Personalized PageRank: teleport concentrated on a source set instead
+    * of uniform — the seed-relevance primitive (related-page discovery,
+    * topic-conditioned authority) on link graphs.
+    *
+    *   s(v)    = 1/|S| if v ∈ S else 0
+    *   r₀(v)   = s(v)
+    *   rₜ₊₁(v) = (1−α)·s(v) + α·( Σ_{(u,v)∈E} rₜ(u)/outdeg(u) + Dₜ·s(v) )
+    *
+    * Dangling mass goes to the TELEPORT vector (strongly-preferential
+    * PPR), so Σ_v r(v) = 1 every iteration. Kept separate from [[run]]
+    * rather than parameterized: the uniform path's float expression order
+    * is pinned by the hash-verified `g_pagerank5` oracle, and
+    * `(1−α)/n + α·D/n` vs `((1−α) + α·D)·s` differ in last-ulp.
+    *
+    * Same scale shape as [[run]]: one state shuffle per superstep, hub
+    * out-degree pre-split in adjacency chunks, map-side partial sums for
+    * hub in-degree, single action per superstep.
+    */
+  def runPersonalized(
+      graph: Graph,
+      sources: DataFrame,
+      iterations: Int,
+      alpha: Double = 0.85
+  ): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+
+    val adj = graph.adjacency
+    val nSrc = sources.select($"id").distinct().count()
+    require(nSrc > 0, "personalized PageRank needs a non-empty source set")
+    val verts = graph.outDegrees
+      .join(sources.select($"id").distinct().withColumn("inS", lit(true)),
+        Seq("id"), "left")
+      .select($"id", $"deg",
+        when($"inS", lit(1.0 / nSrc)).otherwise(lit(0.0)).as("tele"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = verts.select($"id", $"tele".as("rank"), $"deg", $"tele")
+      .localCheckpoint(true)
+    var dangling = {
+      val r = state.agg(sum(when($"deg" === 0, $"rank"))).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    for (_ <- 1 to iterations) {
+      val contribs = adj
+        .join(state.select($"id".as("src"), $"rank"), Seq("src"))
+        .select(explode($"dsts").as("id"), ($"rank" / $"deg").as("c"))
+        .groupBy($"id")
+        .agg(sum($"c").as("contrib"))
+      val next = state
+        .select($"id", $"deg", $"tele")
+        .join(contribs, Seq("id"), "left")
+        .select($"id",
+          (lit(1.0 - alpha) * $"tele"
+            + lit(alpha) * (coalesce($"contrib", lit(0.0)) + lit(dangling) * $"tele")).as("rank"),
+          $"deg", $"tele")
+        .localCheckpoint(true)
+      // one action: next dangling mass
+      val r = next.agg(sum(when($"deg" === 0, $"rank"))).head()
+      dangling = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      graft.core.Lineage.release(state)
+      state = next
+    }
+    verts.unpersist()
+    state.select($"id", $"rank")
+  }
 }

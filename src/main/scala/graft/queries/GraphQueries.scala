@@ -200,6 +200,58 @@ object GraphQueries {
        |SELECT id, round(rank, 8) AS rank FROM pr$iters""".stripMargin
   }
 
+  /** Personalized PageRank from the 5 smallest vertex ids (a
+    * deterministic stand-in for a user's seed set), `iters` power
+    * iterations, dangling mass to the teleport vector
+    * ([[PageRank.runPersonalized]]).
+    */
+  def ppr(iters: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val srcs = g.vertices.toDF("id").orderBy(col("id")).limit(5)
+    PageRank.runPersonalized(g, srcs, iterations = iters)
+      .select(col("id"), round(col("rank"), 8).as("rank"))
+  }
+
+  /** Unrolled PPR oracle. All constants CAST to DOUBLE (DuckDB decimal
+    * literals would otherwise run decimal arithmetic); `1.0 - 0.85`
+    * written as the subtraction so both engines produce the identical
+    * double (≠ the literal 0.15 by one ulp; round(8) absorbs it anyway).
+    */
+  def pprSql(iters: Int): String = {
+    val a = "CAST(0.85 AS DOUBLE)"
+    val stages = (1 to iters).map { k =>
+      val p = if (k == 1) "ppr0" else s"ppr${k - 1}"
+      s"""ppr$k AS (
+         |  SELECT t.id,
+         |         (CAST(1.0 AS DOUBLE) - $a) * t.tele
+         |           + $a * (coalesce(c.contrib, 0) + d.dang * t.tele) AS rank,
+         |         t.deg, t.tele
+         |  FROM tele t
+         |  CROSS JOIN (SELECT coalesce(sum(rank), 0) AS dang FROM $p WHERE deg = 0) d
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.rank / p.deg) AS contrib
+         |    FROM $p p JOIN edges e ON e.src = p.id
+         |    WHERE p.deg > 0
+         |    GROUP BY e.dst
+         |  ) c ON c.id = t.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |ndeg AS (SELECT n.id, coalesce(od.c, 0) AS deg FROM nodes n LEFT JOIN od ON n.id = od.id),
+       |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+       |cs AS (SELECT count(*) AS c FROM srcs),
+       |tele AS (
+       |  SELECT n.id, n.deg,
+       |         CASE WHEN s.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) / cs.c
+       |              ELSE CAST(0.0 AS DOUBLE) END AS tele
+       |  FROM ndeg n LEFT JOIN srcs s ON n.id = s.id CROSS JOIN cs
+       |),
+       |ppr0 AS (SELECT id, tele AS rank, deg, tele FROM tele),
+       |$stages
+       |SELECT id, round(rank, 8) AS rank FROM ppr$iters""".stripMargin
+  }
+
   def triangles(spark: SparkSession, dir: String): DataFrame =
     TriangleCount
       .triangles(graph(spark, dir))
@@ -422,10 +474,13 @@ object GraphQueries {
   def effDiameter(spark: SparkSession, dir: String): DataFrame = {
     val r = hbShared(spark, dir)
     val ed = Eccentricity.effectiveDiameter(r.neighbourhoodFunction, alpha = 0.9)
+    val (meanDist, spid) = Eccentricity.distanceStats(r.neighbourhoodFunction)
     spark.range(1).select(
       lit(0.9).as("alpha"),
       lit(ed).as("eff_diameter"),
-      lit(r.neighbourhoodFunction.last).as("nf_final"))
+      lit(r.neighbourhoodFunction.last).as("nf_final"),
+      lit(meanDist).as("mean_distance"),
+      lit(spid).as("spid"))
   }
 
   /** Closed-form oracle: per-radius counts from the same distance-closure
@@ -445,15 +500,30 @@ object GraphQueries {
     s"""$prefix,
        |nf AS (SELECT t, sum(c) AS f FROM cnt GROUP BY t),
        |fin AS (SELECT f AS fl FROM nf ORDER BY t DESC LIMIT 1),
-       |x AS (SELECT min(t) AS tc FROM nf, fin WHERE f >= 0.9 * fl)
+       |x AS (SELECT min(t) AS tc FROM nf, fin WHERE f >= 0.9 * fl),
+       |d AS (
+       |  SELECT c1.t, c1.f - c0.f AS df
+       |  FROM nf c1 JOIN nf c0 ON c0.t = c1.t - 1
+       |),
+       |mo AS (
+       |  -- LEFT JOIN keeps the row when d is empty (single-radius graph):
+       |  -- a bare "FROM d, fin" would collapse to zero rows and drop the
+       |  -- whole result instead of reporting mean 0.
+       |  SELECT coalesce(sum(t * df), 0.0) / fl AS mu,
+       |         coalesce(sum(CAST(t AS DOUBLE) * t * df), 0.0) / fl AS m2
+       |  FROM fin LEFT JOIN d ON TRUE GROUP BY fl
+       |)
        |SELECT CAST(0.9 AS DOUBLE) AS alpha,
        |       CASE WHEN s.tc <= 0 THEN 0.0
        |            ELSE s.tc - 1 + (0.9 * s.fl - s.pf) / (s.cf - s.pf) END AS eff_diameter,
-       |       s.fl AS nf_final
+       |       s.fl AS nf_final,
+       |       mo.mu AS mean_distance,
+       |       CASE WHEN mo.mu > 0 THEN (mo.m2 - mo.mu * mo.mu) / mo.mu
+       |            ELSE 0.0 END AS spid
        |FROM (SELECT x.tc, fin.fl,
        |             (SELECT f FROM nf WHERE t = x.tc - 1) AS pf,
        |             (SELECT f FROM nf WHERE t = x.tc) AS cf
-       |      FROM x, fin) s""".stripMargin
+       |      FROM x, fin) s, mo""".stripMargin
   }
 
   /** Full DuckDB oracle for HyperBall (round 2 — no_oracle before).

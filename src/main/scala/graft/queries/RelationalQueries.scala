@@ -129,4 +129,33 @@ object RelationalQueries {
   // magic: first 4 BYTES (8 hex chars), not first 4 characters —
   // left(text,4)||encode would take 4 CODEPOINTS and diverge from the
   // Spark substring-on-binary on any non-ASCII document.
+
+  /** Frame sampling through the REAL batched mapPartitions path
+    * ([[graft.multimodal.MediaPipeline.frameSample]]); frames come back
+    * as hex so the oracle can verify CONTENT (DuckDB's md5 is
+    * VARCHAR-only and it has no blob substring — hex-slicing the encoded
+    * text replays the byte slicing exactly, same trick as binaryMeta's
+    * magic column).
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    graft.multimodal.MediaPipeline.frameSample(d).toDF()
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+  }
+
+  val frameSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS len
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |       substring(hx, CAST(i * 256 + 1 AS BIGINT), 96) AS frame_hex
+      |FROM b, (SELECT unnest(range(0, 8)) AS i) t
+      |WHERE len >= 48 AND i <= (len - 48) // 128""".stripMargin
+  // frameBytes=48, stride=128, maxFrames=8: hex offsets are 2× byte
+  // offsets (i*128*2=i*256; 48*2=96 hex chars); range(0,8) caps frames.
 }

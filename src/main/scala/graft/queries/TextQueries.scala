@@ -390,4 +390,92 @@ object TextQueries {
       |       len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\f\r]')) AS n_subtokens,
       |       len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\f\r]'))) AS n_distinct_subtokens
       |FROM documents""".stripMargin
+
+  // --- winnowing fingerprints -----------------------------------------
+
+  /** MOSS winnowing fingerprint sets ([[TextOps.winnow]], k=8 w=4). */
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    TextOps.winnow(docs(spark, dir), k = 8, w = 4)
+
+  /** Oracle replays the pipeline: k-gram hash → window min → distinct.
+    * Window frames truncate at partition end identically in both
+    * engines, which is what makes the short-doc (m < w) branch portable.
+    */
+  val winnowSql: String =
+    """WITH s AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+      |g AS (SELECT doc_id, s, greatest(length(s) - 7, 0) AS m FROM s),
+      |km AS (SELECT doc_id, m, unnest(range(0, m)) AS pos, s FROM g),
+      |h AS (SELECT doc_id, m, pos,
+      |      CAST(('0x' || substring(md5(substring(s, CAST(pos + 1 AS BIGINT), 8)), 1, 15)) AS BIGINT) AS hv
+      |      FROM km),
+      |wm AS (SELECT doc_id, m, pos,
+      |       min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |       FROM h)
+      |SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= greatest(m - 4, 0)""".stripMargin
+
+  // --- embedding-cosine near-duplicate groups -------------------------
+
+  /** The dedup-family member over EMBEDDINGS: cosine-threshold pairs
+    * ([[VectorSim.nearDupPairs]], multi-probe sign-LSH candidates) →
+    * undirected connected components (the near-dup "group" is the
+    * transitive closure, exactly as exact dedup's identical-text groups)
+    * → keeper = min vec_id. Every vector is output; singletons keep
+    * themselves — same (id, keeper, group_size) contract as
+    * `d_exact_dedup`.
+    *
+    * Gate threshold is 0.4: the synthetic embeddings are isotropic (max
+    * pairwise cosine ≈ 0.51), so a production-style 0.9 threshold would
+    * make the query vacuously all-singletons; 0.4 yields real multi-vec
+    * groups (incl. transitive ones) at sf0.01. CC runs on the PAIR graph
+    * only (near-dup edges, tiny vs the corpus) — the corpus itself never
+    * enters the iteration.
+    */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(spark, dir)
+    val pairs = VectorSim.nearDupPairs(e, threshold = 0.4, dims = 64,
+      bits = 4, probe = 1)
+    val g = graft.core.Graph.fromEdges(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val cc = graft.operators.ConnectedComponents.run(g).components
+    e.select(col("vec_id"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("keeper"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("keeper"))))
+  }
+
+  /** Oracle replays the full pipeline: bucket + probe + threshold pairs,
+    * then CC as a recursive min-label closure (UNION set semantics
+    * terminates it), then per-keeper window count.
+    */
+  val embedNearDupSql: String = {
+    val bucket = (0 until 4).map { b =>
+      val lo = b * 16 + 1
+      val hi = b * 16 + 16
+      s"(CASE WHEN list_sum(e[$lo:$hi]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE $embPrelude,
+       |bkt AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM n),
+       |probes AS (
+       |  SELECT vec_id, e, nrm, xor(bucket, m) AS bucket
+       |  FROM bkt, (SELECT unnest([0, 1, 2, 4, 8]) AS m) t
+       |),
+       |pairs AS (
+       |  SELECT q.vec_id AS a, c.vec_id AS b
+       |  FROM probes q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+       |  WHERE round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+       |              / greatest(q.nrm * c.nrm, 1e-12), 6) >= CAST(0.4 AS DOUBLE)
+       |),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |lbl AS (
+       |  SELECT vec_id, vec_id AS l FROM n
+       |  UNION
+       |  SELECT e.b AS vec_id, lbl.l FROM lbl JOIN edges e ON e.a = lbl.vec_id
+       |),
+       |comp AS (SELECT vec_id, min(l) AS keeper FROM lbl GROUP BY vec_id)
+       |SELECT vec_id, keeper,
+       |       count(*) OVER (PARTITION BY keeper) AS group_size
+       |FROM comp""".stripMargin
+  }
 }

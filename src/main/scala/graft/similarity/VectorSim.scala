@@ -91,6 +91,16 @@ object VectorSim {
     * 1 − θ/π ≈ 0.9+ and near-dup recall is high; the spec pins ≥ 0.9 on
     * a planted-duplicate corpus at bits=8, probe=1.
     */
+  /** Bit-flip masks for multi-probe: the identity plus every mask at
+    * Hamming weight <= probe (precomputed on the driver).
+    */
+  private def probeMasks(effBits: Int, probe: Int): Seq[Int] = {
+    val one = (0 until effBits).map(1 << _)
+    val two = for (i <- 0 until effBits; j <- i + 1 until effBits)
+      yield (1 << i) | (1 << j)
+    Seq(0) ++ (if (probe >= 1) one else Nil) ++ (if (probe >= 2) two else Nil)
+  }
+
   def lshTopK(emb: DataFrame, k: Int = 5, dims: Int = 64, bits: Int = 0,
               probe: Int = 1): DataFrame = {
     require(probe >= 0 && probe <= 2, "probe radius 0..2 supported")
@@ -101,12 +111,7 @@ object VectorSim {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Probe buckets: the query bucket plus every bucket at Hamming
     // distance <= probe (bit-flip masks precomputed on the driver).
-    val masks: Seq[Int] = {
-      val one = (0 until effBits).map(1 << _)
-      val two = for (i <- 0 until effBits; j <- i + 1 until effBits)
-        yield (1 << i) | (1 << j)
-      Seq(0) ++ (if (probe >= 1) one else Nil) ++ (if (probe >= 2) two else Nil)
-    }
+    val masks: Seq[Int] = probeMasks(effBits, probe)
     val q = v.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val pairs = q.as("q").join(v.as("c"),
@@ -116,5 +121,39 @@ object VectorSim {
           / greatest(col("q.nrm") * col("c.nrm"), lit(1e-12)), 6).as("sim"))
     val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("nbr_id"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS: every unordered pair (a < b)
+    * with `round(cosine, 6) >= threshold`, candidates generated by the
+    * same multi-probe sign-LSH bucketing as [[lshTopK]] so candidate
+    * generation stays an equi-join at corpus scale (never an n² compare).
+    * Each qualifying pair inside the probe radius matches via EXACTLY one
+    * probe mask (the mask is determined by the two bucket ids), so no
+    * dedup pass is needed. Output (a, b, sim).
+    *
+    * Recall contract is the LSH one: pairs whose buckets differ by more
+    * than `probe` bits are missed — at a near-dup threshold (cosine
+    * >= 0.9) per-plane agreement is 1 − θ/π ≈ 0.9+, so high-sim pairs
+    * concentrate within the probe radius; that is the standard
+    * SimHash/sign-LSH dedup trade (cf. `d_simhash_pairs`, which makes
+    * the same bargain pigeonhole-COMPLETE for Hamming distance instead).
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, dims: Int = 64,
+                   bits: Int = 0, probe: Int = 1): DataFrame = {
+    require(probe >= 0 && probe <= 2, "probe radius 0..2 supported")
+    val effBits = if (bits > 0) bits else autoBits(emb.count(), dims)
+    val v = emb.select(col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm"),
+      bucketCol(col("embedding"), dims, effBits).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = v.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probeMasks(effBits, probe)
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    q.as("q").join(v.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") < col("c.vec_id"))
+      .select(col("q.vec_id").as("a"), col("c.vec_id").as("b"),
+        round(dotCol(col("q.embedding"), col("c.embedding"))
+          / greatest(col("q.nrm") * col("c.nrm"), lit(1e-12)), 6).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 }

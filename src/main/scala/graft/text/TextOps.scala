@@ -141,4 +141,44 @@ object TextOps {
     docs.select(
       col("doc_id"),
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 — the MOSS algorithm; the rolling-hash fingerprinting a
+    * copy-detection / near-dup pipeline runs at corpus scale): hash every
+    * character k-gram of the lowercased text, slide a window over `w`
+    * consecutive k-gram hashes, keep each window's MINIMUM hash; the
+    * DISTINCT kept hashes are the document's fingerprint set.
+    *
+    * Guarantee: any substring match of length >= w + k - 1 between two
+    * documents shares at least one fingerprint, at ~2/(w+1) of the
+    * k-gram storage. Output is the fingerprint SET (doc_id, fp) —
+    * position info dropped, so the window-min tie rule needs no
+    * cross-engine pinning. Docs with at least one but fewer than w
+    * k-grams emit the min over what exists (the window frame truncates
+    * at doc end); docs shorter than k, or with null text, emit nothing.
+    *
+    * Hashes are [[portableHash60]], so the `t_winnow` DuckDB oracle
+    * replays the whole pipeline. Scale shape: explode + one window
+    * aggregation partitioned by doc_id — no joins, no driver state;
+    * the window partition is a single doc's k-grams (bounded by doc
+    * length, not corpus size).
+    */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0)
+    import org.apache.spark.sql.expressions.Window
+    val s = lower(coalesce(col("text"), lit("")))
+    val m = greatest(length(s) - (k - 1), lit(0)) // k-gram count
+    val km = docs
+      .select(col("doc_id"), s.as("s"), m.as("m"))
+      .select(col("doc_id"), col("m"), col("s"),
+        explode(when(col("m") > 0, sequence(lit(0), col("m") - 1))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("m"), col("pos"),
+        portableHash60(col("s").substr(col("pos") + 1, lit(k))).as("hv"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    km.withColumn("fp", min(col("hv")).over(win))
+      .filter(col("pos") <= greatest(col("m") - w, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
 }

@@ -51,6 +51,38 @@ class MediaSpec extends AnyFunSuite {
     assert(sniffed(12L) == "jpeg" && sniffed(13L) == "png")
   }
 
+  test("frameSample: bounded fan-out, exact slicing, short/null blobs yield no frames") {
+    val longBlob = Array.tabulate(2000)(i => (i * 7).toByte) // (2000-48)/128+1 = 16 → capped at 8
+    val shortBlob = Array.tabulate(300)(_.toByte)            // (300-48)/128+1 = 2
+    val tiny = Array.tabulate(10)(_.toByte)                  // < frameBytes → 0
+    val df = Seq((0L, longBlob), (1L, shortBlob), (2L, tiny), (3L, null))
+      .toDF("doc_id", "blob")
+    val frames = MediaPipeline.frameSample(df, frameBytes = 48, stride = 128,
+        maxFrames = 8, batchSize = 2).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(0L).length == 8 && byDoc(1L).length == 2)
+    assert(!byDoc.contains(2L) && !byDoc.contains(3L))
+    // content: frame i is exactly blob[i*stride, i*stride+frameBytes)
+    byDoc(1L).sortBy(_.frame_idx).zipWithIndex.foreach { case (f, i) =>
+      assert(f.frame.sameElements(shortBlob.slice(i * 128, i * 128 + 48)))
+    }
+    // deterministic across partitionings
+    val again = MediaPipeline.frameSample(df.repartition(3)).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap
+    assert(again == frames.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap)
+  }
+
+  test("resize: every output exactly width*height*3 bytes, content-dependent, null-safe") {
+    val out = MediaPipeline.resize(blobs.union(Seq((9L, null: Array[Byte])).toDF("doc_id", "blob")),
+        width = 4, height = 4, batchSize = 2).collect().map(r => r.doc_id -> r).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(r => r.pixels.length == 4 * 4 * 3 && r.width == 4 && r.height == 4))
+    assert(!out(0L).pixels.sameElements(out(1L).pixels))
+    assert(out(9L).pixels.forall(_ == 0)) // null blob → zero buffer, not a crash
+    // stub fill is cyclic source bytes
+    assert(out(2L).pixels.take(9).sameElements("just text".getBytes("UTF-8")))
+  }
+
   test("byte-histogram features: 256 dims, L1-normalized, content-sensitive") {
     val feats = MediaPipeline.byteHistogram(blobs).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

@@ -248,4 +248,26 @@ class EccentricitySpec extends AnyFunSuite {
     assert(Eccentricity.effectiveDiameter(nf, 1.0) == 3.0)
     assert(math.abs(Eccentricity.effectiveDiameter(nf, 0.5) - 1.0) < 1e-9)
   }
+
+  test("distance stats (mean, spid) from an NF: hand-computed + degenerate cases") {
+    // nf = [3, 7, 9]: Δ(1)=4, Δ(2)=2 over total 9 →
+    // mean = (1·4 + 2·2)/9 = 8/9; E[t²] = (1·4 + 4·2)/9 = 12/9;
+    // spid = (12/9 − (8/9)²)/(8/9)
+    val (mean, spid) = Eccentricity.distanceStats(Seq(3.0, 7.0, 9.0))
+    assert(math.abs(mean - 8.0 / 9.0) < 1e-12)
+    val varWant = 12.0 / 9.0 - math.pow(8.0 / 9.0, 2)
+    assert(math.abs(spid - varWant / (8.0 / 9.0)) < 1e-12)
+    // DIRECTED cycle4: each source sees distances 0,1,2,3 → mean
+    // (1+2+3)/4 = 1.5 over NF.last = 16 pairs (self-pairs in the
+    // denominator, WebGraph's avg-distance convention)
+    val nf = SeqHyperBall.exactNf(Fixtures.cycle4)
+    assert(math.abs(Eccentricity.distanceStats(nf)._1 - 1.5) < 1e-9)
+    // single-radius NF → zero mass beyond t=0 → (0, 0); empty total → (0, 0)
+    assert(Eccentricity.distanceStats(Seq(5.0)) == ((0.0, 0.0)))
+    assert(Eccentricity.distanceStats(Seq(0.0)) == ((0.0, 0.0)))
+    // a trailing converged iteration (Δ=0 tail) must not move the stats
+    val (m1, s1) = Eccentricity.distanceStats(nf)
+    val (m2, s2) = Eccentricity.distanceStats(nf :+ nf.last)
+    assert(m1 == m2 && s1 == s2)
+  }
 }

@@ -103,6 +103,50 @@ class PageRankSpec extends AnyFunSuite {
     assert(deltas.last < 1e-6)
     assert(deltas.sliding(2).forall(w => w.last <= w.head * 1.01))
   }
+
+  /** Sequential strongly-preferential PPR oracle. */
+  private def seqPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     alpha: Double, iters: Int): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tele = nodes.map(v => v -> (if (seeds(v)) 1.0 / seeds.size else 0.0)).toMap
+    var r = tele
+    for (_ <- 1 to iters) {
+      val dang = nodes.filter(v => out.getOrElse(v, Nil).isEmpty).map(r).sum
+      val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (v <- nodes; ds = out.getOrElse(v, Nil); if ds.nonEmpty; d <- ds)
+        contrib(d) += r(v) / ds.size
+      r = nodes.map(v => v ->
+        ((1.0 - alpha) * tele(v) + alpha * (contrib(v) + dang * tele(v)))).toMap
+    }
+    r
+  }
+
+  test("personalized PageRank matches sequential oracle (dangling mass to seeds)") {
+    for (edges <- Seq(Fixtures.bucket9, Fixtures.tree7, Fixtures.erdosRenyi(60, 0.06, 3))) {
+      import spark.implicits._
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val seeds = nodes.take(3)
+      val got = PageRank.runPersonalized(
+          Graph.fromPairs(spark, edges), seeds.toDF("id"), iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = seqPpr(edges, seeds.toSet, 0.85, 8)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"vertex $v") }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conservation
+    }
+  }
+
+  test("PPR locality: vertices unreachable from the seed set rank 0") {
+    import spark.implicits._
+    // two disjoint 2-cycles; seed only in the first
+    val edges = Seq((0L, 1L), (1L, 0L), (10L, 11L), (11L, 10L))
+    val got = PageRank.runPersonalized(
+        Graph.fromPairs(spark, edges), Seq(0L).toDF("id"), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(10L) == 0.0 && got(11L) == 0.0)
+    assert(got(0L) > got(1L) && got(1L) > 0.0)
+  }
 }
 
 class LabelPropagationSpec extends AnyFunSuite {

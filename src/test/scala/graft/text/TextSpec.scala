@@ -90,6 +90,59 @@ class TextOpsSpec extends AnyFunSuite {
   }
 }
 
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TextFixtures._
+
+  /** Plain-Scala winnowing replay (hash values don't matter for the
+    * structural properties, so a JVM hash stands in for portableHash60).
+    */
+  private def winnowScala(text: String, k: Int, w: Int,
+                          h: String => Long): Set[Long] = {
+    val s = text.toLowerCase
+    if (s.length < k) Set.empty
+    else {
+      val hs = (0 to s.length - k).map(p => h(s.substring(p, p + k)))
+      val starts = 0 to math.max(hs.length - w, 0)
+      starts.map(st => hs.slice(st, st + w).min).toSet
+    }
+  }
+
+  private def md5Hash60(g: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("winnow == Scala replay on the fixture corpus (incl. short and null docs)") {
+    import spark.implicits._
+    val withEdge = corpus ++ Seq(6L -> "tiny", 7L -> null, 8L -> "exactly8",
+      9L -> "ninechars") // 8 chars = 1 k-gram (< w); 9 chars = 2 k-grams
+    val got = TextOps.winnow(withEdge.toDF("doc_id", "text"), k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    withEdge.foreach { case (id, text) =>
+      val want = if (text == null) Set.empty[Long]
+                 else winnowScala(text, 8, 4, md5Hash60)
+      assert(got.getOrElse(id, Set.empty[Long]) == want, s"doc $id")
+    }
+    assert(!got.contains(6L) && !got.contains(7L))
+    assert(got(8L).size == 1) // min over the single k-gram
+  }
+
+  test("winnowing guarantee: shared substring >= w+k-1 chars ⇒ shared fingerprint; storage ~2/(w+1)") {
+    // docs 0 and 1 are identical; 0 and 2 share a long prefix
+    val f0 = winnowScala(corpus(0)._2, 8, 4, md5Hash60)
+    val f2 = winnowScala(corpus(2)._2, 8, 4, md5Hash60)
+    val f3 = winnowScala(corpus(3)._2, 8, 4, md5Hash60)
+    assert((f0 intersect f2).nonEmpty) // near-dups share fingerprints
+    assert((f0 intersect f3).isEmpty)  // unrelated docs don't
+    // density: |fps| well under the k-gram count
+    val m = corpus(0)._2.length - 7
+    assert(f0.size < m && f0.size >= m * 2 / (4 + 1) / 2)
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import TextFixtures._
@@ -289,6 +342,68 @@ class VectorSimSpec extends AnyFunSuite {
     assert(VectorSim.autoBits(1L << 20, 64, 1024) == 10)
     assert(VectorSim.autoBits(1000000000L, 64, 1024) == 16)
     assert(VectorSim.autoBits(0, 64, 1024) == 4)
+  }
+
+  /** Scala replay of the sign-LSH bucket id (block-sum signs). */
+  private def bucketOf(v: Array[Float], bits: Int): Int = {
+    val block = 64 / bits
+    (0 until bits).map { b =>
+      val s = v.slice(b * block, (b + 1) * block).map(_.toDouble).sum
+      if (s >= 0) 1 << b else 0
+    }.sum
+  }
+
+  test("nearDupPairs == brute-force threshold pairs restricted to the probe radius") {
+    val got = VectorSim.nearDupPairs(embDf, threshold = 0.3, dims = 64,
+        bits = 4, probe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // no duplicates, a < b everywhere
+    assert(got.keys.forall { case (a, b) => a < b })
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      sim = BigDecimal(cosine(vecs(a), vecs(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if sim >= 0.3
+      if Integer.bitCount(bucketOf(vecs(a), 4) ^ bucketOf(vecs(b), 4)) <= 1
+    } yield (a, b) -> sim).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("embedNearDup: groups are the transitive closure; singletons keep themselves") {
+    val out = graft.queries.TextQueries.embedNearDup(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == vecs.size)
+    // union-find replay over the same candidate pairs at threshold 0.4
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val ids = vecs.keys.toSeq.sorted
+    for {
+      a <- ids; b <- ids if a < b
+      if Integer.bitCount(bucketOf(vecs(a), 4) ^ bucketOf(vecs(b), 4)) <= 1
+      sim = BigDecimal(cosine(vecs(a), vecs(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if sim >= 0.4
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val keeper = ids.map(i => i -> find(i)).toMap
+    val sizes = keeper.groupBy(_._2).map { case (k, m) => k -> m.size.toLong }
+    ids.foreach { i =>
+      assert(out(i) == ((keeper(i), sizes(keeper(i)))), s"vec $i")
+    }
+    // every singleton keeps itself
+    assert(out.collect { case (id, (k, 1L)) => id == k }.forall(identity))
+  }
+
+  test("nearDupPairs at an unreachable threshold yields no pairs and CC degrades to all-singletons") {
+    import spark.implicits._
+    val pairs = VectorSim.nearDupPairs(embDf, threshold = 0.999999,
+      dims = 64, bits = 4, probe = 1)
+    assert(pairs.isEmpty)
+    // the CC-over-empty-graph path (what embedNearDup hits on a clean corpus)
+    val g = graft.core.Graph.fromEdges(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val cc = graft.operators.ConnectedComponents.run(g).components
+    assert(cc.isEmpty)
   }
 }
 
