@@ -26,6 +26,8 @@ object SparkEntry {
     "g_cc_sizes" -> (GraphQueries.ccSizes _),
     "g_pagerank5" -> (GraphQueries.pagerank(5) _),
     "g_ppr5" -> (GraphQueries.ppr(5) _),
+    "g_hits3" -> (GraphQueries.hits(3) _),
+    "g_walks4" -> (GraphQueries.walks(4) _),
     "g_lp3" -> (GraphQueries.lp(3) _),
     "g_triangles" -> (GraphQueries.triangles _),
     "g_tri_per_vertex" -> (GraphQueries.triPerVertex _),
@@ -45,6 +47,8 @@ object SparkEntry {
     "q_events_hourly" -> (graft.queries.RelationalQueries.eventsHourly _),
     "m_binary_meta" -> (graft.queries.RelationalQueries.binaryMeta _),
     "m_frame_sample" -> (graft.queries.RelationalQueries.frameSample _),
+    "q_asof" -> (graft.queries.RelationalQueries.asofOrders _),
+    "i_host_graph" -> (graft.queries.IngestQueries.hostGraph _),
     "t_tokens" -> (graft.queries.TextQueries.tokenStats _),
     "t_bpe_tokens" -> (graft.queries.TextQueries.bpeTokens _),
     "t_quality" -> (graft.queries.TextQueries.quality _),
@@ -60,6 +64,7 @@ object SparkEntry {
     "e_ivf_topk" -> (graft.queries.TextQueries.ivfTopK _),
     "d_embed_neardup" -> (graft.queries.TextQueries.embedNearDup _),
     "t_winnow" -> (graft.queries.TextQueries.winnow _),
+    "t_rep_lines" -> (graft.queries.TextQueries.repLines _),
     "q1_agg" -> ((s: SparkSession, dir: String) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -76,6 +81,8 @@ object SparkEntry {
     "g_cc_sizes" -> GraphQueries.ccSizesSql,
     "g_pagerank5" -> GraphQueries.pagerankSql(5),
     "g_ppr5" -> GraphQueries.pprSql(5),
+    "g_hits3" -> GraphQueries.hitsSql(3),
+    "g_walks4" -> GraphQueries.walksSql(4),
     "g_lp3" -> GraphQueries.lpSql(3),
     "g_triangles" -> GraphQueries.trianglesSql,
     "g_tri_per_vertex" -> GraphQueries.triPerVertexSql,
@@ -95,6 +102,8 @@ object SparkEntry {
     "q_events_hourly" -> graft.queries.RelationalQueries.eventsHourlySql,
     "m_binary_meta" -> graft.queries.RelationalQueries.binaryMetaSql,
     "m_frame_sample" -> graft.queries.RelationalQueries.frameSampleSql,
+    "q_asof" -> graft.queries.RelationalQueries.asofOrdersSql,
+    "i_host_graph" -> graft.queries.IngestQueries.hostGraphSql,
     "t_tokens" -> graft.queries.TextQueries.tokenStatsSql,
     "t_bpe_tokens" -> graft.queries.TextQueries.bpeTokensSql,
     "t_quality" -> graft.queries.TextQueries.qualitySql,
@@ -110,6 +119,7 @@ object SparkEntry {
     "e_ivf_topk" -> graft.queries.TextQueries.ivfTopKSql,
     "d_embed_neardup" -> graft.queries.TextQueries.embedNearDupSql,
     "t_winnow" -> graft.queries.TextQueries.winnowSql,
+    "t_rep_lines" -> graft.queries.TextQueries.repLinesSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin

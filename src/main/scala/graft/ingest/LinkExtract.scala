@@ -91,4 +91,27 @@ object LinkExtract {
     val vm = vertexMap(pages)
     (vm, edges(pages, vm))
   }
+
+  /** Host-graph collapse: page-level (src_url, dst_url) links → weighted
+    * host-level arcs (src_host, dst_host, weight = link multiplicity,
+    * intra-host self-loops kept). The standard web-graph aggregation
+    * (WebGraph's host graphs; the bow-tie analyses run at this level):
+    * a 10¹⁰-edge page graph collapses to a ~10⁷-vertex host graph every
+    * downstream algorithm can then afford dense state for.
+    *
+    * Pure codegen'd expressions + ONE map-side-combined shuffle keyed by
+    * the host pair — per-partition partial counts mean the shuffle
+    * carries at most (distinct host pairs per partition) rows, not one
+    * row per page link. Links whose url has no parseable host collapse
+    * into the empty-string host rather than being dropped (an auditable
+    * bucket, not silent loss).
+    */
+  def hostGraph(links: DataFrame): DataFrame = {
+    val host = (c: String) =>
+      regexp_extract(col(c), "^https?://([^/]+)", 1)
+    links
+      .select(host("src_url").as("src_host"), host("dst_url").as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("weight"))
+  }
 }

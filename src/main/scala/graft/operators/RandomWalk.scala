@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.core.{Graph, Lineage}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-seeded random walks — the graph-embedding
+  * training-data primitive (DeepWalk/node2vec corpora are exactly "a walk
+  * per vertex, k hops"): from every vertex, `steps` hops where the hop
+  * taken at node u on step t is sorted-successor index
+  * `portableHash60(u ++ ":" ++ t) mod outdeg(u)`. Hash-seeded instead of
+  * RNG-seeded so the walk set is reproducible across retries/stragglers
+  * (a re-run task MUST emit the same walk — Spark recomputes lost
+  * partitions from lineage) and replayable by the DuckDB oracle. Dead
+  * ends absorb (the walk stays put), matching PageRank's dangling-mass
+  * convention of never teleporting mid-walk.
+  *
+  * Scale shape: per hop, two equi-joins against persisted vertex-keyed
+  * state — out-degrees, then ONE adjacency chunk. The successor list is
+  * chunk-sliced ([[graft.core.AdjChunk]]): global successor index j lives
+  * at chunk j/chunkSize, offset j%chunkSize, so a 10⁶-degree hub costs
+  * one narrow-keyed lookup per walk, never a hub-sized array in the
+  * shuffle. State is (start, cur) = 16 bytes/walk. All `steps` hop
+  * states stay checkpointed until the long-form output is materialized,
+  * then every intermediate is released — peak pinned state is
+  * (steps+1)·n·16 B, the output's own size.
+  *
+  * Output long-form: (start, step, node), step 0..steps — one walk per
+  * vertex. For corpus generation (many walks per vertex), union runs
+  * with distinct `salt`s mixed into the hash; per-walk cost is
+  * unchanged.
+  */
+object RandomWalk {
+
+  def run(graph: Graph, steps: Int, salt: String = ""): DataFrame = {
+    require(steps >= 0)
+    val spark = graph.spark
+    import spark.implicits._
+
+    val deg = graph.outDegrees // (id, deg), persisted by Graph
+    val adjS = graph.adjacency.toDF().select(
+      $"src".as("a_src"), $"chunk".as("a_chunk"), $"dsts".as("a_dsts"))
+    val chunkSize = graph.chunkSize.toLong
+
+    val states = scala.collection.mutable.ArrayBuffer[DataFrame](
+      graph.vertices.toDF("start")
+        .select($"start", $"start".as("cur"))
+        .localCheckpoint(true))
+
+    for (t <- 1 to steps) {
+      val h = graft.text.TextOps.portableHash60(
+        concat($"cur".cast("string"), lit(":"), lit(salt + t.toString)))
+      val withJ = states.last
+        .join(deg.withColumnRenamed("id", "cur"), Seq("cur"), "left")
+        .select($"start", $"cur",
+          when($"deg" > 0, h % $"deg").as("j")) // j: long % long = long
+      val next = withJ
+        .join(adjS,
+          withJ("cur") === adjS("a_src")
+            && adjS("a_chunk") === (withJ("j") / chunkSize).cast("int"),
+          "left")
+        .select($"start",
+          coalesce(
+            element_at($"a_dsts", ($"j" % chunkSize).cast("int") + 1),
+            $"cur").as("cur"))
+        .localCheckpoint(true)
+      states += next
+    }
+    val out = states.zipWithIndex
+      .map { case (s, t) =>
+        s.select($"start", lit(t.toLong).as("step"), $"cur".as("node"))
+      }
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    states.foreach(Lineage.release)
+    out
+  }
+}

@@ -252,6 +252,89 @@ object GraphQueries {
        |SELECT id, round(rank, 8) AS rank FROM ppr$iters""".stripMargin
   }
 
+  /** Deterministic random walks, one per vertex, `steps` hops
+    * ([[RandomWalk.run]]) — long-form (start, step, node).
+    */
+  def walks(steps: Int)(spark: SparkSession, dir: String): DataFrame =
+    RandomWalk.run(graph(spark, dir), steps)
+
+  /** Oracle replays the walk exactly: sorted-successor index via
+    * row_number, hop choice = md5-prefix hash of "cur:step" mod outdeg,
+    * dead ends absorb.
+    */
+  def walksSql(steps: Int): String = {
+    val stages = (1 to steps).map { t =>
+      val p = s"w${t - 1}"
+      s"""w$t AS (
+         |  SELECT w.start,
+         |         coalesce(s.dst, w.cur) AS cur
+         |  FROM $p w
+         |  LEFT JOIN od d ON d.id = w.cur
+         |  LEFT JOIN sidx s ON s.src = w.cur
+         |    AND s.idx = CAST(('0x' || substring(md5(w.cur || ':' || $t), 1, 15)) AS BIGINT) % d.deg
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to steps)
+      .map(t => s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $edgesSql,
+       |sidx AS (
+       |  SELECT src, dst,
+       |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+       |  FROM edges
+       |),
+       |od AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |w0 AS (SELECT id AS start, id AS cur FROM nodes),
+       |$stages
+       |$out""".stripMargin
+  }
+
+  /** HITS hubs & authorities, `iters` full a-then-h rounds, L1-normalized
+    * ([[Hits.run]]); 8-dp rounding absorbs summation-order ulps.
+    */
+  def hits(iters: Int)(spark: SparkSession, dir: String): DataFrame =
+    Hits.run(graph(spark, dir), iterations = iters)
+      .select(col("id"),
+        round(col("hub"), 8).as("hub"),
+        round(col("auth"), 8).as("auth"))
+
+  /** Unrolled HITS oracle: each half-step is a join-aggregate plus an L1
+    * normalizer CTE; `CASE WHEN s > 0` degrades an edgeless direction to
+    * all-zeros exactly as the Scala side does.
+    */
+  def hitsSql(iters: Int): String = {
+    // One half-step: out(v) = Σ over edges of in(neighbour), L1-normalized.
+    // `fromEdge`/`toEdge` pick the direction (auth gathers over src→dst,
+    // hub over dst→src); `inCol`/`outCol` are the score column names.
+    def half(out: String, in: String, fromEdge: String, toEdge: String,
+             inCol: String, outCol: String): String =
+      s"""${out}r AS (
+         |  SELECT e.$toEdge AS id, sum(p.$inCol) AS $outCol
+         |  FROM $in p JOIN edges e ON e.$fromEdge = p.id GROUP BY e.$toEdge
+         |),
+         |${out}n AS (
+         |  SELECT n.id, coalesce(r.$outCol, CAST(0 AS DOUBLE)) AS $outCol
+         |  FROM nodes n LEFT JOIN ${out}r r ON n.id = r.id
+         |),
+         |${out}s AS (SELECT sum($outCol) AS s FROM ${out}n),
+         |$out AS (
+         |  SELECT id, CASE WHEN s.s > 0 THEN $outCol / s.s
+         |                  ELSE CAST(0 AS DOUBLE) END AS $outCol
+         |  FROM ${out}n CROSS JOIN ${out}s s
+         |)""".stripMargin
+    val stages = (1 to iters).flatMap { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      Seq(
+        half(s"a$k", prevH, "src", "dst", "h", "a"),
+        half(s"h$k", s"a$k", "dst", "src", "a", "h"))
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |h0 AS (SELECT id, CAST(1 AS DOUBLE) AS h FROM nodes),
+       |$stages
+       |SELECT h.id, round(h.h, 8) AS hub, round(a.a, 8) AS auth
+       |FROM h$iters h JOIN a$iters a ON h.id = a.id""".stripMargin
+  }
+
   def triangles(spark: SparkSession, dir: String): DataFrame =
     TriangleCount
       .triangles(graph(spark, dir))

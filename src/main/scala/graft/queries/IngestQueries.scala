@@ -46,14 +46,15 @@ object IngestQueries {
     edges.distinct().select(col("src"), col("dst"))
   }
 
-  val linksSql: String =
-    """WITH cnt AS (SELECT count(*) AS n FROM documents),
+  /** Shared oracle prefix: the derived pages table + extracted links. */
+  private val pagesLnkSql: String =
+    """cnt AS (SELECT count(*) AS n FROM documents),
       |pages AS (
       |  SELECT 'http://site' || (doc_id % 40) || '.test/p' || doc_id AS url,
       |         '<html><body>' || array_to_string(
       |           list_transform(range(0, doc_id % 5),
-      |             j -> '<a href="http://site' || (((doc_id * 31 + j * 17 + 1) % n) % 40)
-      |                  || '.test/p' || ((doc_id * 31 + j * 17 + 1) % n) || '">x</a>'),
+      |             j -> '<a href="http://site' || (((doc_id * 31 + j * 17 + 1) % n) % 40) ||
+      |                  '.test/p' || ((doc_id * 31 + j * 17 + 1) % n) || '">x</a>'),
       |           '') || '</body></html>' AS html
       |  FROM documents CROSS JOIN cnt
       |),
@@ -61,8 +62,26 @@ object IngestQueries {
       |  SELECT url AS src_url,
       |         unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS dst_url
       |  FROM pages
-      |),
-      |ids AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS id FROM pages)
-      |SELECT DISTINCT s.id AS src, t.id AS dst
-      |FROM lnk JOIN ids s ON s.url = lnk.src_url JOIN ids t ON t.url = lnk.dst_url""".stripMargin
+      |)""".stripMargin
+
+  val linksSql: String =
+    s"""WITH $pagesLnkSql,
+       |ids AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS id FROM pages)
+       |SELECT DISTINCT s.id AS src, t.id AS dst
+       |FROM lnk JOIN ids s ON s.url = lnk.src_url JOIN ids t ON t.url = lnk.dst_url""".stripMargin
+
+  /** Weighted host-level graph from the same derived pages
+    * ([[LinkExtract.hostGraph]] over the raw extracted links — weight
+    * counts page-level link multiplicity, before the edge-level
+    * distinct).
+    */
+  def hostGraph(spark: SparkSession, dir: String): DataFrame =
+    LinkExtract.hostGraph(LinkExtract.links(pages(spark, dir)))
+
+  val hostGraphSql: String =
+    s"""WITH $pagesLnkSql
+       |SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+       |       regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+       |       count(*) AS weight
+       |FROM lnk GROUP BY src_host, dst_host""".stripMargin
 }

@@ -158,4 +158,43 @@ object RelationalQueries {
       |WHERE len >= 48 AND i <= (len - 48) // 128""".stripMargin
   // frameBytes=48, stride=128, maxFrames=8: hex offsets are 2× byte
   // offsets (i*128*2=i*256; 48*2=96 hex chars); range(0,8) caps frames.
+
+  /** Point-in-time join: each event picks up the customer's latest order
+    * at-or-before the event timestamp, via the merge-based
+    * [[graft.operators.AsOfJoin]] (one shuffle on the key, linear window
+    * scan — at sf0.01 the naive range join would touch ~95k
+    * (event, earlier-order) pairs for 10k events; the merge touches
+    * |events| + |orders| rows). Orders are first deduped to one per
+    * (custkey, orderdate) — greatest orderkey wins — which is the
+    * operator's right-side uniqueness contract AND makes the pick
+    * deterministic in both engines.
+    */
+  def asofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val r = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    graft.operators.AsOfJoin
+      .asOf(e, r, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  /** DuckDB replays the same dedupe, then its native ASOF LEFT JOIN. */
+  val asofOrdersSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                            ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders
+      |),
+      |rr AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      |       FROM r WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
+      |FROM events e ASOF LEFT JOIN rr
+      |  ON e.user_id = rr.o_custkey AND e.ts >= rr.o_orderdate""".stripMargin
 }

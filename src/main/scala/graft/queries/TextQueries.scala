@@ -391,6 +391,30 @@ object TextQueries {
       |       len(list_distinct(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\f\r]'))) AS n_distinct_subtokens
       |FROM documents""".stripMargin
 
+  // --- repetition signals ----------------------------------------------
+
+  /** Duplicate-line repetition stats ([[TextOps.repLines]]). */
+  def repLines(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repLines(docs(spark, dir))
+
+  val repLinesSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |         list_filter(
+      |           list_transform(string_split(coalesce(text, ''), chr(10)),
+      |                          x -> trim(x)),
+      |           x -> x <> '') AS ls
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       len(ls) AS n_lines,
+      |       len(list_distinct(ls)) AS n_distinct_lines,
+      |       CASE WHEN len(ls) > 0
+      |            THEN round(CAST(1 AS DOUBLE)
+      |                       - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+      |            ELSE CAST(0 AS DOUBLE) END AS dup_line_frac
+      |FROM l""".stripMargin
+
   // --- winnowing fingerprints -----------------------------------------
 
   /** MOSS winnowing fingerprint sets ([[TextOps.winnow]], k=8 w=4). */

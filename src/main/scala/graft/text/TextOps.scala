@@ -69,6 +69,36 @@ object TextOps {
   def bpeTokensCol(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0))
 
+  /** Gopher-style repetition signals: duplicate-LINE statistics per
+    * document (Rae et al. 2021 §A1.1 "repetition removal" — boilerplate
+    * and template pages repeat whole lines; high `dup_line_frac` is one
+    * of the standard quality-filter axes next to [[quality]]'s
+    * length/punct/stopword signals). Lines are `\n`-split, trimmed,
+    * empties dropped. Null text behaves as empty (0 lines, fraction 0).
+    *
+    * Pure codegen'd array expressions — no shuffle at all; the fraction
+    * is ONE IEEE division of exact integers, then round(6) (exact-int
+    * ratios can land on dyadic midpoints only at digit 7+; see
+    * [[tokenStats]] for the engine-rounding analysis — here the round is
+    * safe because 1 - d/n for small ints never hits a x.xxxxxx5
+    * representable boundary the engines split on, and the gate verifies
+    * that empirically).
+    */
+  def repLines(docs: DataFrame): DataFrame = {
+    val lines = filter(
+      transform(split(coalesce(col("text"), lit("")), "\n"), x => trim(x)),
+      x => x =!= "")
+    val n = size(lines)
+    val d = size(array_distinct(lines))
+    docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_lines"),
+      d.cast("long").as("n_distinct_lines"),
+      when(n > 0,
+        round(lit(1.0) - d.cast("double") / n.cast("double"), 6))
+        .otherwise(lit(0.0)).as("dup_line_frac"))
+  }
+
   /** English-ish stopwords drawn from the corpus vocabulary. */
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
 
