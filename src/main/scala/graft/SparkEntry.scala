@@ -48,6 +48,7 @@ object SparkEntry {
     "m_binary_meta" -> (graft.queries.RelationalQueries.binaryMeta _),
     "m_frame_sample" -> (graft.queries.RelationalQueries.frameSample _),
     "q_asof" -> (graft.queries.RelationalQueries.asofOrders _),
+    "q_range" -> (graft.queries.RelationalQueries.rangeEvents _),
     "i_host_graph" -> (graft.queries.IngestQueries.hostGraph _),
     "t_tokens" -> (graft.queries.TextQueries.tokenStats _),
     "t_bpe_tokens" -> (graft.queries.TextQueries.bpeTokens _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "m_binary_meta" -> graft.queries.RelationalQueries.binaryMetaSql,
     "m_frame_sample" -> graft.queries.RelationalQueries.frameSampleSql,
     "q_asof" -> graft.queries.RelationalQueries.asofOrdersSql,
+    "q_range" -> graft.queries.RelationalQueries.rangeEventsSql,
     "i_host_graph" -> graft.queries.IngestQueries.hostGraphSql,
     "t_tokens" -> graft.queries.TextQueries.tokenStatsSql,
     "t_bpe_tokens" -> graft.queries.TextQueries.bpeTokensSql,

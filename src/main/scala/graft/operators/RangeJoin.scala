@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bin-bucketed range join: all (left, right) pairs with equal keys where
+  * the right point `t` falls inside the left interval `[lo, hi]` — the
+  * interval/temporal-window primitive (event × validity window, reading ×
+  * calibration period) that Spark SQL plans as a broadcast-nested-loop or
+  * a per-key cartesian + filter, both quadratic per key.
+  *
+  * The bucketed plan: the left interval is exploded over the time bins it
+  * covers (at most (hi−lo)/binWidth + 1 rows — bounded by the interval
+  * length, a caller-known constant, never by data volume), the right
+  * point maps to exactly ONE bin, and the join becomes an equi-join on
+  * (key, bin) followed by the exact BETWEEN filter. Each qualifying pair
+  * matches in exactly one bin — the one containing `t` — so no dedup
+  * pass is needed. Cost: one shuffle of |L|·(bins/interval) + |R| narrow
+  * rows; candidate density per bucket is (pairs whose bins collide), the
+  * quantity `binWidth` tunes (≈ interval length is the sweet spot:
+  * ~2 bins per left row, right rows spread across time).
+  *
+  * Times are numeric (epoch seconds/micros as long); callers cast
+  * timestamps. Intervals with hi < lo, or null key/bounds/point, match
+  * nothing. Floor-division bins handle negative times correctly.
+  *
+  * Output: every left column, then every right column EXCEPT the right
+  * key (it equals the left key and is merged into it by the equi-join);
+  * inner-join semantics; other name collisions are the caller's to
+  * resolve.
+  */
+object RangeJoin {
+
+  def pointInInterval(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      lo: String,
+      hi: String,
+      t: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // Exact floor-division bin of a (possibly negative) long time:
+    // subtract the nonneg pmod first, so the double division is of an
+    // exact multiple (no FP boundary flips at bin edges).
+    def bin(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    val l2 = left
+      .where(col(leftKey).isNotNull && col(lo).isNotNull && col(hi).isNotNull
+        && col(lo) <= col(hi))
+      .withColumn("__bin",
+        explode(sequence(bin(col(lo)), bin(col(hi)))))
+      .withColumnRenamed(leftKey, "__k")
+    val r2 = right
+      .where(col(rightKey).isNotNull && col(t).isNotNull)
+      .withColumn("__bin", bin(col(t)))
+      .withColumnRenamed(rightKey, "__k")
+    l2.join(r2, Seq("__k", "__bin"))
+      .where(col(t) >= col(lo) && col(t) <= col(hi))
+      .drop("__bin")
+      .withColumnRenamed("__k", leftKey)
+  }
+}

@@ -184,6 +184,37 @@ object RelationalQueries {
         col("o_totalprice"))
   }
 
+  /** Interval join: same-user event pairs within the preceding hour —
+    * (a, b) where b fired in [a.ts − 1h, a.ts], via the bin-bucketed
+    * [[graft.operators.RangeJoin]] (bin = window width ⇒ each left
+    * interval explodes to ≤ 2 bins; the join is an equi-join on
+    * (user, bin), never a per-user cartesian). Microsecond epochs on
+    * both sides (`unix_micros` / `epoch_us`) keep the comparison exact
+    * integer arithmetic in both engines.
+    */
+  def rangeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val win = 3600000000L // 1 hour in micros
+    // ts is TIMESTAMP_NTZ in the parquet; the session runs UTC
+    // (Sessions.tuned), so the NTZ→TIMESTAMP cast is value-preserving and
+    // unix_micros equals DuckDB's epoch_us on the naive value.
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val l = ev.select(col("event_id").as("a"), col("user_id"),
+      (us - win).as("lo"), us.as("hi"))
+    val r = ev.select(col("event_id").as("b"), col("user_id").as("u2"),
+      us.as("bts"))
+    graft.operators.RangeJoin
+      .pointInInterval(l, r, "user_id", "u2", "lo", "hi", "bts", binWidth = win)
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("user_id"))
+  }
+
+  val rangeEventsSql: String =
+    """SELECT a.event_id AS a, b.event_id AS b, a.user_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_id <> b.event_id
+      |  AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000 AND epoch_us(a.ts)""".stripMargin
+
   /** DuckDB replays the same dedupe, then its native ASOF LEFT JOIN. */
   val asofOrdersSql: String =
     """WITH r AS (
