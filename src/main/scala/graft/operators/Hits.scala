@@ -40,13 +40,21 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = graph.vertices.toDF("id")
 
+    // Checkpoint the UNNORMALIZED gather first so the join is computed
+    // exactly once; the normalizer sum and the division are then two
+    // cheap scans of the checkpointed blocks (the naive order — agg
+    // action, then checkpoint the lazy frame — runs the gather join
+    // twice per half-step).
     def l1Normalize(scores: DataFrame, scoreCol: String): DataFrame = {
-      val r = scores.agg(sum(col(scoreCol))).head()
+      val raw = scores.localCheckpoint(true)
+      val r = raw.agg(sum(col(scoreCol))).head()
       val s = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
       val normed =
-        if (s > 0) scores.select($"id", (col(scoreCol) / lit(s)).as(scoreCol))
-        else scores.select($"id", lit(0.0).as(scoreCol))
-      normed.localCheckpoint(true)
+        if (s > 0) raw.select($"id", (col(scoreCol) / lit(s)).as(scoreCol))
+        else raw.select($"id", lit(0.0).as(scoreCol))
+      val out = normed.localCheckpoint(true)
+      Lineage.release(raw)
+      out
     }
 
     var hub = verts.select($"id", lit(1.0).as("h")).localCheckpoint(true)

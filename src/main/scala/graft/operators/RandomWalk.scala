@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * ends absorb (the walk stays put), matching PageRank's dangling-mass
   * convention of never teleporting mid-walk.
   *
-  * Scale shape: per hop, two equi-joins against persisted vertex-keyed
-  * state — out-degrees, then ONE adjacency chunk. The successor list is
-  * chunk-sliced ([[graft.core.AdjChunk]]): global successor index j lives
-  * at chunk j/chunkSize, offset j%chunkSize, so a 10⁶-degree hub costs
-  * one narrow-keyed lookup per walk, never a hub-sized array in the
-  * shuffle. State is (start, cur) = 16 bytes/walk. All `steps` hop
+  * Scale shape: ONE equi-join per hop — state meets the chunk-sliced
+  * adjacency ([[graft.core.AdjChunk]]) on the current vertex; every
+  * chunk row carries the FULL out-degree, so the hop index
+  * j = hash mod deg and its owning chunk (j/chunkSize, offset
+  * j%chunkSize) are computed from the joined row itself, no separate
+  * degree join. Non-hub vertices join exactly one chunk row; a
+  * 10⁶-degree hub fans out to its chunk COUNT (deg/chunkSize narrow
+  * rows, filtered to the one owning chunk) — never a hub-sized array
+  * in the shuffle. State is (start, cur) = 16 bytes/walk. All `steps` hop
   * states stay checkpointed until the long-form output is materialized,
   * then every intermediate is released — peak pinned state is
   * (steps+1)·n·16 B, the output's own size.
@@ -37,9 +40,9 @@ object RandomWalk {
     val spark = graph.spark
     import spark.implicits._
 
-    val deg = graph.outDegrees // (id, deg), persisted by Graph
     val adjS = graph.adjacency.toDF().select(
-      $"src".as("a_src"), $"chunk".as("a_chunk"), $"dsts".as("a_dsts"))
+      $"src".as("a_src"), $"deg".as("a_deg"),
+      $"chunk".as("a_chunk"), $"dsts".as("a_dsts"))
     val chunkSize = graph.chunkSize.toLong
 
     val states = scala.collection.mutable.ArrayBuffer[DataFrame](
@@ -50,15 +53,16 @@ object RandomWalk {
     for (t <- 1 to steps) {
       val h = graft.text.TextOps.portableHash60(
         concat($"cur".cast("string"), lit(":"), lit(salt + t.toString)))
-      val withJ = states.last
-        .join(deg.withColumnRenamed("id", "cur"), Seq("cur"), "left")
-        .select($"start", $"cur",
-          when($"deg" > 0, h % $"deg").as("j")) // j: long % long = long
-      val next = withJ
-        .join(adjS,
-          withJ("cur") === adjS("a_src")
-            && adjS("a_chunk") === (withJ("j") / chunkSize).cast("int"),
-          "left")
+      val st = states.last
+      // One left join on the current vertex; each chunk row knows the
+      // full degree, so the hop index and its owning chunk are derived
+      // in-row and the non-owning chunk rows of hubs are filtered out.
+      // Dead ends (no adjacency row at all) keep a_src null and absorb.
+      val next = st
+        .join(adjS, st("cur") === adjS("a_src"), "left")
+        .withColumn("j", (h % $"a_deg")) // a_deg >= 1 on every chunk row
+        .where($"a_src".isNull
+          || ($"j" / chunkSize).cast("long") === $"a_chunk".cast("long"))
         .select($"start",
           coalesce(
             element_at($"a_dsts", ($"j" % chunkSize).cast("int") + 1),
