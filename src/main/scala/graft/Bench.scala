@@ -2,25 +2,35 @@ package graft
 
 import graft.core.Graph
 import graft.ingest.PageGen
-import graft.operators.PageRank
+import graft.operators.{Bfs, PageRank}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main. Prints ONE JSON line:
-  * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…, …extras}
+/** Benchmark main. Prints a cumulative JSON line after EVERY completed
+  * section — the last line is always the most complete artifact, and a
+  * driver-side timeout (rc=124) still leaves the per-query numbers in the
+  * captured tail (round 3 printed one line at the very end; its timeout
+  * produced zero signal — VERDICT r3 #1). Sections, in order of artifact
+  * value per second spent:
   *
-  * Headline (BASELINE.md target metric), measured on deterministic
-  * synthetic web graphs (PageGen, seed 42):
-  *
-  *  1. SCALING: PageRank steady-state edges/sec/iteration at TWO
-  *     parallelism levels — local[N/4] vs local[N] with matched shuffle
+  *  1. QUERIES: the driver-contract queries timed on the sf dir (single
+  *     pass by default — SPARK_GRAFT_QUERY_REPEATS overrides).
+  *  2. BFS: one full breadth-first visit on the bench graph, nodes/sec
+  *     (the reference's bench_bfv.rs throughput metric).
+  *  3. SCALING: PageRank steady-state edges/sec/iteration at TWO
+  *     parallelism levels — local[N/16] vs local[N/4] with matched shuffle
   *     partitions — on byte-identical input; scaling efficiency =
   *     (eps_high/eps_low)/4, target ≥0.8 (the in-sandbox stand-in for
   *     N vs 4N executors, BASELINE.md protocol). Steady state = median
   *     per-superstep wall from the metrics history, excluding the first
   *     superstep (one-time vertex/degree materialization).
-  *  2. CONVERGENCE: wall-time + iterations to L1 delta < 1e-6 at full
-  *     parallelism.
-  *  3. The driver-contract queries timed on the sf dir.
+  *  4. FULL: steady-state throughput at full parallelism (headline
+  *     edges_per_sec_per_iter).
+  *  5. CONVERGENCE: wall-time + iterations to L1 delta < 1e-6.
+  *
+  * An overall wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200 s)
+  * fails soft: optional repeats are skipped once the measured cost of the
+  * next leg no longer fits, and the skip is recorded in the artifact
+  * (`"skipped"`) instead of the whole run dying on rc=124.
   */
 object Bench {
 
@@ -125,12 +135,16 @@ object Bench {
     val scaleNodes = sys.env.getOrElse("SPARK_GRAFT_BENCH_NODES", "8000000").toLong
     // The scaling PAIR uses a smaller graph than the full-throughput
     // headline: the pair's job is the RATIO on byte-identical input, and
-    // a 4M-node graph keeps 2 interleaved repeats of 11 iterations
-    // inside the bench budget.
+    // a 4M-node graph keeps the repeated legs inside the bench budget.
     val pairNodes = sys.env.getOrElse("SPARK_GRAFT_PAIR_NODES", "4000000").toLong
     val convNodes = sys.env.getOrElse("SPARK_GRAFT_CONV_NODES", "2000000").toLong
     val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "11").toInt
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val queryRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "1").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    val wall0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wall0) / 1e9
+    def remaining: Double = budgetSec - elapsed
     // The N vs 4N pair runs with hardware HEADROOM (cpus/16 vs cpus/4
     // cores of a cpus-core box): saturating every hardware thread of one
     // box measures its shared memory-bandwidth/GC ceiling, not the
@@ -139,73 +153,138 @@ object Bench {
     val lowCores = math.max(1, cpus / 16)
     val highCores = math.max(2, cpus / 4)
 
-    val pairPath = genEdges(pairNodes, cpus, cpus)
-    val scalePath = if (scaleNodes == pairNodes) pairPath else genEdges(scaleNodes, cpus, cpus)
-    val convPath = if (convNodes == scaleNodes) scalePath else genEdges(convNodes, cpus, cpus)
-
-    // Interleaved repeats (L,H,L,H,…), each leg a fresh child JVM; the
-    // per-leg estimator is the MINIMUM of the repeats' steady-state
-    // medians — the standard noise-robust throughput estimator on a
-    // shared box (r1's 0.438 outlier was one contended high leg).
-    val lowRuns = Vector.newBuilder[LegResult]
-    val highRuns = Vector.newBuilder[LegResult]
-    for (_ <- 1 to math.max(repeats, 1)) {
-      lowRuns += runLeg(lowCores, cpus, pairPath, "fixed", scaleIters.toString)
-      highRuns += runLeg(highCores, cpus, pairPath, "fixed", scaleIters.toString)
+    // ---- cumulative artifact ------------------------------------------
+    // Ordered (key -> raw JSON value) sections; emit() prints one complete
+    // JSON line from everything measured so far. Numeric headline keys
+    // appear only once actually measured (a zero placeholder would read as
+    // a real measurement to the artifact's consumers).
+    val sections = scala.collection.mutable.LinkedHashMap[String, String]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    var valueSec = 0.0
+    def emit(status: String): Unit = {
+      sections("skipped") =
+        skipped.map(s => s""""${jsonSafe(s)}"""").mkString("[", ",", "]")
+      sections("budget") =
+        f"""{"budgetSec":$budgetSec%.0f,"elapsedSec":$elapsed%.1f}"""
+      sections("status") = s""""${jsonSafe(status)}""""
+      val body = sections.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      println(
+        f"""{"metric":"pagerank_scaling_and_convergence","value":$valueSec%.2f,"unit":"sec","sf":"$sfDir",$body}""")
     }
-    val (lows, highs) = (lowRuns.result(), highRuns.result())
-    // Headline throughput: steady state at FULL parallelism — also
-    // min-of-repeats (full-saturation legs measured 3.8–7.2 s/iter
-    // run-to-run on a shared box).
-    val fulls = Vector.fill(math.max(math.min(repeats, 2), 1))(
-      runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString))
-    val full = fulls.minBy(_.secPerIter)
-    val nEdges = lows.head.edges
-    val secIterLow = lows.map(_.secPerIter).min
-    val secIterHigh = highs.map(_.secPerIter).min
-    val secIterFull = full.secPerIter
-    val (totLow, totHigh, totFull) =
-      (lows.map(_.totalSec).sum, highs.map(_.totalSec).sum, fulls.map(_.totalSec).sum)
-    val epsLow = nEdges / secIterLow
-    val epsHigh = nEdges / secIterHigh
-    val epsFull = full.edges / secIterFull
-    val scalingEff = (epsHigh / epsLow) / (highCores.toDouble / lowCores)
-    def runsJson(rs: Vector[LegResult]) =
-      rs.map(r => f"${r.secPerIter}%.3f").mkString("[", ",", "]")
 
-    val conv = runLeg(cpus, cpus, convPath, "conv", "1e-6")
-    val (convEdges, convIters, convOk, convSec) = (conv.edges, conv.iters, conv.converged, conv.totalSec)
-
+    // ---- 1. queries (the per-round artifact the gate cross-references) --
     val spark = session(cpus, cpus)
     val (queryBest, queryCold, queryErrors) = try {
-      timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+      timeQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), queryRepeats)
     } finally spark.stop()
-
     // "queries" keeps the ARTIFACT semantics of BENCH_r01/r02 (cold first
     // pass, memo attribution included) so round-over-round comparisons
-    // stay cold-vs-cold; "queries_min2" is the noise-robust min across
-    // passes — for memoized g_* queries that is a warm-cache time, so it
-    // measures run-to-run stability, not cold cost.
-    val qs = queryCold.toSeq.sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val qsMin = queryBest.toSeq.sortBy(_._1)
-      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val qErrs = queryErrors.toSeq.sortBy(_._1)
+    // stay cold-vs-cold; "queries_min2" is the min across passes when
+    // SPARK_GRAFT_QUERY_REPEATS > 1 (equal to "queries" at the default 1
+    // — the second pass is warm-cache time and round 3 showed the double
+    // pass is what blew the driver budget).
+    def numMap(m: Map[String, Double]) =
+      m.toSeq.sortBy(_._1).map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    sections("queries") = numMap(queryCold)
+    sections("queries_min2") = numMap(queryBest)
+    sections("query_errors") = queryErrors.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"${jsonSafe(v)}"""" }.mkString("{", ",", "}")
-    val total = queryCold.values.sum + totLow + totHigh + totFull + convSec
-    val pr =
-      f"""{"pairNodes":$pairNodes,"pairEdges":$nEdges,"scaleNodes":$scaleNodes,""" +
-      f""""coresLow":$lowCores,"secPerIterLow":$secIterLow%.3f,"epsLow":${epsLow.round},""" +
-      f""""secPerIterLowRuns":${runsJson(lows)},""" +
-      f""""coresHigh":$highCores,"secPerIterHigh":$secIterHigh%.3f,"epsHigh":${epsHigh.round},""" +
-      f""""secPerIterHighRuns":${runsJson(highs)},""" +
-      f""""repeats":$repeats,"steadyItersPerRun":${scaleIters - 1},""" +
-      f""""scalingEfficiency":$scalingEff%.3f,""" +
-      f""""coresFull":$cpus,"secPerIterFull":$secIterFull%.3f,"epsFull":${epsFull.round},""" +
-      f""""convNodes":$convNodes,"convEdges":$convEdges,"convTol":1e-6,""" +
-      f""""convIters":$convIters,"convConverged":$convOk,"convWallSec":$convSec%.2f}"""
-    println(
-      f"""{"metric":"pagerank_scaling_and_convergence","value":$total%.2f,"unit":"sec","queries":$qs,"queries_min2":$qsMin,"query_errors":$qErrs,"query_failures":${queryErrors.size},"sf":"$sfDir","pagerank":$pr,"edges_per_sec_per_iter":${epsFull.round},"scaling_efficiency":$scalingEff%.3f}""")
+    sections("query_failures") = queryErrors.size.toString
+    valueSec += queryCold.values.sum
+    emit("partial:queries")
+
+    // ---- 2. BFS throughput (bench_bfv.rs analogue) ----------------------
+    val pairPath = genEdges(pairNodes, cpus, cpus)
+    locally {
+      val s = session(cpus, cpus)
+      try {
+        val g = Graph.fromEdges(s.read.parquet(pairPath))
+        g.adjacency.count() // adjacency build excluded, like the PR legs
+        val t0 = System.nanoTime()
+        val reached = Bfs.run(g, Seq(0L)).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        sections("bfs") =
+          f"""{"nodes":$pairNodes,"reached":$reached,"wallSec":$wall%.2f,"nodesPerSec":${(reached / wall).round}}"""
+        valueSec += wall
+      } finally s.stop()
+    }
+    emit("partial:bfs")
+
+    // ---- 3. scaling pair (interleaved L,H legs, min-of-repeats) ---------
+    // Repeat 1 is mandatory; later repeats run only while they fit the
+    // budget with reserve for the remaining sections (full + convergence,
+    // estimated from the measured pair cost until measured themselves).
+    val lows = scala.collection.mutable.ArrayBuffer[LegResult]()
+    val highs = scala.collection.mutable.ArrayBuffer[LegResult]()
+    var pairCost = 0.0
+    def emitScaling(): Unit = {
+      val nEdges = lows.head.edges
+      val secIterLow = lows.map(_.secPerIter).min
+      val secIterHigh = highs.map(_.secPerIter).min
+      val epsLow = nEdges / secIterLow
+      val epsHigh = nEdges / secIterHigh
+      val eff = (epsHigh / epsLow) / (highCores.toDouble / lowCores)
+      def runsJson(rs: Seq[LegResult]) =
+        rs.map(r => f"${r.secPerIter}%.3f").mkString("[", ",", "]")
+      sections("pagerank") =
+        f"""{"pairNodes":$pairNodes,"pairEdges":$nEdges,""" +
+        f""""coresLow":$lowCores,"secPerIterLow":$secIterLow%.3f,"epsLow":${epsLow.round},""" +
+        f""""secPerIterLowRuns":${runsJson(lows.toSeq)},""" +
+        f""""coresHigh":$highCores,"secPerIterHigh":$secIterHigh%.3f,"epsHigh":${epsHigh.round},""" +
+        f""""secPerIterHighRuns":${runsJson(highs.toSeq)},""" +
+        f""""repeats":${lows.size},"steadyItersPerRun":${scaleIters - 1},""" +
+        f""""scalingEfficiency":$eff%.3f}"""
+      sections("scaling_efficiency") = f"$eff%.3f"
+    }
+    for (r <- 1 to math.max(repeats, 1)) {
+      val fits = r == 1 || remaining > 1.3 * pairCost + 2.0 * pairCost
+      if (fits) {
+        val t0 = System.nanoTime()
+        lows += runLeg(lowCores, cpus, pairPath, "fixed", scaleIters.toString)
+        highs += runLeg(highCores, cpus, pairPath, "fixed", scaleIters.toString)
+        pairCost = (System.nanoTime() - t0) / 1e9
+        valueSec += lows.last.totalSec + highs.last.totalSec
+        emitScaling()
+        emit(s"partial:scaling$r")
+      } else skipped += s"scaling repeat $r (budget)"
+    }
+
+    // ---- 4. full-parallelism throughput (headline) ----------------------
+    val scalePath = if (scaleNodes == pairNodes) pairPath else genEdges(scaleNodes, cpus, cpus)
+    val fulls = scala.collection.mutable.ArrayBuffer[LegResult]()
+    var fullCost = pairCost // prior estimate until measured
+    for (r <- 1 to math.max(math.min(repeats, 2), 1)) {
+      val fits = r == 1 || remaining > 1.3 * fullCost + fullCost
+      if (fits) {
+        val t0 = System.nanoTime()
+        fulls += runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString)
+        fullCost = (System.nanoTime() - t0) / 1e9
+        valueSec += fulls.last.totalSec
+        val full = fulls.minBy(_.secPerIter)
+        val epsFull = full.edges / full.secPerIter
+        sections("full") =
+          f"""{"scaleNodes":$scaleNodes,"scaleEdges":${full.edges},"coresFull":$cpus,""" +
+          f""""secPerIterFull":${full.secPerIter}%.3f,"epsFull":${epsFull.round},"runs":${fulls.size}}"""
+        sections("edges_per_sec_per_iter") = s"${epsFull.round}"
+        emit(s"partial:full$r")
+      } else skipped += s"full repeat $r (budget)"
+    }
+
+    // ---- 5. convergence to 1e-6 -----------------------------------------
+    // Always attempted (it is half the BASELINE.json metric) unless the
+    // budget is ALREADY blown — in which case the artifact says so rather
+    // than the process dying mid-leg with nothing on stdout.
+    if (remaining > 0) {
+      val convPath = if (convNodes == scaleNodes) scalePath
+                     else if (convNodes == pairNodes) pairPath
+                     else genEdges(convNodes, cpus, cpus)
+      val conv = runLeg(cpus, cpus, convPath, "conv", "1e-6")
+      sections("convergence") =
+        f"""{"convNodes":$convNodes,"convEdges":${conv.edges},"convTol":1e-6,""" +
+        f""""convIters":${conv.iters},"convConverged":${conv.converged},"convWallSec":${conv.totalSec}%.2f}"""
+      valueSec += conv.totalSec
+    } else skipped += "convergence (budget)"
+    emit("complete")
   }
 
   /** Time the driver-contract queries: `repeats` passes over the (sorted)
@@ -213,27 +292,20 @@ object Bench {
     * errors). The FIRST pass carries the artifact semantics (memoized
     * shared graph/cc/scc/ess state is paid there — honest family
     * attribution, sums to the real wall cost); the MIN map is the
-    * noise-robustness view (the d_* family varies ±20% run-to-run on a
-    * shared box; for memoized queries it is a warm-cache time by
-    * construction).
+    * noise-robustness view (for memoized queries it is a warm-cache time
+    * by construction). Default is now ONE pass: the r3 double pass grew
+    * the bench past the driver's wall budget (VERDICT r3 #1).
     *
     * A query that throws is recorded in the error map and keeps its
     * attempt time — a bench-side regression must read as a FAILURE, not
     * as a near-zero "speedup" (VERDICT r2). Unit-tested directly with an
     * injected failing query.
-    *
-    * Known limitation: operators that persist intermediates without
-    * transferring ownership (minhash/simhash signature frames, the
-    * similarity operators' normalized-vector frames) pin one extra copy
-    * per extra pass for the session; the frames are small (≤ a few MB at
-    * bench scale) and the session ends right after, but repeats should
-    * stay low.
     */
   private[graft] def timeQueries(
       spark: SparkSession,
       sfDir: String,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
-      repeats: Int = 2
+      repeats: Int = 1
   ): (Map[String, Double], Map[String, Double], Map[String, String]) = {
     val best = scala.collection.mutable.Map[String, Double]()
     val cold = scala.collection.mutable.Map[String, Double]()

@@ -56,6 +56,7 @@ object SparkEntry {
     "t_langid" -> (graft.queries.TextQueries.langId _),
     "t_fingerprint" -> (graft.queries.TextQueries.fingerprint _),
     "d_exact_dedup" -> (graft.queries.TextQueries.exactDedup _),
+    "s_dedup_first" -> (graft.queries.TextQueries.dedupFirst _),
     "d_ngram_jaccard" -> (graft.queries.TextQueries.ngramJaccard _),
     "d_minhash_lsh" -> (graft.queries.TextQueries.minHashLsh _),
     "d_simhash" -> (graft.queries.TextQueries.simHash _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "t_langid" -> graft.queries.TextQueries.langIdSql,
     "t_fingerprint" -> graft.queries.TextQueries.fingerprintSql,
     "d_exact_dedup" -> graft.queries.TextQueries.exactDedupSql,
+    "s_dedup_first" -> graft.queries.TextQueries.dedupFirstSql,
     "d_ngram_jaccard" -> graft.queries.TextQueries.ngramJaccardSql,
     "d_minhash_lsh" -> graft.queries.TextQueries.minHashLshSql,
     "d_simhash" -> graft.queries.TextQueries.simHashSql,

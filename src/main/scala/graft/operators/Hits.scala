@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.core.{Graph, Lineage}
-import org.apache.spark.sql.DataFrame
+import graft.core.{AdjChunk, Graph, Lineage}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -18,12 +18,21 @@ import org.apache.spark.storage.StorageLevel
   * argument is an order-dependent dot product. An edgeless direction
   * normalizes to all-zeros rather than dividing by zero.
   *
-  * Scale shape matches [[PageRank.run]]: per iteration, two equi-joins of
-  * the persisted CSR adjacency against the (id, score) state — shuffle
-  * carries only 16-byte state rows, hub successor lists are pre-chunked
-  * (`AdjChunk`), partial aggregation is map-side — plus one driver scalar
-  * per half-step (the L1 normalizer, the same one-action-per-superstep
-  * budget as PageRank's dangling sum). Lineage is cut every iteration.
+  * Scale shape matches [[PageRank.run]] exactly — in BOTH directions:
+  *  - the a-step gathers through the persisted forward adjacency
+  *    (partitioned by src), the h-step through the persisted TRANSPOSE
+  *    adjacency (partitioned by ITS src = the forward dst) — HyperBall's
+  *    transpose-push pattern. Each half-step therefore shuffles only the
+  *    16-byte (id, score) state rows; the arc table never re-shuffles.
+  *    (The r3 version joined one flat arc table on `dst` for the h-step,
+  *    re-shuffling all E arcs per half-step — O(E) vs O(V) state.)
+  *  - hub successor lists are pre-chunked (`AdjChunk` salting) and hub
+  *    in-degree is absorbed by map-side partial sums;
+  *  - ONE action per half-step: the gather is cached lazily and the L1
+  *    normalizer is folded into the checkpointed plan as a 1-row cross
+  *    join — the normalizer's aggregate stage reads the cached gather, so
+  *    the join executes once and no separate driver action is spent on
+  *    the scalar (the r3 version spent 2 actions per half-step).
   */
 object Hits {
 
@@ -33,57 +42,59 @@ object Hits {
     val spark = graph.spark
     import spark.implicits._
 
-    val adj = graph.adjacency
-    // (src, dst) pairs from the chunked adjacency — reused each iteration.
-    val arcs = adj
-      .select($"src", explode($"dsts").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = graph.adjacency            // gather direction of the a-step
+    val tadj = graph.transposeAdjacency  // gather direction of the h-step
     val verts = graph.vertices.toDF("id")
-
-    // Checkpoint the UNNORMALIZED gather first so the join is computed
-    // exactly once; the normalizer sum and the division are then two
-    // cheap scans of the checkpointed blocks (the naive order — agg
-    // action, then checkpoint the lazy frame — runs the gather join
-    // twice per half-step).
-    def l1Normalize(scores: DataFrame, scoreCol: String): DataFrame = {
-      val raw = scores.localCheckpoint(true)
-      val r = raw.agg(sum(col(scoreCol))).head()
-      val s = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-      val normed =
-        if (s > 0) raw.select($"id", (col(scoreCol) / lit(s)).as(scoreCol))
-        else raw.select($"id", lit(0.0).as(scoreCol))
-      val out = normed.localCheckpoint(true)
-      Lineage.release(raw)
-      out
-    }
 
     var hub = verts.select($"id", lit(1.0).as("h")).localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = arcs
-        .join(hub.select($"id".as("src"), $"h"), Seq("src"))
-        .groupBy($"dst".as("id"))
-        .agg(sum($"h").as("a"))
-      val aAll = verts
-        .join(aRaw, Seq("id"), "left")
-        .select($"id", coalesce($"a", lit(0.0)).as("a"))
-      val aNext = l1Normalize(aAll, "a")
+      val aNext = halfStep(verts, adj, hub, "h", "a")
       if (auth != null) Lineage.release(auth)
       auth = aNext
-
-      val hRaw = arcs
-        .join(auth.select($"id".as("dst"), $"a"), Seq("dst"))
-        .groupBy($"src".as("id"))
-        .agg(sum($"a").as("h"))
-      val hAll = verts
-        .join(hRaw, Seq("id"), "left")
-        .select($"id", coalesce($"h", lit(0.0)).as("h"))
-      val hNext = l1Normalize(hAll, "h")
+      val hNext = halfStep(verts, tadj, auth, "a", "h")
       Lineage.release(hub)
       hub = hNext
     }
-    val out = hub.join(auth, Seq("id")).select($"id", $"h".as("hub"), $"a".as("auth"))
-    arcs.unpersist()
-    out
+    hub.join(auth, Seq("id")).select($"id", $"h".as("hub"), $"a".as("auth"))
+  }
+
+  /** One half-step: out(id) = Σ over the gather adjacency of the in-score,
+    * L1-normalized; vertices with no gather row coalesce to 0 before
+    * normalization. Exposed package-private so `PlanSpec` can pin the
+    * physical shape (no arc-side exchange — the gather adjacency is read
+    * from its persisted src-partitioned form in both directions).
+    */
+  private[graft] def halfStep(verts: DataFrame, gather: Dataset[AdjChunk],
+                              state: DataFrame, inCol: String, outCol: String): DataFrame = {
+    val spark = verts.sparkSession
+    import spark.implicits._
+    val all = gatherScores(verts, gather, state, inCol, outCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val normed = all
+      .crossJoin(all.agg(sum(col(outCol)).as("_s")))
+      .select($"id",
+        when($"_s" > 0, col(outCol) / $"_s").otherwise(lit(0.0)).as(outCol))
+      .localCheckpoint(true)
+    all.unpersist(blocking = false)
+    normed
+  }
+
+  /** The (lazy) gather plan of one half-step — out(id) = Σ in-score over
+    * the gather adjacency, 0-coalesced over all vertices. Separate from
+    * the checkpointing wrapper so `PlanSpec` can pin its physical shape.
+    */
+  private[graft] def gatherScores(verts: DataFrame, gather: Dataset[AdjChunk],
+                                  state: DataFrame, inCol: String, outCol: String): DataFrame = {
+    val spark = verts.sparkSession
+    import spark.implicits._
+    val raw = gather
+      .join(state.select($"id".as("src"), col(inCol).as("s")), Seq("src"))
+      .select(explode($"dsts").as("id"), $"s")
+      .groupBy($"id")
+      .agg(sum($"s").as(outCol))
+    verts
+      .join(raw, Seq("id"), "left")
+      .select($"id", coalesce(col(outCol), lit(0.0)).as(outCol))
   }
 }

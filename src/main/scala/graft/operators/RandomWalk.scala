@@ -51,24 +51,7 @@ object RandomWalk {
         .localCheckpoint(true))
 
     for (t <- 1 to steps) {
-      val h = graft.text.TextOps.portableHash60(
-        concat($"cur".cast("string"), lit(":"), lit(salt + t.toString)))
-      val st = states.last
-      // One left join on the current vertex; each chunk row knows the
-      // full degree, so the hop index and its owning chunk are derived
-      // in-row and the non-owning chunk rows of hubs are filtered out.
-      // Dead ends (no adjacency row at all) keep a_src null and absorb.
-      val next = st
-        .join(adjS, st("cur") === adjS("a_src"), "left")
-        .withColumn("j", (h % $"a_deg")) // a_deg >= 1 on every chunk row
-        .where($"a_src".isNull
-          || ($"j" / chunkSize).cast("long") === $"a_chunk".cast("long"))
-        .select($"start",
-          coalesce(
-            element_at($"a_dsts", ($"j" % chunkSize).cast("int") + 1),
-            $"cur").as("cur"))
-        .localCheckpoint(true)
-      states += next
+      states += hopStep(states.last, adjS, chunkSize, t, salt).localCheckpoint(true)
     }
     val out = states.zipWithIndex
       .map { case (s, t) =>
@@ -78,5 +61,29 @@ object RandomWalk {
       .localCheckpoint(true)
     states.foreach(Lineage.release)
     out
+  }
+
+  /** One (lazy) hop plan: one left join on the current vertex; each chunk
+    * row knows the full degree, so the hop index and its owning chunk are
+    * derived in-row and the non-owning chunk rows of hubs are filtered
+    * out. Dead ends (no adjacency row at all) keep a_src null and absorb.
+    * Separate from the checkpointing loop so `PlanSpec` can pin the
+    * one-exchange-per-hop shape.
+    */
+  private[graft] def hopStep(st: DataFrame, adjS: DataFrame, chunkSize: Long,
+                             t: Int, salt: String): DataFrame = {
+    val spark = st.sparkSession
+    import spark.implicits._
+    val h = graft.text.TextOps.portableHash60(
+      concat($"cur".cast("string"), lit(":"), lit(salt + t.toString)))
+    st
+      .join(adjS, st("cur") === adjS("a_src"), "left")
+      .withColumn("j", (h % $"a_deg")) // a_deg >= 1 on every chunk row
+      .where($"a_src".isNull
+        || ($"j" / chunkSize).cast("long") === $"a_chunk".cast("long"))
+      .select($"start",
+        coalesce(
+          element_at($"a_dsts", ($"j" % chunkSize).cast("int") + 1),
+          $"cur").as("cur"))
   }
 }

@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Default per-row bin bound: a left row covering more bins than this is
+    * EXCLUDED from the join (see [[oversizedIntervals]]). 2^16 bins ≈ a
+    * 64k-binWidth-long interval — far beyond any sane interval/binWidth
+    * ratio (the sweet spot is ~2 bins/interval), yet small enough that no
+    * single row can materialize an array near Spark's limit.
+    */
+  val DefaultMaxBins: Long = 1L << 16
+
   def pointInInterval(
       left: DataFrame,
       right: DataFrame,
@@ -39,9 +47,11 @@ object RangeJoin {
       lo: String,
       hi: String,
       t: String,
-      binWidth: Long
+      binWidth: Long,
+      maxBins: Long = DefaultMaxBins
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBins > 0, "maxBins must be positive")
     // Exact floor-division bin of a (possibly negative) long time:
     // subtract the nonneg pmod first, so the double division is of an
     // exact multiple (no FP boundary flips at bin edges).
@@ -50,6 +60,12 @@ object RangeJoin {
     val l2 = left
       .where(col(leftKey).isNotNull && col(lo).isNotNull && col(hi).isNotNull
         && col(lo) <= col(hi))
+      // Guard BEFORE the explode: one malformed sentinel interval (e.g.
+      // hi = Long.MaxValue) would otherwise make sequence() exceed Spark's
+      // max array length and kill the whole job at runtime (ADVICE r3).
+      // Oversized rows are dropped from the join — auditable via
+      // [[oversizedIntervals]], which evaluates the same predicate.
+      .where(bin(col(hi)) - bin(col(lo)) < lit(maxBins))
       .withColumn("__bin",
         explode(sequence(bin(col(lo)), bin(col(hi)))))
       .withColumnRenamed(leftKey, "__k")
@@ -61,5 +77,27 @@ object RangeJoin {
       .where(col(t) >= col(lo) && col(t) <= col(hi))
       .drop("__bin")
       .withColumnRenamed("__k", leftKey)
+  }
+
+  /** The left rows [[pointInInterval]] DROPS under `maxBins` — the audit
+    * face of the guard: a pipeline that must not lose rows silently runs
+    * this (count or sink it) next to the join; anything it returns is a
+    * data-quality incident (a sentinel hi, a units mix-up), not a join
+    * input.
+    */
+  def oversizedIntervals(
+      left: DataFrame,
+      leftKey: String,
+      lo: String,
+      hi: String,
+      binWidth: Long,
+      maxBins: Long = DefaultMaxBins
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    left.where(col(leftKey).isNotNull && col(lo).isNotNull && col(hi).isNotNull
+      && col(lo) <= col(hi)
+      && bin(col(hi)) - bin(col(lo)) >= lit(maxBins))
   }
 }

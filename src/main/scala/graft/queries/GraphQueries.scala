@@ -23,13 +23,19 @@ object GraphQueries {
     */
   val N = 601
 
-  /** Shared SQL prelude: the derived edge set + its vertex set. */
+  /** Shared SQL prelude: the derived edge set + its vertex set.
+    * MATERIALIZED: DuckDB 1.0 inlines every CTE reference by default, so
+    * a multi-stage oracle would re-run the lineitem scan + DISTINCT once
+    * per reference (the unrolled BFS references `edges` at every level —
+    * round 3's gate profiled minutes per closure oracle largely from
+    * exactly this re-evaluation).
+    */
   val edgesSql: String =
-    s"""edges AS (
+    s"""edges AS MATERIALIZED (
        |  SELECT DISTINCT (l_partkey % $N) AS src,
        |         ((l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $N) AS dst
        |  FROM lineitem
-       |), nodes AS (
+       |), nodes AS MATERIALIZED (
        |  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
        |)""".stripMargin
 
@@ -133,7 +139,7 @@ object GraphQueries {
 
   val ccSql: String =
     s"""WITH RECURSIVE $edgesSql,
-       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
@@ -151,7 +157,7 @@ object GraphQueries {
 
   val ccSizesSql: String =
     s"""WITH RECURSIVE $edgesSql,
-       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
@@ -410,27 +416,55 @@ object GraphQueries {
        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
        |GROUP BY r1.a""".stripMargin
 
-  /** Shared oracle prelude: min distance per reachable pair. The depth cap
-    * only stops the recursion on cyclic walks; it must exceed the graph's
-    * diameter or the oracle would truncate distances and false-fail the
-    * gate. The derived graph's EXACT diameter is BFS-measured per sf:
-    * 5 (sf0.001), 3 (sf0.01), 2 (sf0.1) — cap 15 is a 3× margin, and a
-    * larger cap (e.g. 60) makes the DuckDB closure explore 601²·cap walk
-    * triples (minutes per query) for no added safety.
+  /** Unrolled frontier BFS in portable SQL: a CTE chain ending in
+    * `dist(src, id, dist)` = exact min-hop distances from every vertex of
+    * `nodes` over the arc relation `rel`.
+    *
+    * Level k expands only the LEVEL-(k−1) FRONTIER and anti-joins the
+    * accumulated pair set, so a level past the graph's actual diameter
+    * expands an empty frontier — near-free. The unroll depth `cap` is
+    * therefore a safety MARGIN, not a cost multiplier. (The r3 oracle was
+    * a recursive `walk(src,id,d)` CTE: carrying d in the UNION dedup key
+    * re-enumerated every reachable pair once per remaining depth level —
+    * profiled at 48–195 s PER QUERY at sf0.01, ~25 min gate total on the
+    * driver box, which is precisely what timed out round 3's artifacts.
+    * This form profiles at seconds; same exact result.)
+    *
+    * `cap` must still be ≥ the graph's diameter for exactness: the
+    * derived graph's BFS-measured diameter is ≤5 directed (sf0.001) and
+    * shrinks with sf; the symmetrized one is ≤4. Cap 10 is a 2× margin.
     */
-  private val distSql: String =
-    s"""walk(src, id, d) AS (
-       |  SELECT id, id, 0 FROM nodes
-       |  UNION
-       |  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 15
-       |),
-       |dist AS (SELECT src, id, min(d) AS dist FROM walk GROUP BY src, id)""".stripMargin
+  private def bfsDistChain(rel: String, cap: Int = 10): String = {
+    // MATERIALIZED throughout: bf/ba are each referenced twice (expansion
+    // + anti-join, accumulation) — inlined, the chain re-derives the whole
+    // prefix at every level (exponential plan growth).
+    val stages = (1 to cap).map { k =>
+      s"""bf$k AS MATERIALIZED (
+         |  SELECT DISTINCT f.src, e.dst AS id
+         |  FROM bf${k - 1} f JOIN $rel e ON e.src = f.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ba${k - 1} a WHERE a.src = f.src AND a.id = e.dst)
+         |),
+         |ba$k AS MATERIALIZED (SELECT src, id FROM ba${k - 1} UNION ALL SELECT src, id FROM bf$k)""".stripMargin
+    }.mkString(",\n")
+    val levels = (0 to cap)
+      .map(k => s"SELECT src, id, $k AS dist FROM bf$k")
+      .mkString("\n  UNION ALL ")
+    s"""bf0 AS MATERIALIZED (SELECT id AS src, id AS id FROM nodes),
+       |ba0 AS (SELECT src, id FROM bf0),
+       |$stages,
+       |dist AS MATERIALIZED (
+       |  $levels
+       |)""".stripMargin
+  }
+
+  /** Shared oracle prelude: min distance per reachable pair (directed). */
+  private lazy val distSql: String = bfsDistChain("edges")
 
   def ecc(spark: SparkSession, dir: String): DataFrame =
     essShared(spark, dir).ecc
 
-  val eccSql: String =
-    s"""WITH RECURSIVE $edgesSql,
+  lazy val eccSql: String =
+    s"""WITH $edgesSql,
        |$distSql
        |SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src""".stripMargin
 
@@ -446,21 +480,15 @@ object GraphQueries {
         .ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** Depth cap 15: the SYMMETRIZED graph's exact diameter is
-    * BFS-measured per sf — 4 (sf0.001), 2 (sf0.01), 2 (sf0.1) — NOT
-    * inherited from the directed measurement (symmetrization can create
-    * longer finite paths between previously mutually-unreachable pairs,
-    * so the directed cap justification doesn't transfer).
+  /** Same unrolled BFS over the SYMMETRIZED arcs (diameter ≤4 measured;
+    * the cap-10 margin holds independently of the directed measurement —
+    * symmetrization can lengthen finite paths between previously
+    * mutually-unreachable pairs).
     */
-  val eccUndirectedSql: String =
-    s"""WITH RECURSIVE $edgesSql,
-       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-       |walk(src, id, d) AS (
-       |  SELECT id, id, 0 FROM nodes
-       |  UNION
-       |  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN sym e ON e.src = w.id WHERE w.d < 15
-       |),
-       |dist AS (SELECT src, id, min(d) AS dist FROM walk GROUP BY src, id)
+  lazy val eccUndirectedSql: String =
+    s"""WITH $edgesSql,
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |${bfsDistChain("sym")}
        |SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src""".stripMargin
 
   /** Exact per-vertex reachable-set size (the exact form of HyperBall's
@@ -488,10 +516,10 @@ object GraphQueries {
       .toDF("radius", "radius_vertex", "diameter", "diameter_vertex")
   }
 
-  val radiusDiameterSql: String =
-    s"""WITH RECURSIVE $edgesSql,
+  lazy val radiusDiameterSql: String =
+    s"""WITH $edgesSql,
        |$distSql,
-       |ecc AS (SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src),
+       |ecc AS MATERIALIZED (SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src),
        |scc AS (
        |  SELECT d1.src AS id, min(d1.id) AS comp
        |  FROM dist d1 JOIN dist d2 ON d2.src = d1.id AND d2.id = d1.src
@@ -501,7 +529,7 @@ object GraphQueries {
        |  SELECT comp FROM (SELECT comp, count(*) AS c FROM scc GROUP BY comp
        |                    ORDER BY c DESC, comp ASC LIMIT 1) t
        |),
-       |radial AS (SELECT DISTINCT d.src AS id FROM dist d JOIN largest l ON d.id = l.comp)
+       |radial AS MATERIALIZED (SELECT DISTINCT d.src AS id FROM dist d JOIN largest l ON d.id = l.comp)
        |SELECT
        |  (SELECT e.ecc FROM ecc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius,
        |  (SELECT e.id  FROM ecc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius_vertex,
@@ -573,14 +601,11 @@ object GraphQueries {
     * repeat the converged value under the monotone clamp) cannot move the
     * FIRST crossing, so both sides agree on the index.
     */
-  // lazy: declared above hyperballSql in source order, and object vals
-  // initialize top-down — an eager val here reads null and NPEs the
-  // whole object's <clinit>.
+  // Composed from the SAME shared CTE chain as hyperballSql (ADVICE r3:
+  // the old version sliced hyperballSql by indexOf, which any reformat
+  // would break into a StringIndexOutOfBoundsException).
   lazy val effDiameterSql: String = {
-    // Reuse hyperballSql's CTE chain up to `cnt` by textual prefix: the
-    // chain is a WITH list, so cutting at the `delta AS` entry is stable.
-    val prefix = hyperballSql.substring(0, hyperballSql.indexOf(",\n|delta AS".replace("|", "")))
-    s"""$prefix,
+    s"""$hyperballCoreSql,
        |nf AS (SELECT t, sum(c) AS f FROM cnt GROUP BY t),
        |fin AS (SELECT f AS fl FROM nf ORDER BY t DESC LIMIT 1),
        |x AS (SELECT min(t) AS tc FROM nf, fin WHERE f >= 0.9 * fl),
@@ -609,7 +634,11 @@ object GraphQueries {
        |      FROM x, fin) s, mo""".stripMargin
   }
 
-  /** Full DuckDB oracle for HyperBall (round 2 — no_oracle before).
+  /** The shared CTE chain (edges … cnt) of the HyperBall oracles:
+    * per-(vertex, radius) HLL count reconstruction from the distance
+    * closure. Ends at `cnt(v, t, c)`; [[hyperballSql]] appends the
+    * per-vertex centrality tail, [[effDiameterSql]] the NF/interpolation
+    * tail (composed, not substring-sliced — ADVICE r3).
     *
     * No iteration is simulated: register-max merge is idempotent/
     * commutative/associative, so the sketch of v after t rounds is
@@ -624,7 +653,7 @@ object GraphQueries {
     * (register-sum order) differ at ~1 ulp; the driver compares with
     * rtol 1e-9.
     */
-  val hyperballSql: String = {
+  private lazy val hyperballCoreSql: String = {
     val U = "18446744073709551616" // 2^64
     // seed*C1 mod 2^64 precomputed (the 64-bit literal product would
     // overflow BIGINT); C2/C3 as unsigned decimal literals.
@@ -636,14 +665,9 @@ object GraphQueries {
          | + (((($z % 4294967296) * ($c // 4294967296)
          |     + ($z // 4294967296) * ($c % 4294967296)) % 4294967296) * 4294967296)
          |) % $U""".stripMargin
-    s"""WITH RECURSIVE $edgesSql,
-       |walk(src, id, d) AS (
-       |  SELECT id, id, 0 FROM nodes
-       |  UNION
-       |  SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.id WHERE w.d < 15
-       |),
-       |dist AS (SELECT src, id, min(d) AS dist FROM walk GROUP BY src, id),
-       |maxt AS (SELECT max(dist) AS mt FROM dist),
+    s"""WITH $edgesSql,
+       |${bfsDistChain("edges")},
+       |maxt AS MATERIALIZED (SELECT max(dist) AS mt FROM dist),
        |hz0 AS (
        |  SELECT id,
        |    (CASE WHEN id < 0 THEN CAST(id AS HUGEINT) + $U ELSE CAST(id AS HUGEINT) END
@@ -653,13 +677,13 @@ object GraphQueries {
        |hz1 AS (SELECT id, ${wmul("xor(z, z >> 30)", c2)} AS z FROM hz0),
        |hz2 AS (SELECT id, ${wmul("xor(z, z >> 27)", c3)} AS z FROM hz1),
        |hv AS (SELECT id, xor(z, z >> 31) AS h FROM hz2),
-       |reg AS (
+       |reg AS MATERIALIZED (
        |  SELECT id, CAST(h % 64 AS BIGINT) AS j,
        |         CAST(log2(CAST(((h >> 6) | 288230376151711744) &
        |              ($U - ((h >> 6) | 288230376151711744)) AS DOUBLE)) AS BIGINT) + 1 AS rho
        |  FROM hv
        |),
-       |ball AS (
+       |ball AS MATERIALIZED (
        |  SELECT d.src AS v, t.t, r.j, max(r.rho) AS rho
        |  FROM dist d
        |  JOIN reg r ON r.id = d.id
@@ -671,14 +695,18 @@ object GraphQueries {
        |  SELECT v, t, count(*) AS present, sum(power(2.0, -rho)) AS invp
        |  FROM ball GROUP BY v, t
        |),
-       |cnt AS (
+       |cnt AS MATERIALIZED (
        |  SELECT v, t,
        |         CASE WHEN (64 - present) > 0
        |               AND (0.709 * 64 * 64 / (invp + (64 - present))) <= 160.0
        |              THEN 64 * ln(64.0 / (64 - present))
        |              ELSE 0.709 * 64 * 64 / (invp + (64 - present)) END AS c
        |  FROM est
-       |),
+       |)""".stripMargin
+  }
+
+  lazy val hyperballSql: String = {
+    s"""$hyperballCoreSql,
        |delta AS (
        |  SELECT c1.v, c1.t, c1.c - c0.c AS dc
        |  FROM cnt c1 JOIN cnt c0 ON c0.v = c1.v AND c0.t = c1.t - 1
@@ -728,7 +756,7 @@ object GraphQueries {
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH $edgesSql,
-       |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
        |symnl AS (SELECT src, dst FROM sym WHERE src <> dst),
        |lab0 AS (SELECT id, id AS label FROM nodes),
        |$stages

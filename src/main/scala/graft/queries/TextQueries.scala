@@ -124,6 +124,30 @@ object TextQueries {
       |       count(*) OVER (PARTITION BY text) AS group_size
       |FROM documents""".stripMargin
 
+  /** Streaming-dedup batch face ([[EventStream.dedupBatchFace]]): the
+    * first-ARRIVAL survivor per fingerprint key, under a synthetic
+    * arrival time `(doc_id * 37) % 1009` that deliberately disagrees
+    * with doc_id order — so the result differs from d_exact_dedup's
+    * min-doc_id keeper and actually pins the order-by-arrival contract
+    * the stream implements. Oracle groups by `text` itself (equivalent
+    * to the fingerprint absent collisions, which the 128-bit-sha key
+    * rules out on any non-adversarial corpus).
+    */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("arr", pmod(col("doc_id") * 37, lit(1009)))
+    graft.streaming.EventStream.dedupBatchFace(d, "arr", "doc_id")
+      .select(col("doc_id"), col("arr"))
+  }
+
+  val dedupFirstSql: String =
+    """SELECT doc_id, arr FROM (
+      |  SELECT doc_id, (doc_id * 37) % 1009 AS arr,
+      |         row_number() OVER (PARTITION BY text
+      |                            ORDER BY (doc_id * 37) % 1009, doc_id) AS rn
+      |  FROM documents
+      |) t WHERE rn = 1""".stripMargin
+
   // --- n-gram jaccard near-dup ---------------------------------------
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =

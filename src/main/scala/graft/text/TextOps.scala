@@ -187,14 +187,30 @@ object TextOps {
     * k-grams emit the min over what exists (the window frame truncates
     * at doc end); docs shorter than k, or with null text, emit nothing.
     *
-    * Hashes are [[portableHash60]], so the `t_winnow` DuckDB oracle
-    * replays the whole pipeline. Scale shape: explode + one window
-    * aggregation partitioned by doc_id — no joins, no driver state;
-    * the window partition is a single doc's k-grams (bounded by doc
-    * length, not corpus size).
+    * `hashMode` picks the k-gram hash:
+    *  - `"md5"` (default): [[portableHash60]], so the `t_winnow` DuckDB
+    *    oracle replays the whole pipeline — the gate stays hash-verified;
+    *  - `"xxhash64"`: Spark's codegen'd xxhash64 masked to the same
+    *    nonneg 60-bit range — ~10× less per-character hashing work (md5
+    *    of an 8-byte gram per character is the dominant winnow cost at
+    *    crawl scale; VERDICT r3 #4). Engine-only (no SQL twin), so it is
+    *    spec-verified differentially against the md5 mode: the winnowing
+    *    GUARANTEE and the ~2/(w+1) density are hash-choice-independent;
+    *    only which specific grams win the window minima changes.
+    *
+    * Scale shape: explode + one window aggregation partitioned by doc_id
+    * — no joins, no driver state; the window partition is a single doc's
+    * k-grams (bounded by doc length, not corpus size).
     */
-  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
+             hashMode: String = "md5"): DataFrame = {
     require(k > 0 && w > 0)
+    val hash: Column => Column = hashMode match {
+      case "md5" => portableHash60
+      case "xxhash64" => c => xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxhash64, got $other")
+    }
     import org.apache.spark.sql.expressions.Window
     val s = lower(coalesce(col("text"), lit("")))
     val m = greatest(length(s) - (k - 1), lit(0)) // k-gram count
@@ -204,7 +220,7 @@ object TextOps {
         explode(when(col("m") > 0, sequence(lit(0), col("m") - 1))
           .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col("doc_id"), col("m"), col("pos"),
-        portableHash60(col("s").substr(col("pos") + 1, lit(k))).as("hv"))
+        hash(col("s").substr(col("pos") + 1, lit(k))).as("hv"))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     km.withColumn("fp", min(col("hv")).over(win))

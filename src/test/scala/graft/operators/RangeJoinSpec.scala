@@ -56,6 +56,24 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == 0)
   }
 
+  test("maxBins guard: a sentinel interval cannot kill the job, and the drop is auditable") {
+    // ADVICE r3: hi = Long.MaxValue would make sequence() exceed Spark's
+    // max array length and fail the whole job at runtime
+    val l = Seq((1L, 0L, 100L, 200L), (2L, 0L, 0L, Long.MaxValue))
+      .toDF("lid", "k", "lo", "hi")
+    val r = Seq((10L, 0L, 150L)).toDF("rid", "rk", "t")
+    val got = RangeJoin.pointInInterval(l, r, "k", "rk", "lo", "hi", "t", binWidth = 100L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L))) // sane row joined; sentinel row excluded, job alive
+    val dropped = RangeJoin.oversizedIntervals(l, "k", "lo", "hi", binWidth = 100L)
+      .select("lid").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L))
+    // the bound is a parameter: 70001 bins trips the default 2^16, not 2^17
+    val wide = Seq((3L, 0L, 0L, 100L * 70000L)).toDF("lid", "k", "lo", "hi")
+    assert(RangeJoin.oversizedIntervals(wide, "k", "lo", "hi", 100L).count() == 1)
+    assert(RangeJoin.oversizedIntervals(wide, "k", "lo", "hi", 100L, maxBins = 1L << 17).count() == 0)
+  }
+
   test("plan: equi-join on (key, bin), no nested-loop/cartesian") {
     val l = Seq((1L, 0L, 100L, 200L)).toDF("lid", "k", "lo", "hi")
     val r = Seq((10L, 0L, 100L)).toDF("rid", "rk", "t")

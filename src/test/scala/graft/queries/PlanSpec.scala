@@ -102,6 +102,52 @@ class PlanSpec extends AnyFunSuite {
     assert(err.getMessage.contains("vec_norm"), err.getMessage)
   }
 
+  test("HITS half-step gathers through the persisted adjacency — no arc-side shuffle") {
+    import org.apache.spark.sql.functions._
+    val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.erdosRenyi(80, 0.08, 7))
+    g.adjacency.count(); g.transposeAdjacency.count()
+    val verts = g.vertices.toDF("id")
+    val state = verts.select(col("id"), lit(1.0).as("a"))
+    val step = graft.operators.Hits.gatherScores(verts, g.transposeAdjacency, state, "a", "h")
+    step.collect() // AQE finalizes the physical plan on execution
+    val plan = step.queryExecution.executedPlan.toString
+    // The r3 defect: the h-step joined a flat arc table on `dst`, which
+    // re-shuffled all E arc rows every half-step (an Exchange partitioned
+    // on dst). The fixed gather goes through transposeAdjacency (already
+    // partitioned by ITS src), so no plan node may partition on a dst
+    // column — only the 16-byte (id, score) state and the partial-agg
+    // output are allowed to shuffle.
+    assert(!plan.contains("hashpartitioning(dst"),
+      s"arc-side dst shuffle crept back into the HITS gather:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"gather does not read the persisted adjacency:\n$plan")
+    g.unpersist()
+  }
+
+  test("random-walk hop: no exchange partitions on an adjacency column") {
+    import org.apache.spark.sql.functions._
+    val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.erdosRenyi(80, 0.08, 9))
+    g.adjacency.count()
+    val adjS = g.adjacency.toDF().select(
+      col("src").as("a_src"), col("deg").as("a_deg"),
+      col("chunk").as("a_chunk"), col("dsts").as("a_dsts"))
+    val st = g.vertices.toDF("start").select(col("start"), col("start").as("cur"))
+    val hop = graft.operators.RandomWalk.hopStep(st, adjS, g.chunkSize.toLong, 1, "")
+    hop.collect()
+    val plan = hop.queryExecution.executedPlan.toString
+    // The chunked successor arrays must come straight from their persisted
+    // partitioning (or broadcast): an exchange hashing on the adjacency
+    // join key would mean the arc table re-shuffles every hop. (The plan
+    // string also dumps the CACHED relations' one-time build plans, whose
+    // historical exchanges are fine — so the pin targets the hop join key
+    // a_src specifically, not every exchange in the text.)
+    assert(!plan.contains("hashpartitioning(a_src"),
+      s"adjacency-side shuffle in the hop plan:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"hop does not read the persisted adjacency:\n$plan")
+    g.unpersist()
+  }
+
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
     val plan = g.adjacency.queryExecution.executedPlan.toString

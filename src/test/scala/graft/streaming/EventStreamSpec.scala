@@ -92,6 +92,17 @@ class EventStreamSpec extends AnyFunSuite {
       .select("keeper").distinct().as[Long].collect().toSet
     val sofar = drain.table.select("doc_id").as[Long].collect().toSet
     assert(sofar == batchKeepers && sofar == Set(1L, 2L, 5L))
+    // Output contract: the ORIGINAL columns, nothing else — the internal
+    // watermark cast and fingerprint columns must not leak (ADVICE r3)
+    assert(drain.table.columns.toSeq == Seq("doc_id", "text", "ts"))
+    // The deterministic batch FACE (what the s_dedup_first gate query
+    // verifies against DuckDB) yields the same survivors on this in-order
+    // arrival sequence: first (ts, doc_id) row per fingerprint key.
+    val face = EventStream.dedupBatchFace(
+      Seq((1L, "alpha", ts(0)), (2L, "beta", ts(1)), (3L, "alpha", ts(2)),
+          (4L, "beta", ts(3)), (5L, "gamma", ts(4))).toDF("doc_id", "text", "ts"),
+      "ts", "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(face == sofar)
     // Advance the watermark far past horizon: alpha's seen-key state must
     // be EVICTED (this is what bounds memory), so a far-later duplicate
     // is a fresh first arrival, not a drop.

@@ -141,6 +141,35 @@ class WinnowSpec extends AnyFunSuite {
     val m = corpus(0)._2.length - 7
     assert(f0.size < m && f0.size >= m * 2 / (4 + 1) / 2)
   }
+
+  test("winnow hashMode=xxhash64 keeps the guarantee and density; md5 stays the gate default") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    def sets(mode: String): Map[Long, Set[Long]] =
+      TextOps.winnow(df, k = 8, w = 4, hashMode = mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    val md = sets("md5")
+    val xx = sets("xxhash64")
+    // the winnowing GUARANTEE is hash-choice-independent: identical docs
+    // (0,1) share every fingerprint, near-dups (0,2) share at least one,
+    // unrelated (0,3) share none — in BOTH modes
+    for (s <- Seq(md, xx)) {
+      assert(s(0L) == s(1L))
+      assert((s(0L) intersect s(2L)).nonEmpty)
+      assert((s(0L) intersect s(3L)).isEmpty)
+    }
+    // only which grams win the window minima changes, not the ~2/(w+1)
+    // density: per-doc set sizes agree within 50% across modes
+    md.keySet.foreach { id =>
+      val (a, b) = (md(id).size, xx(id).size)
+      assert(a > 0 && b > 0 && math.abs(a - b) <= math.max(a, b) / 2, s"doc $id: md5=$a xx=$b")
+    }
+    // md5 is the default (the t_winnow oracle replays it); bad mode fails loudly
+    assert(TextOps.winnow(df).collect().toSet ==
+      TextOps.winnow(df, hashMode = "md5").collect().toSet)
+    intercept[IllegalArgumentException](TextOps.winnow(df, hashMode = "sha1"))
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
