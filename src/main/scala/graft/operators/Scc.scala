@@ -29,6 +29,12 @@ import scala.collection.mutable
   */
 object Scc {
 
+  /** Below this confined-edge count the frontier side of every BFS-level
+    * join fits Spark's broadcast threshold, so pre-partitioning the arc
+    * table buys nothing and costs one shuffle+materialization per round.
+    */
+  private val RepartitionMinEdges = 1000000L
+
   /** Observability for the whole-graph early exit ([[tarjanMapStats]]). */
   final case class TarjanStats(revisits: Long, earlyExit: Boolean)
 
@@ -132,8 +138,27 @@ object Scc {
   def countLocal(graph: Graph): Long =
     tarjanMap(graph.edges.collect().map(e => (e.src, e.dst)).toSeq).values.toSet.size
 
-  /** Distributed FB-Trim. Returns (id, comp) with comp = min member id. */
-  def run(graph: Graph, maxRounds: Int = 1000): DataFrame = {
+  /** Distributed FB-Trim. Returns (id, comp) with comp = min member id.
+    *
+    * Hybrid finish: FB-Trim's recursion produces a long tail of small
+    * partitions (a web graph has ~10⁵–10⁸ mostly-tiny SCCs outside the
+    * giant one — cnr-2000: 100,977 SCCs, `tests/test_sccs.rs:221`), and
+    * each distributed round costs supersteps proportional to the
+    * partitions' BFS depth. Once the ACTIVE residual fits
+    * `localFinishEdges` (collected bytes are bounded: ~48 B/edge), the
+    * tail is finished in one driver-side Tarjan pass per partition —
+    * the same bounded-driver-residual policy as [[SumSweep.compute]]'s
+    * `maxComponents` condensation guard. Rounds stay fully distributed
+    * until the budget is met, so a 10⁹-node crawl still carves its giant
+    * SCC out with distributed F/B sweeps; `localFinishEdges = 0`
+    * disables the hybrid entirely (used by specs to pin the distributed
+    * path).
+    */
+  def run(
+      graph: Graph,
+      maxRounds: Int = 1000,
+      localFinishEdges: Long = 2000000L
+  ): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
 
@@ -142,20 +167,68 @@ object Scc {
     // their current partition id (the pivot-id lineage).
     var active = graph.vertices.toDF("id").select($"id", lit(0L).as("part"))
       .localCheckpoint(true)
+    var activeCount = active.count()
     var result = spark.emptyDataset[(Long, Long)].toDF("id", "comp")
     var round = 0
+    // Estimate of this round's confined edge count = last round's actual
+    // (rounds only shrink the active edge set); decides the repartition
+    // below without an extra materialization.
+    var eCountEstimate = graph.numEdges
 
-    while (round < maxRounds && !active.isEmpty) {
+    while (round < maxRounds && activeCount > 0) {
       round += 1
-      // --- trim: vertices with no in- or no out-edge inside their part
-      // are singleton SCCs (classic FB trimming step)
-      val e = edges
+      // --- confine edges to the current partitions. When the table is
+      // LARGE it is repartitioned by the reach() join key (src, part) so
+      // every BFS level reuses this exchange and shuffles only the
+      // O(frontier) state side — without it the (src, part)
+      // shuffle-hash-join re-ships all |E| arc rows at EVERY level of
+      // every round once the frontier outgrows the broadcast threshold.
+      // Below the threshold AQE broadcasts the frontier anyway, and the
+      // up-front shuffle would be pure per-round latency.
+      val partitionForReach = eCountEstimate > RepartitionMinEdges
+      val eConfined = edges
         .join(active.select($"id".as("src"), $"part"), Seq("src"))
         .join(active.select($"id".as("dst"), $"part".as("p2")), Seq("dst"))
         .filter($"part" === $"p2")
         .select($"src", $"dst", $"part")
         .filter($"src" =!= $"dst")
+      val e = (if (partitionForReach) eConfined.repartition($"src", $"part") else eConfined)
         .localCheckpoint(true)
+      val eCount = e.count()
+      eCountEstimate = eCount
+
+      // --- hybrid local finish (see scaladoc): the residual subgraph
+      // fits the driver budget — one Tarjan pass per partition replaces
+      // the remaining O(tail) distributed rounds. Vertices absent from
+      // `e` (no intra-part edge) are singleton SCCs.
+      if (eCount <= localFinishEdges && activeCount <= 4 * math.max(localFinishEdges, 1)) {
+        val byPart = e.select($"part", $"src", $"dst").as[(Long, Long, Long)]
+          .collect().groupBy(_._1)
+        val localComp = mutable.Map[Long, Long]()
+        byPart.foreach { case (_, rows) =>
+          tarjanMap(rows.toSeq.map(r => (r._2, r._3)))
+            .groupBy(_._2)
+            .foreach { case (_, members) =>
+              val label = members.keys.min
+              members.keys.foreach(v => localComp(v) = label)
+            }
+        }
+        val assigned = active.select($"id").as[Long].collect().map { id =>
+          (id, localComp.getOrElse(id, id))
+        }
+        val newResult = result
+          .union(assigned.toSeq.toDF("id", "comp"))
+          .localCheckpoint(true)
+        Lineage.release(result)
+        result = newResult
+        Lineage.release(active)
+        active = spark.emptyDataset[(Long, Long)].toDF("id", "part")
+        activeCount = 0L
+        Lineage.release(e)
+      } else {
+
+      // --- trim: vertices with no in- or no out-edge inside their part
+      // are singleton SCCs (classic FB trimming step)
       val hasOut = e.select($"src".as("id")).distinct()
       val hasIn = e.select($"dst".as("id")).distinct()
       val trimmed = active
@@ -168,8 +241,9 @@ object Scc {
       val remaining = active.join(trimmed, Seq("id"), "left_anti").localCheckpoint(true)
       Lineage.release(active)
       Lineage.release(trimmed)
+      val remainingCount = remaining.count()
 
-      if (!remaining.isEmpty) {
+      if (remainingCount > 0) {
         // --- pivots: pseudo-random (hash-min) per partition. A
         // deterministic min-id pivot degenerates on chain-shaped
         // partitions (the head's F-set is the whole rest ⇒ one vertex
@@ -213,8 +287,14 @@ object Scc {
           if (frontier ne seeds) Lineage.release(frontier)
           visited
         }
-        val fwd = reach(e.select($"src", $"dst", $"part"))
-        val bwd = reach(e.select($"dst".as("src"), $"src".as("dst"), $"part"))
+        // The transposed arc table is repartitioned ONCE per round on its
+        // own (src, part) key — one O(E) shuffle buying exchange reuse
+        // across every backward BFS level (same rationale as `e`).
+        val eBSwapped = e.select($"dst".as("src"), $"src".as("dst"), $"part")
+        val eB = (if (partitionForReach) eBSwapped.repartition($"src", $"part") else eBSwapped)
+          .localCheckpoint(true)
+        val fwd = reach(e)
+        val bwd = reach(eB)
 
         val sccPart = fwd.join(bwd, Seq("id", "part")) // F ∩ B
         val withPivot = sccPart.join(pivots, Seq("part"))
@@ -241,16 +321,20 @@ object Scc {
         active = branched.join(canon, Seq("part", "branch"))
           .select($"id", $"newPart".as("part"))
           .localCheckpoint(true)
+        activeCount = active.count()
         Lineage.release(remaining)
         Lineage.release(seeds)
         Lineage.release(fwd)
         Lineage.release(bwd)
+        Lineage.release(eB)
       } else {
         active = remaining
+        activeCount = 0L
       }
       Lineage.release(e)
+      }
     }
-    if (!active.isEmpty)
+    if (activeCount > 0)
       throw new IllegalStateException(
         s"SCC did not converge in $maxRounds rounds: ${active.count()} vertices " +
           "unassigned. Returning a partial labeling would silently corrupt every " +

@@ -12,8 +12,11 @@ class SccSpec extends AnyFunSuite {
     m.map { case (v, c) => v -> mins(c) }
   }
 
+  // localFinishEdges = 0 pins the DISTRIBUTED pivot path: every fixture
+  // here fits the default hybrid budget and would otherwise route to the
+  // driver-side Tarjan finish (covered separately below).
   private def fbMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Scc.run(Graph.fromPairs(spark, edges)).collect()
+    Scc.run(Graph.fromPairs(spark, edges), localFinishEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("bucket9: SCC sizes [2,2,1,1,1,1,1]; 3 and 4 share a component (test_sccs.rs:91-123)") {
@@ -44,7 +47,10 @@ class SccSpec extends AnyFunSuite {
   }
 
   test("distributed FB equals Tarjan on ER graphs (Kosaraju-vs-Tarjan analogue, test_sccs.rs:229-242)") {
-    for (seed <- 1 to 3; p <- Seq(0.02, 0.06)) {
+    // 2 seeds × {sparse, dense}: distributed rounds are level-sequential
+    // Spark jobs, so each extra combo costs real suite wall-clock; the
+    // hybrid test below adds web-topology coverage on top of these.
+    for (seed <- 1 to 2; p <- Seq(0.02, 0.06)) {
       val edges = Fixtures.erdosRenyi(40, p, seed)
       assert(canon(fbMap(edges)) == canon(Scc.tarjanMap(edges)), s"seed=$seed p=$p")
     }
@@ -55,12 +61,34 @@ class SccSpec extends AnyFunSuite {
     // each round with an F-reach over the ENTIRE rest — O(n) rounds and
     // O(n²) total BFS levels, exhausting any sane round cap at web
     // scale. Hash-random pivots split like quicksort: expected O(log n)
-    // rounds, O(n) total levels. 32 vertices keeps the wall-clock sane
-    // (levels are inherently sequential Spark jobs).
-    val edges = (0L until 31L).map(i => (i, i + 1))
-    val got = Scc.run(Graph.fromPairs(spark, edges), maxRounds = 25).collect()
+    // rounds, O(n) total levels. 16 vertices with a 12-round cap still
+    // separates the two policies (min-id peel would need 15+ rounds)
+    // while keeping the level-sequential Spark jobs inside the suite's
+    // wall budget.
+    val edges = (0L until 15L).map(i => (i, i + 1))
+    val got = Scc.run(Graph.fromPairs(spark, edges), maxRounds = 12, localFinishEdges = 0)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 32 && got.forall { case (v, c) => v == c })
+    assert(got.size == 16 && got.forall { case (v, c) => v == c })
+  }
+
+  test("hybrid local finish: default budget routes the residual to driver Tarjan, labels identical") {
+    // Web-shaped PageGen topology (giant SCC + dangling tail + hubs): the
+    // hybrid path (default budget — local finish fires round 1 at this
+    // scale), the pure distributed path, and driver Tarjan must agree
+    // exactly. This is the bounded-residual policy a 10⁹-node crawl
+    // relies on: distributed rounds carve the bulk, the O(budget) tail
+    // finishes in one driver pass instead of O(tail) rounds.
+    val edges = graft.ingest.PageGen.edges(spark, 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val g = Graph.fromPairs(spark, edges)
+    val hybrid = canon(Scc.run(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val tarjan = canon(Scc.tarjanMap(edges))
+    assert(hybrid == tarjan)
+    // a mid-budget run exercises BOTH: ≥1 distributed round, then local
+    val mixed = canon(Scc.run(g, localFinishEdges = edges.length / 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(mixed == tarjan)
   }
 
   test("tarjan whole-graph early exit: stops at the first closing revisit (tarjan.rs:60-76)") {
