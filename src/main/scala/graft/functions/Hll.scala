@@ -39,6 +39,36 @@ object HllLogic extends Serializable {
     z ^ (z >>> 31)
   }
 
+  /** Bob Jenkins's 64-bit mix exactly as the Java webgraph HLL uses it
+    * (dsiutils `HyperLogLogCounterArray.jenkins`; the reference
+    * reimplements the same function for its Java-golden parity tests,
+    * `tests/test_hyperball.rs:23-153`): state a = b = seed,
+    * c = 0x9e3779b97f4a7c13 (the 64-bit golden ratio), one-word digest of
+    * x (a += x, then the 12-step subtract/xor avalanche), result = c.
+    * Selecting this hasher makes a HyperBall run REPLAYABLE against
+    * Java-webgraph goldens (the one reference test family the default
+    * splitmix64 mode can never replay — accepted-deviation note in
+    * SURVEY §2.3) should a decodable golden graph ever land.
+    */
+  def hashJenkins(seed: Long, x: Long): Long = {
+    var a = seed + x
+    var b = seed
+    var c = 0x9E3779B97F4A7C13L
+    a -= b; a -= c; a ^= (c >>> 43)
+    b -= c; b -= a; b ^= (a << 9)
+    c -= a; c -= b; c ^= (b >>> 8)
+    a -= b; a -= c; a ^= (c >>> 38)
+    b -= c; b -= a; b ^= (a << 23)
+    c -= a; c -= b; c ^= (b >>> 5)
+    a -= b; a -= c; a ^= (c >>> 35)
+    b -= c; b -= a; b ^= (a << 49)
+    c -= a; c -= b; c ^= (b >>> 11)
+    a -= b; a -= c; a ^= (c >>> 12)
+    b -= c; b -= a; b ^= (a << 18)
+    c -= a; c -= b; c ^= (b >>> 22)
+    c
+  }
+
   def numRegisters(log2m: Int): Int = {
     require(log2m >= 4, "reference enforces m >= 16 registers")
     1 << log2m
@@ -62,12 +92,13 @@ object HllLogic extends Serializable {
     if (regs(j) < rho) regs(j) = rho
   }
 
-  def addValue(regs: Array[Byte], value: Long, log2m: Int, seed: Long = 42L): Unit =
-    add(regs, hash(seed, value), log2m)
+  def addValue(regs: Array[Byte], value: Long, log2m: Int, seed: Long = 42L,
+               jenkins: Boolean = false): Unit =
+    add(regs, if (jenkins) hashJenkins(seed, value) else hash(seed, value), log2m)
 
-  def init(value: Long, log2m: Int, seed: Long = 42L): Array[Byte] = {
+  def init(value: Long, log2m: Int, seed: Long = 42L, jenkins: Boolean = false): Array[Byte] = {
     val r = empty(log2m)
-    addValue(r, value, log2m, seed)
+    addValue(r, value, log2m, seed, jenkins)
     r
   }
 
@@ -153,8 +184,8 @@ object Hll {
   /** groupBy aggregation: union (register-wise max) of HLL sketches. */
   def hllMergeAgg(regs: Column): Column = mergeUdaf(regs)
 
-  def hllInit(log2m: Int, seed: Long = 42L): Column => Column =
-    (id: Column) => column(HllExpressions.HllInitExpr(expression(id), log2m, seed))
+  def hllInit(log2m: Int, seed: Long = 42L, jenkins: Boolean = false): Column => Column =
+    (id: Column) => column(HllExpressions.HllInitExpr(expression(id), log2m, seed, jenkins))
 
   /** Binary merge of two sketches (either side may be null). */
   val hllMerge2: (Column, Column) => Column =

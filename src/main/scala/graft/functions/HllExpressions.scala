@@ -23,8 +23,11 @@ object HllExpressions {
 
   /** hll_init(id): a fresh sketch seeded with the vertex's own id —
     * the reference's default counter init (`hyperball_impl.rs:1176-1178`).
+    * `jenkins` selects the Java-webgraph-parity hash
+    * ([[HllLogic.hashJenkins]]) over the default splitmix64.
     */
-  case class HllInitExpr(child: Expression, log2m: Int, seed: Long)
+  case class HllInitExpr(child: Expression, log2m: Int, seed: Long,
+                         jenkins: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = BinaryType
     override def nullIntolerant: Boolean = true
@@ -36,10 +39,11 @@ object HllExpressions {
         s"hll_init requires a BIGINT id, got ${child.dataType.catalogString}")
 
     override protected def nullSafeEval(id: Any): Any =
-      HllLogic.init(id.asInstanceOf[Long], log2m, seed)
+      HllLogic.init(id.asInstanceOf[Long], log2m, seed, jenkins)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.HllLogic.init($c, $log2m, ${seed}L)")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HllLogic.init($c, $log2m, ${seed}L, $jenkins)")
 
     override protected def withNewChildInternal(newChild: Expression): HllInitExpr =
       copy(child = newChild)

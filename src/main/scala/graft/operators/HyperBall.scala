@@ -64,7 +64,16 @@ object HyperBall {
         * (`hyperball_impl.rs:744-757`). Evaluated on the driver per
         * iteration (t is a scalar), applied as a literal column.
         */
-      discount: Option[Int => Double] = None
+      discount: Option[Int => Double] = None,
+      /** Use the Java-webgraph-parity Jenkins hash instead of splitmix64
+        * ([[graft.functions.HllLogic.hashJenkins]]): with seed 42 this is
+        * the configuration of the reference's Java-golden tests
+        * (`tests/test_hyperball.rs:23-172`), making a run replayable
+        * against those goldens if a decodable graph is available. Every
+        * statistical guarantee is hash-agnostic; results differ only in
+        * which registers each vertex hashes to.
+        */
+      jenkinsHash: Boolean = false
   ): Result = {
     val spark = graph.spark
     import spark.implicits._
@@ -80,7 +89,7 @@ object HyperBall {
     val initRegs = weights match {
       case None =>
         graph.vertices.toDF("id")
-          .select($"id", Hll.hllInit(log2m, seed)($"id").as("regs"))
+          .select($"id", Hll.hllInit(log2m, seed, jenkinsHash)($"id").as("regs"))
       case Some(w) =>
         // Seeded element = (id << shift) + slot must be INJECTIVE over
         // (id, slot): a fixed 2^20 slot space silently aliases vertex
@@ -104,7 +113,8 @@ object HyperBall {
           .select($"id", coalesce($"weight", lit(1L)).as("weight"))
           .filter($"weight" > 0)
           .select($"id", explode(sequence(lit(0L), $"weight" - 1)).as("slot"))
-          .select($"id", Hll.hllInit(log2m, seed)(shiftleft($"id", shift) + $"slot").as("r"))
+          .select($"id",
+            Hll.hllInit(log2m, seed, jenkinsHash)(shiftleft($"id", shift) + $"slot").as("r"))
           .groupBy($"id").agg(Hll.hllMergeAgg($"r").as("regs"))
         // weight-0 vertices get an EMPTY counter (reference semantics)
         graph.vertices.toDF("id")

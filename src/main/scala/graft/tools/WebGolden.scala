@@ -105,11 +105,14 @@ object WebGolden {
     val largestScc = scc.groupBy($"comp").count().agg(max($"count")).head().getLong(0)
     val sccLocalCount = timed("tarjanLocal")(
       Scc.tarjanLocal(g).select($"comp").distinct().count())
+    val localEdges = g.edges.collect().map(e => (e.src, e.dst)).toSeq
+    val sccKosaraju = timed("kosaraju")(kosarajuSccCount(localEdges))
 
     val cc = timed("cc")(ConnectedComponents.run(g))
     val ccCount = cc.numComponents
     val largestCc = cc.components.groupBy($"comp").count()
       .agg(max($"count")).head().getLong(0)
+    val ccUnionFind = timed("unionFind")(unionFindCcCount(localEdges))
 
     val tri = timed("triangles")(TriangleCount.total(g))
 
@@ -121,8 +124,9 @@ object WebGolden {
 
     println(
       s"""GOLDEN {"n":$n,"vertices":$nv,"arcs":$ne,"maxOutDeg":$maxOut,"maxInDeg":$maxIn,""" +
-      s""""sccs":$sccCount,"sccsLocal":$sccLocalCount,"largestScc":$largestScc,""" +
-      s""""ccs":$ccCount,"largestCc":$largestCc,"triangles":$tri,""" +
+      s""""sccs":$sccCount,"sccsLocal":$sccLocalCount,"sccsKosaraju":$sccKosaraju,""" +
+      s""""largestScc":$largestScc,""" +
+      s""""ccs":$ccCount,"ccsUnionFind":$ccUnionFind,"largestCc":$largestCc,"triangles":$tri,""" +
       s""""radius":${ess.radius},"radiusVertex":${ess.radiusVertex},""" +
       s""""diameter":${ess.diameter},"diameterVertex":${ess.diameterVertex},""" +
       s""""essBfs":${ess.iterations},"hbIters":${hb.iterations},"nf":$nf}""")

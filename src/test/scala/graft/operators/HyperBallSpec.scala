@@ -12,10 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
 object SeqHyperBall {
   /** Returns registers per vertex after running to stability. */
   def run(edges: Seq[(Long, Long)], log2m: Int, seed: Long = 42L,
-          maxIter: Int = 100): Map[Long, Array[Byte]] = {
+          maxIter: Int = 100, jenkins: Boolean = false): Map[Long, Array[Byte]] = {
     val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     val succ = edges.distinct.groupBy(_._1).map { case (s, l) => s -> l.map(_._2) }
-    var cur = verts.map(v => v -> HllLogic.init(v, log2m, seed)).toMap
+    var cur = verts.map(v => v -> HllLogic.init(v, log2m, seed, jenkins)).toMap
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
@@ -65,6 +65,26 @@ class HyperBallSpec extends AnyFunSuite {
       got.foreach { case (v, regs) =>
         assert(java.util.Arrays.equals(regs, want(v)), s"vertex $v registers differ")
       }
+    }
+  }
+
+  test("jenkinsHash mode: bit-identical to the jenkins-mode sequential oracle, NF ≈ splitmix NF") {
+    // The Java-parity hasher changes WHICH registers vertices land in,
+    // never the algorithm: par-vs-seq bit-equality must hold in jenkins
+    // mode too, and the NF estimate must stay within HLL tolerance of the
+    // default-hash run on the same graph.
+    val edges = Fixtures.bucket9
+    val res = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 10, jenkinsHash = true)
+    val want = SeqHyperBall.run(edges, log2m = 10, jenkins = true)
+    val got = res.stats.select("id", "regs").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, regs) =>
+      assert(java.util.Arrays.equals(regs, want(v)), s"vertex $v registers differ")
+    }
+    val default = HyperBall.run(Graph.fromPairs(spark, edges), log2m = 10)
+    res.neighbourhoodFunction.zip(default.neighbourhoodFunction).foreach { case (j, s) =>
+      assert(math.abs(j - s) / s < 0.15, s"jenkins NF $j vs splitmix NF $s")
     }
   }
 
@@ -163,6 +183,37 @@ class HllLogicSpec extends AnyFunSuite {
         math.abs(HllLogic.count(regs) - size) <= 2 * rsd * size
       }
       assert(ok >= 90, s"log2m=$log2m size=$size: only $ok/100 within 2·RSD")
+    }
+  }
+
+  test("jenkins hash: Java-parity mix is deterministic, distinct from splitmix, and within 2·RSD") {
+    // Structure pins (test_hyperball.rs:23-153 / dsiutils jenkins): the
+    // digest starts from a = b = seed, c = golden ratio, and finishes on
+    // c — so the seed must matter, the value must matter, and the output
+    // must differ from the splitmix64 path the default mode uses.
+    val xs = (0L until 1000L)
+    assert(xs.forall(x => HllLogic.hashJenkins(42L, x) == HllLogic.hashJenkins(42L, x)))
+    assert(xs.count(x => HllLogic.hashJenkins(42L, x) == HllLogic.hashJenkins(43L, x)) == 0)
+    assert(xs.count(x => HllLogic.hashJenkins(42L, x) == HllLogic.hash(42L, x)) == 0)
+    assert(xs.map(HllLogic.hashJenkins(42L, _)).distinct.size == xs.size)
+    // init(jenkins = true) routes through the jenkins mix
+    for (v <- 0L until 16L) {
+      val direct = HllLogic.empty(6)
+      HllLogic.add(direct, HllLogic.hashJenkins(42L, v), 6)
+      assert(java.util.Arrays.equals(HllLogic.init(v, 6, 42L, jenkins = true), direct))
+    }
+    // same statistical guarantee as the default hash (reduced grid)
+    for (log2m <- Seq(6, 10); size <- Seq(100, 10000)) {
+      val rsd = 1.04 / math.sqrt((1 << log2m).toDouble)
+      val ok = (0 until 100).count { s =>
+        val regs = HllLogic.empty(log2m)
+        var i = 0
+        while (i < size) {
+          HllLogic.addValue(regs, s * 1000003L + i, log2m, seed = s, jenkins = true); i += 1
+        }
+        math.abs(HllLogic.count(regs) - size) <= 2 * rsd * size
+      }
+      assert(ok >= 90, s"jenkins log2m=$log2m size=$size: only $ok/100 within 2·RSD")
     }
   }
 
