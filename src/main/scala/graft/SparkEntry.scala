@@ -65,6 +65,7 @@ object SparkEntry {
     "e_lsh_topk" -> (graft.queries.TextQueries.lshTopK _),
     "e_ivf_topk" -> (graft.queries.TextQueries.ivfTopK _),
     "d_embed_neardup" -> (graft.queries.TextQueries.embedNearDup _),
+    "d_neardup_rep" -> (graft.queries.TextQueries.nearDupRep _),
     "t_winnow" -> (graft.queries.TextQueries.winnow _),
     "t_rep_lines" -> (graft.queries.TextQueries.repLines _),
     "q1_agg" -> ((s: SparkSession, dir: String) => {
@@ -122,6 +123,7 @@ object SparkEntry {
     "e_lsh_topk" -> graft.queries.TextQueries.lshTopKSql,
     "e_ivf_topk" -> graft.queries.TextQueries.ivfTopKSql,
     "d_embed_neardup" -> graft.queries.TextQueries.embedNearDupSql,
+    "d_neardup_rep" -> graft.queries.TextQueries.nearDupRepSql,
     "t_winnow" -> graft.queries.TextQueries.winnowSql,
     "t_rep_lines" -> graft.queries.TextQueries.repLinesSql,
     "q1_agg" ->

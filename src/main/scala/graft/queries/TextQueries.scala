@@ -526,4 +526,99 @@ object TextQueries {
        |       count(*) OVER (PARTITION BY keeper) AS group_size
        |FROM comp""".stripMargin
   }
+
+  // --- near-dup cluster representative selection ----------------------
+
+  /** The pipeline step AFTER near-dup grouping: keep the best member of
+    * each embedding near-dup cluster — highest quality score
+    * ([[TextOps.quality]], rounded to 6 dp for engine-stable ordering),
+    * ties to the smallest doc_id. Output is (doc_id, rep_id, group_size)
+    * for EVERY document; singletons represent themselves.
+    *
+    * 100 TB plan: representative selection runs ONLY on the cluster
+    * members (the CC output of the near-dup PAIR graph — tiny vs the
+    * corpus), as a map-side-combined `max_by` per cluster; the corpus
+    * then takes one equi-join against that small map (broadcast at real
+    * scale). No corpus-wide window, no global sort — the naive
+    * `row_number() OVER (PARTITION BY cluster)` over all documents
+    * would shuffle the whole corpus to rank mostly-singleton groups.
+    */
+  def nearDupRep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val e = emb(spark, dir)
+    val pairs = VectorSim.nearDupPairs(e, threshold = 0.4, dims = 64,
+      bits = 4, probe = 1)
+    val g = graft.core.Graph.fromEdges(
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    val cc = graft.operators.ConnectedComponents.run(g).components
+    val qual = TextOps.quality(d)
+      .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
+    val members = cc.select(col("id").as("doc_id"), col("comp"))
+      .join(qual, Seq("doc_id"))
+    val reps = members.groupBy(col("comp")).agg(
+      max_by(col("doc_id"), struct(col("q"), (-col("doc_id")).as("tb"))).as("rep_id"),
+      count(lit(1)).as("group_size"))
+    d.select(col("doc_id"))
+      .join(members.select(col("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .join(reps, Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
+  }
+
+  /** Oracle: the embedNearDup closure (same CTE chain) + the quality
+    * score of t_quality, representative = row_number 1 per cluster by
+    * (q DESC, doc_id ASC). Clusters here include singletons (the label
+    * closure seeds every vector), so the final join needs no outer face.
+    */
+  val nearDupRepSql: String = {
+    val bucket = (0 until 4).map { b =>
+      val lo = b * 16 + 1
+      val hi = b * 16 + 16
+      s"(CASE WHEN list_sum(e[$lo:$hi]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val stop = "['the','a','and','of','to','in','is','for']"
+    s"""WITH RECURSIVE $embPrelude,
+       |bkt AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM n),
+       |probes AS (
+       |  SELECT vec_id, e, nrm, xor(bucket, m) AS bucket
+       |  FROM bkt, (SELECT unnest([0, 1, 2, 4, 8]) AS m) t
+       |),
+       |pairs AS (
+       |  SELECT q.vec_id AS a, c.vec_id AS b
+       |  FROM probes q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+       |  WHERE round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+       |              / greatest(q.nrm * c.nrm, 1e-12), 6) >= CAST(0.4 AS DOUBLE)
+       |),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+       |lbl AS (
+       |  SELECT vec_id, vec_id AS l FROM n
+       |  UNION
+       |  SELECT e.b AS vec_id, lbl.l FROM lbl JOIN edges e ON e.a = lbl.vec_id
+       |),
+       |comp AS (SELECT vec_id, min(l) AS keeper FROM lbl GROUP BY vec_id),
+       |$toksSql,
+       |qual AS (
+       |  SELECT doc_id,
+       |         round(least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) * 0.5
+       |           + least(CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE)
+       |                   / greatest(CAST(len(w) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3
+       |           + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+       |                          / greatest(CAST(len(w) AS DOUBLE), 1.0), 1.0)) * 0.2, 6) AS q
+       |  FROM toks
+       |),
+       |reps AS (
+       |  SELECT keeper, doc_id AS rep_id FROM (
+       |    SELECT c.keeper, c.vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY c.keeper
+       |                              ORDER BY q.q DESC, c.vec_id ASC) AS rn
+       |    FROM comp c JOIN qual q ON q.doc_id = c.vec_id) t
+       |  WHERE rn = 1
+       |),
+       |sizes AS (SELECT keeper, count(*) AS group_size FROM comp GROUP BY keeper)
+       |SELECT c.vec_id AS doc_id, r.rep_id, s.group_size
+       |FROM comp c
+       |JOIN reps r ON r.keeper = c.keeper
+       |JOIN sizes s ON s.keeper = c.keeper""".stripMargin
+  }
 }
