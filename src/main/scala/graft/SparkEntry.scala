@@ -57,6 +57,7 @@ object SparkEntry {
     "t_fingerprint" -> (graft.queries.TextQueries.fingerprint _),
     "d_exact_dedup" -> (graft.queries.TextQueries.exactDedup _),
     "s_dedup_first" -> (graft.queries.TextQueries.dedupFirst _),
+    "s_sessions" -> (graft.queries.RelationalQueries.sessions _),
     "d_ngram_jaccard" -> (graft.queries.TextQueries.ngramJaccard _),
     "d_minhash_lsh" -> (graft.queries.TextQueries.minHashLsh _),
     "d_simhash" -> (graft.queries.TextQueries.simHash _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "t_fingerprint" -> graft.queries.TextQueries.fingerprintSql,
     "d_exact_dedup" -> graft.queries.TextQueries.exactDedupSql,
     "s_dedup_first" -> graft.queries.TextQueries.dedupFirstSql,
+    "s_sessions" -> graft.queries.RelationalQueries.sessionsSql,
     "d_ngram_jaccard" -> graft.queries.TextQueries.ngramJaccardSql,
     "d_minhash_lsh" -> graft.queries.TextQueries.minHashLshSql,
     "d_simhash" -> graft.queries.TextQueries.simHashSql,

@@ -105,6 +105,44 @@ object RelationalQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Gap-based sessionization, batch face
+    * ([[graft.streaming.EventStream.sessionize]] — the exact semantics
+    * the flatMapGroupsWithState stream maintains incrementally;
+    * `EventStreamSpec` pins stream == batch, this gate row pins batch ==
+    * DuckDB). 30-minute gap over the events table.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionize(
+      spark.read.parquet(s"$dir/events.parquet"), gapMinutes = 30)
+
+  /** Oracle replays lag → gap flag → cumulative session index → agg.
+    * Gap compares FLOOR-seconds (Spark's `unix_timestamp` truncates;
+    * DuckDB's `epoch` keeps the micros as a fraction, so it is floored
+    * explicitly). The window session index is cast to BIGINT (DuckDB
+    * integer sums widen to HUGEINT).
+    */
+  val sessionsSql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |n AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN prev_ts IS NULL
+      |              OR CAST(floor(epoch(ts)) AS BIGINT)
+      |                 - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM l),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM n)
+      |SELECT user_id, session_idx,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events, round(sum(value), 3) AS sum_value
+      |FROM s GROUP BY user_id, session_idx""".stripMargin
+
   /** Multimodal metadata path: documents' text treated as an opaque binary
     * blob column — byte length + magic prefix, the schema/partitioning
     * plumbing a real image/audio pipeline needs (decode is stubbed in
