@@ -12,6 +12,46 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Resolve a feature-hash pair for the `hashMode` option shared by
+    * [[minHashSignatures]] / [[simHash]] (same contract as
+    * [[TextOps.winnow]]'s hashMode):
+    *
+    *  - `"md5"` (default): the portable 60-bit md5-prefix family — the
+    *    DuckDB oracle replays it bit-identically, keeping the `d_*` gate
+    *    rows hash-verified;
+    *  - `"xxhash64"`: Spark's codegen'd xxhash64 masked into the SAME
+    *    nonneg 60-bit range (and the same 53-bit shift for the second
+    *    base), so every overflow-safety invariant of the md5 path holds
+    *    unchanged. One xxhash64 per shingle replaces one md5 — the md5
+    *    evaluation is the dominant cost of the minhash/simhash queries at
+    *    crawl scale (measured 14.0 s / 10.8 s at sf0.1). Engine-only (no
+    *    SQL twin): spec-verified differentially — the estimator
+    *    guarantees are hash-choice-independent, only which features map
+    *    to which slots changes.
+    *
+    * Returns (pre, hA, hB): a shared per-feature pre-hash stage (so the
+    * md5 digest is evaluated ONCE per shingle and sliced twice — the r3
+    * one-md5 structure is preserved; for xxhash64 the stage is the
+    * identity, two xxhash64 calls being cheaper than one md5) and the
+    * two hash extractors over the staged column.
+    */
+  private def featureHashes(hashMode: String): (
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    hashMode match {
+      case "md5" => (
+        f => md5(f),
+        m => conv(substring(m, 1, 15), 16, 10).cast("long"),
+        m => shiftright(conv(substring(m, 17, 15), 16, 10).cast("long"), 7))
+      case "xxhash64" => (
+        f => f,
+        m => xxhash64(m).bitwiseAND(lit((1L << 60) - 1)),
+        m => shiftright(xxhash64(lit("km-b"), m).bitwiseAND(lit((1L << 60) - 1)), 7))
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxhash64, got $other")
+    }
+
   /** Exact dedup: group identical texts; keeper = min doc_id.
     * (doc_id, keeper, group_size) for EVERY doc — `doc_id != keeper`
     * rows are the deletions a pipeline would apply.
@@ -128,17 +168,17 @@ object Dedup {
     * md5-derived hash ([[TextOps.portableHash60]] family) is that the
     * oracle recomputes signatures bit-identically.
     */
-  def minHashSignatures(docs: DataFrame, numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 32, shingleN: Int = 3,
+                        hashMode: String = "md5"): DataFrame = {
     require(numHashes <= 128, "i*b stays below 2^60 only for i < 128")
+    val (pre, hA, hB) = featureHashes(hashMode)
     // Two-step select: Catalyst's CollapseProject keeps non-cheap
     // expressions (md5) un-duplicated when referenced twice downstream,
     // so the digest is evaluated once per shingle row.
     val sh = docs.select(col("doc_id"),
       explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle")).as("m"))
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("ha"),
-        shiftright(conv(substring(col("m"), 17, 15), 16, 10).cast("long"), 7).as("hb"))
+      .select(col("doc_id"), pre(col("shingle")).as("m"))
+      .select(col("doc_id"), hA(col("m")).as("ha"), hB(col("m")).as("hb"))
     val mins = (0 until numHashes).map(i =>
       min(col("ha") + lit(i.toLong) * col("hb")).as(s"h$i"))
     sh.groupBy("doc_id")
@@ -153,9 +193,10 @@ object Dedup {
     * Output: (a, b, estJaccard) with a < b, est ≥ threshold.
     */
   def minHashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                 shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+                 shingleN: Int = 3, threshold: Double = 0.5,
+                 hashMode: String = "md5"): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, numHashes, shingleN)
+    val sigs = minHashSignatures(docs, numHashes, shingleN, hashMode)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Band key = the band's raw slot values joined as a string: equality
     // is EXACTLY slot-tuple equality (no band-hash collisions), and it is
@@ -183,11 +224,13 @@ object Dedup {
     * their sums always negative, so the simhash is effectively 60-bit —
     * the banding math below stays over the full 64-bit layout).
     */
-  def simHash(docs: DataFrame, shingleN: Int = 2): DataFrame = {
+  def simHash(docs: DataFrame, shingleN: Int = 2, hashMode: String = "md5"): DataFrame = {
+    val (pre, hA, _) = featureHashes(hashMode)
     val feats = docs.select(col("doc_id"),
       explode(TextOps.shinglesCol(col("text"), shingleN)).as("f"))
       .distinct()
-      .select(col("doc_id"), TextOps.portableHash60(col("f")).as("h"))
+      .select(col("doc_id"), pre(col("f")).as("m"))
+      .select(col("doc_id"), hA(col("m")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
@@ -219,7 +262,8 @@ object Dedup {
     * candidates); callers wanting web-scale selectivity should keep
     * maxHamming ≤ 3 (15-bit chunks).
     */
-  def simHashPairs(docs: DataFrame, shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, shingleN: Int = 2, maxHamming: Int = 3,
+                   hashMode: String = "md5"): DataFrame = {
     val sigBits = 60 // simHash range: portable 60-bit hash, bits 60-63 = 0
     require(maxHamming >= 0 && maxHamming < 30,
       s"maxHamming=$maxHamming: need at least 2 bits per chunk over a $sigBits-bit simhash")
@@ -228,7 +272,7 @@ object Dedup {
     // Cover all 60 meaningful bits: every POSSIBLY-differing bit lands in
     // exactly one chunk (pigeonhole stays valid).
     val mask = (w: Int) => (1L << w) - 1
-    val sigs = simHash(docs, shingleN).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = simHash(docs, shingleN, hashMode).persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val width = if (c == nChunks - 1) sigBits - c * bits else bits

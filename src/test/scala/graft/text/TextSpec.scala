@@ -252,6 +252,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._2 <= 3))
   }
 
+  test("xxhash64 production hash mode: minhash/simhash guarantees are hash-choice-independent") {
+    // The fast mode swaps one md5 per shingle for one (resp. two)
+    // xxhash64 — the estimator/banding guarantees must be unchanged,
+    // only which features land in which slots. Identical docs stay
+    // identical under any hash; near/far ordering is preserved; the
+    // mode actually changes the hashes (the flag is not a no-op).
+    val sigs = Dedup.minHashSignatures(df(spark), numHashes = 64, shingleN = 2,
+      hashMode = "xxhash64")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs.values.forall(_.forall(v => v >= 0)), "60-bit range: nonneg in both engines")
+    val sigsMd5 = Dedup.minHashSignatures(df(spark), numHashes = 64, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) != sigsMd5(0L), "mode flag must switch the hash family")
+    val pairs = Dedup.minHashLsh(df(spark), numHashes = 64, bands = 16,
+      shingleN = 2, threshold = 0.3, hashMode = "xxhash64")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && !pairs.contains((0L, 3L)))
+    val h = Dedup.simHash(df(spark), shingleN = 2, hashMode = "xxhash64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(ham(0L, 1L) == 0)
+    assert(ham(0L, 2L) < ham(0L, 3L))
+    assert(h.values.forall(v => (v >>> 60) == 0L), "bits 60-63 stay 0: banding math unchanged")
+    val sp = Dedup.simHashPairs(df(spark), shingleN = 2, maxHamming = 3,
+      hashMode = "xxhash64")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp.contains((0L, 1L)))
+  }
+
   test("simHashPairs recall is COMPLETE at any maxHamming (pigeonhole banding)") {
     // Deterministic corpus of base docs + 2-word-mutated twins: twin pair
     // hamming distances spread over 4..10 (verified to include a pair
