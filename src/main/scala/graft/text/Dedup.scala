@@ -127,11 +127,24 @@ object Dedup {
     * contributes k² candidate pairs, so extremely common shingles are
     * capped out by `maxDocFreq` like a stopword list).
     * Output: (a, b, jaccard) with a < b, jaccard rounded to 6 dp.
+    *
+    * `hashShingles = true` replaces the shingle STRING with its xxhash64
+    * before the distinct + inverted-index join: the whole pipeline
+    * (dedup, doc-freq cap, intersection counting) runs over 8-byte keys
+    * instead of n-word strings, cutting the dominant shuffle's bytes
+    * several-fold at crawl scale. Two distinct shingles colliding
+    * (probability ≈ distinct²/2⁻⁶⁴ per corpus) would overcount one
+    * intersection element — statistically invisible next to the
+    * threshold; the default stays exact strings so the `d_ngram_jaccard`
+    * oracle remains a string-for-string DuckDB replay.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
-                   maxDocFreq: Long = 10000): DataFrame = {
-    val sh = docs
+                   maxDocFreq: Long = 10000, hashShingles: Boolean = false): DataFrame = {
+    val exploded = docs
       .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), n)).as("shingle"))
+    val sh = (if (hashShingles)
+        exploded.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      else exploded)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))

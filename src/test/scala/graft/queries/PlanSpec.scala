@@ -148,6 +148,21 @@ class PlanSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("d_neardup_rep: representative selection never windows the corpus") {
+    // The scale contract: rep ranking runs only on the tiny pair-graph
+    // membership as a map-side-combined max_by; the corpus takes plain
+    // equi-joins. A Window node anywhere in the plan would mean the
+    // mostly-singleton corpus is being shuffled to rank groups of one.
+    val q = TextQueries.nearDupRep(spark, dir)
+    q.collect() // AQE finalizes the physical plan on execution
+    val plan = executedPlan(q)
+    assert(!plan.contains("Window"),
+      s"corpus-wide window crept into nearDupRep:\n$plan")
+    assert(plan.contains("max_by") || plan.contains("maxBy") || plan.contains("Max_by")
+      || plan.toLowerCase.contains("max_by"),
+      s"rep selection is not the max_by aggregate:\n$plan")
+  }
+
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
     val plan = g.adjacency.queryExecution.executedPlan.toString

@@ -217,6 +217,18 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"pair $k") }
   }
 
+  test("ngramJaccard hashShingles mode: identical pairs and values (8-byte join keys)") {
+    // Collision-free at any non-astronomical corpus, so the hashed-key
+    // pipeline must be EXACTLY the string pipeline — same pairs, same
+    // jaccard doubles — while the shuffle carries 8-byte keys.
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = norm(Dedup.ngramJaccard(df(spark), n = 2, threshold = 0.05))
+    val hashed = norm(Dedup.ngramJaccard(df(spark), n = 2, threshold = 0.05,
+      hashShingles = true))
+    assert(hashed == exact)
+  }
+
   test("minhash: identical docs → identical sigs; est tracks true jaccard") {
     val sigs = Dedup.minHashSignatures(df(spark), numHashes = 64, shingleN = 2)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
