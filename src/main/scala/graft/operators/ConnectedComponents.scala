@@ -36,10 +36,31 @@ object ConnectedComponents {
       graph: Graph,
       maxIter: Int = 200,
       checkpoint: Option[CheckpointConfig] = None,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      /** Opt-in bounded driver-local finish ([[Scc.run]]'s policy): when
+        * > 0 and the graph's edge count fits the budget (~16 B/edge
+        * collected), labels come from one driver union-find pass instead
+        * of O(diameter) supersteps — each superstep costs whole Spark
+        * jobs of fixed overhead, which DOMINATES on small derived graphs
+        * (the near-dup PAIR graphs of `d_embed_neardup`/`d_neardup_rep`
+        * measured ~15 s of superstep overhead for a few hundred edges).
+        * Default 0 = always distributed; the gate's `g_cc` row and every
+        * CC spec run the distributed path. Call sites that derive a
+        * bounded small graph (LSH pair graphs) opt in; the budget still
+        * routes a larger-than-expected pair graph to the distributed
+        * path, so the bound is a hint, not a correctness assumption.
+        */
+      localFinishEdges: Long = 0L
   ): Result = {
     val spark = graph.spark
     import spark.implicits._
+
+    if (localFinishEdges > 0 && graph.numEdges <= localFinishEdges) {
+      val edges = graph.edges.collect().map(e => (e.src, e.dst)).toSeq
+      val labels = unionFindMin(edges)
+      val comps = labels.toSeq.toDF("id", "comp")
+      return Result(comps, 0, labels.values.toSet.size.toLong, Nil)
+    }
 
     val sym = graph.symmetrize
     val adj = sym.adjacency
@@ -81,6 +102,29 @@ object ConnectedComponents {
     ctx.close()
     val comps = state.select($"id", $"comp")
     Result(comps, iter, comps.select($"comp").distinct().count(), ctx.history.toSeq)
+  }
+
+  /** Driver union-find with min-id labels — identical output contract to
+    * the distributed path (comp = min member id over the symmetrized
+    * edges). Union-by-min keeps roots canonical so no relabel pass is
+    * needed; path compression in `find` keeps it near-linear.
+    */
+  private[operators] def unionFindMin(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
   }
 
   /** Component sizes plus size-ranked renumbering, reproducing the

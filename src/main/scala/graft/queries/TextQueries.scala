@@ -485,7 +485,8 @@ object TextQueries {
       bits = 4, probe = 1)
     val g = graft.core.Graph.fromEdges(
       pairs.select(col("a").as("src"), col("b").as("dst")))
-    val cc = graft.operators.ConnectedComponents.run(g).components
+    val cc = graft.operators.ConnectedComponents.run(g,
+      localFinishEdges = 2000000L).components
     e.select(col("vec_id"))
       .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("keeper"))
@@ -550,7 +551,8 @@ object TextQueries {
       bits = 4, probe = 1)
     val g = graft.core.Graph.fromEdges(
       pairs.select(col("a").as("src"), col("b").as("dst")))
-    val cc = graft.operators.ConnectedComponents.run(g).components
+    val cc = graft.operators.ConnectedComponents.run(g,
+      localFinishEdges = 2000000L).components
     val qual = TextOps.quality(d)
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
     val members = cc.select(col("id").as("doc_id"), col("comp"))

@@ -57,6 +57,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded local finish (union-find) == distributed min-label, labels and counts") {
+    // The opt-in driver path must be output-identical to the distributed
+    // path (comp = min member id), including directed edges treated as
+    // undirected, self-loops, and a budget too small to trigger it.
+    for (edges <- Seq(
+        Fixtures.bucket9,
+        Seq((0L, 1L), (1L, 2L), (10L, 11L), (5L, 5L)),
+        Fixtures.erdosRenyi(50, 0.03, 11))) {
+      val g = Graph.fromPairs(spark, edges)
+      def norm(r: ConnectedComponents.Result) =
+        (r.components.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap,
+          r.numComponents)
+      val dist = norm(ConnectedComponents.run(g))
+      val local = norm(ConnectedComponents.run(g, localFinishEdges = 1000000L))
+      assert(local == dist)
+      // budget smaller than the edge count → distributed path taken
+      val tooSmall = norm(ConnectedComponents.run(g, localFinishEdges = 1L))
+      assert(tooSmall == dist)
+    }
+  }
+
   test("sortBySize renumbers by decreasing size, ties by min label") {
     // components: {0,1,2} (comp 0), {10,11,12} (comp 10), {20,21} (comp 20)
     val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L))
