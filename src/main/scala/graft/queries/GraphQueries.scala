@@ -47,37 +47,13 @@ object GraphQueries {
         s"(l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $N AS dst")
       .distinct()
 
-  /** Session-scoped memo for state shared across driver-contract queries
-    * (the loaded graph, its components, its eccentricities): an engine
-    * keeps a graph loaded across queries; re-deriving the adjacency (a
-    * full lineitem shuffle) per query would double-pay every g_* query in
-    * a Verify/Bench run. Keyed by session identity so a stopped session's
-    * cached plans are never reused.
+  /** State shared across driver-contract queries (the loaded graph, its
+    * components, its eccentricities) lives in [[graft.core.SessionMemo]]:
+    * re-deriving the adjacency (a full lineitem shuffle) per query would
+    * double-pay every g_* query in a Verify/Bench run.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
-
-  /** NOT computeIfAbsent: the mapping functions nest (essShared →
-    * sccShared → graph), and nested computeIfAbsent on one CHM is
-    * spec-forbidden — it throws "Recursive update" whenever the two keys
-    * share a hash bin. get/putIfAbsent tolerates the nesting; queries run
-    * sequentially, so the lost-update race is benign (worst case one
-    * duplicate computation). Entries of stopped sessions are evicted so
-    * dead sessions and their persisted frames don't pin memory for the
-    * JVM lifetime.
-    */
-  private def memoized[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T = {
-    val it = memo.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    val k = (spark, key)
-    val existing = memo.get(k)
-    if (existing != null) existing.asInstanceOf[T]
-    else {
-      val v = f
-      val prior = memo.putIfAbsent(k, v)
-      (if (prior != null) prior else v).asInstanceOf[T]
-    }
-  }
+  private def memoized[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T =
+    graft.core.SessionMemo(spark, key)(f)
 
   def graph(spark: SparkSession, dir: String): Graph =
     memoized(spark, s"graph:$dir") { Graph.fromEdges(edgesDf(spark, dir)) }

@@ -478,15 +478,25 @@ object TextQueries {
     * only (near-dup edges, tiny vs the corpus) — the corpus itself never
     * enters the iteration.
     */
+  /** The LSH pair graph + its clustering, shared by `d_embed_neardup`
+    * and `d_neardup_rep` (identical parameters): both queries otherwise
+    * pay the full bucket-join + cosine + CC pass cold — the dedup-family
+    * analogue of GraphQueries' shared graph/cc/ess memo.
+    */
+  private def nearDupCcShared(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionMemo(spark, s"neardup-cc:$dir") {
+      val pairs = VectorSim.nearDupPairs(emb(spark, dir), threshold = 0.4,
+        dims = 64, bits = 4, probe = 1)
+      val g = graft.core.Graph.fromEdges(
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      graft.operators.ConnectedComponents.run(g,
+        localFinishEdges = 2000000L).components
+    }
+
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
-    val pairs = VectorSim.nearDupPairs(e, threshold = 0.4, dims = 64,
-      bits = 4, probe = 1)
-    val g = graft.core.Graph.fromEdges(
-      pairs.select(col("a").as("src"), col("b").as("dst")))
-    val cc = graft.operators.ConnectedComponents.run(g,
-      localFinishEdges = 2000000L).components
+    val cc = nearDupCcShared(spark, dir)
     e.select(col("vec_id"))
       .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("keeper"))
@@ -546,13 +556,7 @@ object TextQueries {
     */
   def nearDupRep(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val e = emb(spark, dir)
-    val pairs = VectorSim.nearDupPairs(e, threshold = 0.4, dims = 64,
-      bits = 4, probe = 1)
-    val g = graft.core.Graph.fromEdges(
-      pairs.select(col("a").as("src"), col("b").as("dst")))
-    val cc = graft.operators.ConnectedComponents.run(g,
-      localFinishEdges = 2000000L).components
+    val cc = nearDupCcShared(spark, dir)
     val qual = TextOps.quality(d)
       .select(col("doc_id"), round(col("quality_score"), 6).as("q"))
     val members = cc.select(col("id").as("doc_id"), col("comp"))
