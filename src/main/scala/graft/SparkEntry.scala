@@ -40,6 +40,7 @@ object SparkEntry {
     "g_topo_layers" -> (GraphQueries.topoLayers _),
     "g_hyperball" -> (GraphQueries.hyperball _),
     "g_eff_diameter" -> (GraphQueries.effDiameter _),
+    "g_bowtie" -> (GraphQueries.bowtie _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "g_topo_layers" -> GraphQueries.topoLayersSql,
     "g_hyperball" -> GraphQueries.hyperballSql,
     "g_eff_diameter" -> GraphQueries.effDiameterSql,
+    "g_bowtie" -> GraphQueries.bowtieSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,

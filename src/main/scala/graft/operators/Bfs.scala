@@ -137,6 +137,54 @@ object Bfs {
     visited
   }
 
+  /** Forward-closure membership: every vertex reachable from `seeds`
+    * (a DataFrame with an `id` column — seeds stay distributed, so a
+    * seed set proportional to the graph, e.g. a giant SCC, never lands
+    * on the driver). Returns a single-column (id) frame INCLUDING the
+    * seeds. Distances/preds are not tracked — the reachable-SET form of
+    * [[run]] used by region decompositions ([[BowTie]]), where only
+    * membership matters and dropping the per-level metadata keeps the
+    * anti-join state one long per vertex.
+    *
+    * `allowed` confines expansion (and the seeds, like [[run]]) to a
+    * vertex subset: closures over a residual region (e.g. "reachable
+    * from IN without entering the core's forward set") stay linear in
+    * the REGION, not the graph.
+    */
+  def closure(adj: org.apache.spark.sql.Dataset[graft.core.AdjChunk],
+              seeds: DataFrame,
+              allowed: Option[DataFrame] = None): DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    var seeds0 = seeds.select($"id").distinct()
+    allowed.foreach(a => seeds0 = seeds0.join(a.select($"id"), Seq("id"), "left_semi"))
+    var visited = seeds0.localCheckpoint(true)
+    var frontier = visited
+    var n = frontier.count()
+    while (n > 0) {
+      var next = adj
+        .join(frontier.select($"id".as("src")), Seq("src"))
+        .select(explode($"dsts").as("id"))
+        .distinct()
+      allowed.foreach(a => next = next.join(a.select($"id"), Seq("id"), "left_semi"))
+      val discovered = next
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(false)
+      n = discovered.count()
+      if (n > 0) {
+        val newVisited = visited.union(discovered).localCheckpoint(true)
+        Lineage.release(frontier)
+        Lineage.release(visited)
+        visited = newVisited
+        frontier = discovered
+      } else {
+        Lineage.release(discovered)
+      }
+    }
+    if (frontier ne visited) Lineage.release(frontier)
+    visited
+  }
+
   /** Distances only (drops pred). */
   def distances(graph: Graph, roots: Seq[Long]): DataFrame =
     run(graph, roots).select(col("id"), col("dist"))

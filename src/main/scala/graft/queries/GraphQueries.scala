@@ -704,6 +704,78 @@ object GraphQueries {
        |FROM fin""".stripMargin
   }
 
+  /** Bow-tie decomposition ([[BowTie.run]]): per-vertex web-macrostructure
+    * region relative to the largest SCC. Shares the SCC and WCC labelings
+    * with g_scc / g_cc (the decomposition itself then costs only the four
+    * membership closures).
+    */
+  def bowtie(spark: SparkSession, dir: String): DataFrame =
+    BowTie.run(graph(spark, dir),
+      scc = Some(sccShared(spark, dir)), wcc = Some(ccShared(spark, dir)))
+
+  /** Oracle: the same region algebra from the unrolled distance closure —
+    * mutual-reach SCCs, largest by (count desc, comp asc), forward/
+    * backward sets as joins against `dist`, the recursive symmetric
+    * closure for the core's weak component. The oracle's `fwdin`/`bwdout`
+    * are UNconfined (plain reachability); the CASE consults them only for
+    * vertices outside core∪in∪out, where confinement provably drops no
+    * member (the forward set is forward-closed), so both sides agree on
+    * every consulted row.
+    */
+  lazy val bowtieSql: String =
+    s"""WITH RECURSIVE $edgesSql,
+       |$distSql,
+       |scc AS MATERIALIZED (
+       |  SELECT d1.src AS id, min(d1.id) AS comp
+       |  FROM dist d1 JOIN dist d2 ON d2.src = d1.id AND d2.id = d1.src
+       |  GROUP BY d1.src
+       |),
+       |core AS MATERIALIZED (
+       |  SELECT s.id FROM scc s JOIN (
+       |    SELECT comp FROM (SELECT comp, count(*) AS c FROM scc GROUP BY comp
+       |                      ORDER BY c DESC, comp ASC LIMIT 1) t
+       |  ) l ON s.comp = l.comp
+       |),
+       |fwd AS MATERIALIZED (SELECT DISTINCT d.id FROM dist d JOIN core c ON d.src = c.id),
+       |bwd AS MATERIALIZED (SELECT DISTINCT d.src AS id FROM dist d JOIN core c ON d.id = c.id),
+       |-- NOT EXISTS, not EXCEPT: DuckDB rejects any set operation other
+       |-- than UNION inside a WITH RECURSIVE CTE list.
+       |inn AS MATERIALIZED (
+       |  SELECT b.id FROM bwd b WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = b.id)),
+       |outt AS MATERIALIZED (
+       |  SELECT f.id FROM fwd f WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = f.id)),
+       |fwdin AS MATERIALIZED (SELECT DISTINCT d.id FROM dist d JOIN inn i ON d.src = i.id),
+       |bwdout AS MATERIALIZED (SELECT DISTINCT d.src AS id FROM dist d JOIN outt o ON d.id = o.id),
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |wreach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, wreach.r FROM wreach JOIN sym e ON e.src = wreach.id
+       |),
+       |wcc AS MATERIALIZED (SELECT id, min(r) AS comp FROM wreach GROUP BY id),
+       |mainc AS (SELECT min(w.comp) AS comp FROM wcc w JOIN core c ON w.id = c.id),
+       |mainwcc AS MATERIALIZED (SELECT w.id FROM wcc w JOIN mainc m ON w.comp = m.comp)
+       |SELECT n.id,
+       |  CASE WHEN c.id IS NOT NULL THEN 'core'
+       |       WHEN i.id IS NOT NULL THEN 'in'
+       |       WHEN o.id IS NOT NULL THEN 'out'
+       |       WHEN mw.id IS NULL THEN 'disconnected'
+       |       WHEN fi.id IS NOT NULL AND bo.id IS NOT NULL THEN 'tube'
+       |       WHEN fi.id IS NOT NULL THEN 'tendril_in'
+       |       WHEN bo.id IS NOT NULL THEN 'tendril_out'
+       |       ELSE 'tendril_other' END AS region
+       |-- DISTINCT: inside a WITH RECURSIVE list DuckDB 1.0 gives every
+       |-- UNION-bodied CTE (here `nodes`) UNION ALL semantics; sibling
+       |-- oracles survive that via downstream GROUP BYs, a per-vertex
+       |-- row list does not.
+       |FROM (SELECT DISTINCT id FROM nodes) n
+       |LEFT JOIN core c ON n.id = c.id
+       |LEFT JOIN inn i ON n.id = i.id
+       |LEFT JOIN outt o ON n.id = o.id
+       |LEFT JOIN mainwcc mw ON n.id = mw.id
+       |LEFT JOIN fwdin fi ON n.id = fi.id
+       |LEFT JOIN bwdout bo ON n.id = bo.id""".stripMargin
+
   /** Label propagation, fixed sync iterations, deterministic tie-breaks. */
   def lp(iters: Int)(spark: SparkSession, dir: String): DataFrame =
     LabelPropagation.run(graph(spark, dir), maxIter = iters).labels
