@@ -42,6 +42,7 @@ object SparkEntry {
     "g_eff_diameter" -> (GraphQueries.effDiameter _),
     "g_bowtie" -> (GraphQueries.bowtie _),
     "i_links" -> (graft.queries.IngestQueries.links _),
+    "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
     "q_setop" -> (graft.queries.RelationalQueries.setOps _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "g_eff_diameter" -> GraphQueries.effDiameterSql,
     "g_bowtie" -> GraphQueries.bowtieSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
+    "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
     "q_setop" -> graft.queries.RelationalQueries.setOpsSql,

@@ -106,6 +106,53 @@ object LinkExtract {
     * into the empty-string host rather than being dropped (an auditable
     * bucket, not silent loss).
     */
+  /** (src_url, dst_url, anchor) triples from complete anchor tags — the
+    * href-only [[links]] extraction plus the tag's inner text. Two-step
+    * because `regexp_extract_all` yields ONE capture group per match:
+    * explode whole tags, then project each group from the (short) tag
+    * string. All codegen'd string expressions, no UDFs.
+    */
+  def anchors(pages: DataFrame): DataFrame =
+    pages
+      .select(
+        col("url").as("src_url"),
+        explode(
+          regexp_extract_all(col("html").cast("string"),
+            lit("""<a href="[^"]+">[^<]*</a>"""), lit(0))).as("tag"))
+      .select(
+        col("src_url"),
+        regexp_extract(col("tag"), """<a href="([^"]+)"""", 1).as("dst_url"),
+        regexp_extract(col("tag"), """>([^<]*)</a>""", 1).as("anchor"))
+
+  /** Per-target anchor-text signals — the classic link-based document
+    * signal of web search (inlink anchor terms describe the TARGET):
+    * (dst_url, inlinks, n_anchors = distinct anchor strings, top_anchor =
+    * most frequent anchor, ties to the lexicographically smallest).
+    *
+    * Shape: one partial-aggregated shuffle to (dst_url, anchor) counts —
+    * map-side combine absorbs the "every page says 'click here' about
+    * google.com" skew before it ships — then one exchange by dst_url for
+    * the window (rank + both per-target totals in a single pass over
+    * DISTINCT-anchor rows, already ≤ vocabulary per target, not inlink
+    * cardinality).
+    */
+  def anchorText(anchors: DataFrame): DataFrame = {
+    val counts = anchors
+      .groupBy(col("dst_url"), col("anchor"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("dst_url")
+    counts
+      .select(
+        col("dst_url"),
+        col("anchor"),
+        row_number().over(w.orderBy(col("c").desc, col("anchor").asc)).as("rn"),
+        sum(col("c")).over(w).as("inlinks"),
+        count(lit(1)).over(w).as("n_anchors"))
+      .where(col("rn") === 1)
+      .select(col("dst_url"), col("inlinks"), col("n_anchors"),
+        col("anchor").as("top_anchor"))
+  }
+
   def hostGraph(links: DataFrame): DataFrame = {
     val host = (c: String) =>
       regexp_extract(col(c), "^https?://([^/]+)", 1)

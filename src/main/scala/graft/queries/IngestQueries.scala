@@ -23,6 +23,9 @@ object IngestQueries {
 
   /** (url, html) pages: doc d links to targets (d·31 + j·17 + 1) mod n,
     * j < d mod 5 (so some pages have no links and stay dangling vertices).
+    * Anchor text is a term from a 9-word vocabulary, w((d·13 + j·7) mod 9)
+    * — deterministic, varied per (source, slot) so per-target anchor
+    * aggregation ([[anchorText]]) has real frequency structure.
     */
   def pages(spark: SparkSession, dir: String): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
@@ -30,7 +33,8 @@ object IngestQueries {
     val nLinks = col("doc_id") % 5
     val anchors = transform(
       sequence(lit(0), nLinks.cast("long") - 1),
-      j => concat(lit("<a href=\""), urlOf((col("doc_id") * 31 + j * 17 + 1) % n), lit("\">x</a>")))
+      j => concat(lit("<a href=\""), urlOf((col("doc_id") * 31 + j * 17 + 1) % n),
+        lit("\">w"), (col("doc_id") * 13 + j * 7) % 9, lit("</a>")))
     d.select(
       urlOf(col("doc_id")).as("url"),
       concat(
@@ -54,7 +58,8 @@ object IngestQueries {
       |         '<html><body>' || array_to_string(
       |           list_transform(range(0, doc_id % 5),
       |             j -> '<a href="http://site' || (((doc_id * 31 + j * 17 + 1) % n) % 40) ||
-      |                  '.test/p' || ((doc_id * 31 + j * 17 + 1) % n) || '">x</a>'),
+      |                  '.test/p' || ((doc_id * 31 + j * 17 + 1) % n) ||
+      |                  '">w' || ((doc_id * 13 + j * 7) % 9) || '</a>'),
       |           '') || '</body></html>' AS html
       |  FROM documents CROSS JOIN cnt
       |),
@@ -84,4 +89,32 @@ object IngestQueries {
        |       regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
        |       count(*) AS weight
        |FROM lnk GROUP BY src_host, dst_host""".stripMargin
+
+  /** Per-target anchor-text signals ([[LinkExtract.anchorText]]) over the
+    * same derived pages.
+    */
+  def anchorText(spark: SparkSession, dir: String): DataFrame =
+    LinkExtract.anchorText(LinkExtract.anchors(pages(spark, dir)))
+
+  val anchorTextSql: String =
+    s"""WITH $pagesLnkSql,
+       |tags AS (
+       |  SELECT unnest(regexp_extract_all(html, '<a href="[^"]+">[^<]*</a>')) AS tag
+       |  FROM pages
+       |),
+       |a AS (
+       |  SELECT regexp_extract(tag, '<a href="([^"]+)"', 1) AS dst_url,
+       |         regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+       |  FROM tags
+       |),
+       |c AS (SELECT dst_url, anchor, count(*) AS c FROM a GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT dst_url, anchor,
+       |         row_number() OVER (PARTITION BY dst_url ORDER BY c DESC, anchor ASC) AS rn,
+       |         CAST(sum(c) OVER (PARTITION BY dst_url) AS BIGINT) AS inlinks,
+       |         count(*) OVER (PARTITION BY dst_url) AS n_anchors
+       |  FROM c
+       |)
+       |SELECT dst_url, inlinks, n_anchors, anchor AS top_anchor
+       |FROM ranked WHERE rn = 1""".stripMargin
 }

@@ -69,6 +69,24 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(byUrl == direct)
   }
 
+  test("anchorText: per-target counts, distinct anchors, frequency-then-lex top pick") {
+    import spark.implicits._
+    val pages = Seq(
+      ("u1", """<x><a href="t1">alpha</a><a href="t1">beta</a><a href="t2">gamma</a></x>"""),
+      ("u2", """<a href="t1">beta</a><a href="t1">alpha</a>"""),
+      ("u3", """<a href="t2">delta</a><a href="t3"></a>""")
+    ).toDF("url", "html")
+    val got = LinkExtract.anchorText(LinkExtract.anchors(pages))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == Map(
+      // t1: alpha×2 beta×2 — frequency tie broken lexicographically
+      "t1" -> ((4L, 2L, "alpha")),
+      // t2: gamma×1 delta×1 → lex min delta
+      "t2" -> ((2L, 2L, "delta")),
+      // empty inner text is still an anchor occurrence
+      "t3" -> ((1L, 1L, ""))))
+  }
+
   test("full ingest: dense vertex map covers all pages; edges in range") {
     val pages = PageGen.pages(spark, 200L)
     val (vm, edges) = LinkExtract.ingest(pages)
