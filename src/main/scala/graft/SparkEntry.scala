@@ -41,8 +41,12 @@ object SparkEntry {
     "g_hyperball" -> (GraphQueries.hyperball _),
     "g_eff_diameter" -> (GraphQueries.effDiameter _),
     "g_bowtie" -> (GraphQueries.bowtie _),
+    "g_kcore" -> (GraphQueries.kcore _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
+    "t_decontam" -> (graft.queries.TextQueries.decontam _),
+    "d_span_dedup" -> (graft.queries.TextQueries.spanDedup _),
+    "d_winnow_pairs" -> (graft.queries.TextQueries.winnowPairs _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
     "q_setop" -> (graft.queries.RelationalQueries.setOps _),
@@ -102,8 +106,12 @@ object SparkEntry {
     "g_hyperball" -> GraphQueries.hyperballSql,
     "g_eff_diameter" -> GraphQueries.effDiameterSql,
     "g_bowtie" -> GraphQueries.bowtieSql,
+    "g_kcore" -> GraphQueries.kcoreSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,
+    "t_decontam" -> graft.queries.TextQueries.decontamSql,
+    "d_span_dedup" -> graft.queries.TextQueries.spanDedupSql,
+    "d_winnow_pairs" -> graft.queries.TextQueries.winnowPairsSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
     "q_setop" -> graft.queries.RelationalQueries.setOpsSql,

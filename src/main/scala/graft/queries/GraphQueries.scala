@@ -810,4 +810,65 @@ object GraphQueries {
        |$stages
        |SELECT id, label FROM lab$iters""".stripMargin
   }
+
+  // --- k-core -----------------------------------------------------------
+
+  /** Vertex-space modulus of the k-core derived graph. The shared N=601
+    * graph is near-complete at sf0.01 (min simple degree 132), where no
+    * realistic k peels anything — so this query derives a SPARSER graph
+    * from the same lineitem arithmetic: at sf0.01 the 5-core keeps 7,088
+    * of 8,001 vertices; at sf0.001 the whole graph cascades away (3
+    * synchronous rounds), exercising the full-peel path.
+    */
+  val KCoreN = 8009
+  val KCoreK = 5
+
+  /** Unrolled oracle peel rounds. Measured fixpoint depth at the gate
+    * scale factors is <= 3; once the fixpoint is reached every further
+    * round is a NO-OP (the peel is monotone), so the margin is free
+    * correctness headroom and each extra round a cheap semi-join over the
+    * converged (shrinking) edge set.
+    */
+  private val KCoreRounds = 8
+
+  private def kcoreEdgesDf(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .selectExpr(
+        s"l_partkey % $KCoreN AS src",
+        s"(l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $KCoreN AS dst")
+      .distinct()
+
+  /** k-core ([[KCore.run]]): surviving vertices with in-core degree. */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    KCore.run(Graph.fromEdges(kcoreEdgesDf(spark, dir)), k = KCoreK).core
+
+  /** Oracle: the same synchronous peel, unrolled — each round keeps the
+    * vertices of current degree >= k and restricts the symmetric edge set
+    * to them.
+    */
+  lazy val kcoreSql: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      val p = s"sym${i - 1}"
+      s"""keep$i AS MATERIALIZED (
+         |  SELECT src FROM $p GROUP BY src HAVING count(*) >= $KCoreK),
+         |sym$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $p e
+         |  JOIN keep$i a ON e.src = a.src
+         |  JOIN keep$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kedges AS MATERIALIZED (
+       |  SELECT DISTINCT (l_partkey % $KCoreN) AS src,
+       |         ((l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $KCoreN) AS dst
+       |  FROM lineitem
+       |),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM kedges WHERE src <> dst),
+       |sym0 AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM und
+       |  UNION ALL SELECT v AS src, u AS dst FROM und),
+       |$rounds
+       |SELECT src AS id, count(*) AS deg FROM sym$KCoreRounds GROUP BY src""".stripMargin
+  }
 }

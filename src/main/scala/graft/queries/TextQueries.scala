@@ -177,6 +177,78 @@ object TextQueries {
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.2""".stripMargin
 
+  // --- train/test decontamination --------------------------------------
+
+  /** Benchmark-id modulus: documents with doc_id % 23 == 0 play the eval
+    * benchmark; the rest are the corpus under test. At sf0.01 this yields
+    * ~1.1k benchmark 5-grams and a handful of genuinely contaminated
+    * corpus docs (the planted near-duplicates), i.e. the sparse-hit
+    * regime the operator's broadcast-join shape is designed for.
+    */
+  private val DecontamMod = 23
+
+  /** Train/test decontamination ([[graft.text.Decontaminate.run]], n=5). */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    graft.text.Decontaminate.run(
+      d.filter(col("doc_id") % DecontamMod =!= 0),
+      d.filter(col("doc_id") % DecontamMod === 0),
+      n = 5)
+  }
+
+  /** Oracle replays the pipeline on the shared distinct-shingle prelude:
+    * gram sets per doc → benchmark hash set → per-doc hit counts.
+    */
+  val decontamSql: String =
+    s"""WITH ${shinglesSql(5)},
+       |hs AS (SELECT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM hs GROUP BY doc_id),
+       |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id % $DecontamMod = 0),
+       |hits AS (
+       |  SELECT hs.doc_id, count(*) AS c FROM hs JOIN bench USING (h)
+       |  WHERE hs.doc_id % $DecontamMod <> 0 GROUP BY hs.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(cnt.c, 0) AS n_grams,
+       |       coalesce(hits.c, 0) AS n_contam,
+       |       coalesce(hits.c, 0) > 0 AS contaminated
+       |FROM documents d
+       |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+       |LEFT JOIN hits ON hits.doc_id = d.doc_id
+       |WHERE d.doc_id % $DecontamMod <> 0""".stripMargin
+
+  // --- span-level exact dedup ------------------------------------------
+
+  /** Span-level exact dedup ([[Dedup.spanDedup]], 5-token chunks): the
+    * per-doc (n_chunks, n_kept) removal report after keeping one
+    * occurrence of each distinct chunk corpus-wide (~320 duplicate span
+    * occurrences at sf0.01 — the planted near-duplicates share spans).
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(docs(spark, dir), n = 5)
+
+  /** Oracle replays chunking (non-overlapping 5-token windows, last
+    * partial kept), the 60-bit chunk hash, and first-occurrence-by-
+    * (doc_id, idx) survival.
+    */
+  val spanDedupSql: String =
+    s"""WITH $toksSql,
+       |ch AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) AS idx,
+       |         unnest(list_transform(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT)),
+       |                i -> array_to_string(w[i*5+1:i*5+5], ' '))) AS c
+       |  FROM toks WHERE len(w) > 0
+       |),
+       |o AS (SELECT doc_id, idx, ${hash60Sql("c")} AS h FROM ch),
+       |r AS (SELECT doc_id,
+       |             row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+       |      FROM o),
+       |kept AS (SELECT doc_id, count(*) AS c FROM r WHERE rn = 1 GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(coalesce(ceil(len(t.w) / 5.0), 0) AS BIGINT) AS n_chunks,
+       |       coalesce(k.c, 0) AS n_kept
+       |FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin
+
   // --- minhash / simhash ----------------------------------------------
   // Both use TextOps.portableHash60 (md5-prefix BIGINT, identical in
   // Spark and DuckDB), so the full pipelines are hash-verified by the
@@ -445,12 +517,13 @@ object TextQueries {
   def winnow(spark: SparkSession, dir: String): DataFrame =
     TextOps.winnow(docs(spark, dir), k = 8, w = 4)
 
-  /** Oracle replays the pipeline: k-gram hash → window min → distinct.
-    * Window frames truncate at partition end identically in both
-    * engines, which is what makes the short-doc (m < w) branch portable.
+  /** Composable winnow prelude (k=8, w=4): CTE chain ending in `wfp` =
+    * the distinct (doc_id, fp) fingerprint sets. Shared by `t_winnow`
+    * and `d_winnow_pairs` as a named prelude — NOT by textual slicing of
+    * one query out of the other (the effDiameter indexOf lesson).
     */
-  val winnowSql: String =
-    """WITH s AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
+  private val winnowSetSql: String =
+    """s AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM documents),
       |g AS (SELECT doc_id, s, greatest(length(s) - 7, 0) AS m FROM s),
       |km AS (SELECT doc_id, m, unnest(range(0, m)) AS pos, s FROM g),
       |h AS (SELECT doc_id, m, pos,
@@ -458,8 +531,38 @@ object TextQueries {
       |      FROM km),
       |wm AS (SELECT doc_id, m, pos,
       |       min(hv) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-      |       FROM h)
-      |SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= greatest(m - 4, 0)""".stripMargin
+      |       FROM h),
+      |wfp AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= greatest(m - 4, 0))""".stripMargin
+
+  /** Oracle replays the pipeline: k-gram hash → window min → distinct.
+    * Window frames truncate at partition end identically in both
+    * engines, which is what makes the short-doc (m < w) branch portable.
+    */
+  val winnowSql: String =
+    s"""WITH $winnowSetSql
+       |SELECT doc_id, fp FROM wfp""".stripMargin
+
+  // --- winnow copy-detection pairs -------------------------------------
+
+  /** MOSS copy-detection pairs ([[Dedup.winnowPairs]]). maxDf=3 /
+    * minShared=2: the synthetic corpus's 11-word vocabulary makes
+    * 8-char-gram collisions corpus-wide noise (fingerprints hitting up
+    * to 328 of 500 docs), so only near-unique fingerprints carry copy
+    * signal here — 181 pairs at sf0.01. A real crawl would run much
+    * higher caps; the knobs are per-corpus.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(docs(spark, dir), k = 8, w = 4, minShared = 2, maxDf = 3)
+
+  val winnowPairsSql: String =
+    s"""WITH $winnowSetSql,
+       |wdf AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 3),
+       |r AS (SELECT w.doc_id, w.fp FROM wfp w JOIN wdf USING (fp))
+       |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+       |FROM r x JOIN r y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY x.doc_id, y.doc_id
+       |HAVING count(*) >= 2""".stripMargin
 
   // --- embedding-cosine near-duplicate groups -------------------------
 

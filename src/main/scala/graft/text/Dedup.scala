@@ -298,4 +298,87 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Span-level exact dedup (the sub-document member of the family —
+    * CCNet-style shard dedup generalized from lines to token spans,
+    * since crawl boilerplate repeats SPANS across pages): cut each
+    * document into consecutive NON-overlapping `n`-token chunks (last
+    * chunk may be shorter), then keep exactly ONE occurrence of each
+    * distinct chunk corpus-wide — the first by (doc_id asc, chunk index
+    * asc). Output is the per-document removal report:
+    * (doc_id, n_chunks, n_kept); `n_chunks - n_kept` is how many spans a
+    * rewrite pass would delete.
+    *
+    * Scale shape: chunks travel as [[TextOps.portableHash60]] hashes
+    * (8 bytes), never text. Two map-side-combined aggregations: ONE
+    * shuffle keyed by chunk hash (min(struct(doc_id, idx)) — associative,
+    * partial map-side), then a per-doc count over ONE ROW PER DISTINCT
+    * CHUNK (already ≤ corpus chunks, typically far fewer). The corpus
+    * text itself never shuffles, mirroring [[exact]]'s fingerprint-first
+    * design; the collision story is the shared 60-bit portable hash (an
+    * adversarial-corpus deployment would swap in the 128-bit sha prefix
+    * exactly as [[exact]] does).
+    */
+  def spanDedup(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = TextOps.tokensCol(col("text"))
+    // ceil(len/n) chunk starts; slice is 1-based and clips the last chunk.
+    val chunks = when(size(w) > 0,
+      transform(sequence(lit(0), floor((size(w) - 1) / lit(n)).cast("int")),
+        i => concat_ws(" ", slice(w, i * n + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+    val occ = docs
+      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"),
+        TextOps.portableHash60(col("chunk")).as("h"))
+
+    val firsts = occ
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept"))
+
+    docs
+      .select(col("doc_id"), size(chunks).cast("long").as("n_chunks"))
+      .join(firsts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** MOSS-style copy-detection pairs over winnowing fingerprints
+    * ([[TextOps.winnow]]): document pairs sharing at least `minShared`
+    * fingerprints, counted over an inverted index capped at `maxDf` docs
+    * per fingerprint. Winnowing guarantees any shared SUBSTRING of
+    * length >= w+k-1 chars contributes a shared fingerprint, so this is
+    * the character-level (copy/paste, boilerplate) complement to the
+    * token-set similarity of [[ngramJaccard]].
+    *
+    * Output: (a, b, shared) with a < b — `shared` counts fingerprints
+    * that survive the df cap, so it is a LOWER bound on true overlap;
+    * the cap is what bounds the inverted-index self-join fan-out to
+    * maxDf² pairs per fingerprint (the corpus-boilerplate fingerprints
+    * that would otherwise produce quadratic pair blowup are exactly the
+    * ones that carry no copy signal). Same scale shape as
+    * [[ngramJaccard]]: explode → df filter → equi-join on fingerprint →
+    * map-side-combined pair count.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                  minShared: Int = 2, maxDf: Int = 1000,
+                  hashMode: String = "md5"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2)
+    val fps = TextOps.winnow(docs, k, w, hashMode)
+    val rareFps = fps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp"))
+    val rare = fps.join(rareFps, Seq("fp"))
+    rare.as("x").join(rare.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -163,6 +163,31 @@ class PlanSpec extends AnyFunSuite {
       s"rep selection is not the max_by aggregate:\n$plan")
   }
 
+  test("t_decontam: benchmark gram set broadcasts; no sort-merge join anywhere") {
+    // The scale contract: the benchmark side is the SMALL side and must
+    // broadcast — a sort-merge join would shuffle the full corpus gram
+    // stream by hash. (The bench-side distinct's own tiny exchange is
+    // expected; the corpus side may only shuffle matched hits + the
+    // per-doc report keyed by doc_id.)
+    val q = TextQueries.decontam(spark, dir)
+    q.collect() // AQE finalizes the physical plan on execution
+    val plan = executedPlan(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join in decontamination:\n$plan")
+  }
+
+  test("d_span_dedup: first-occurrence survival is an associative aggregate, not a window") {
+    // min(struct(doc_id, idx)) partial-aggregates map-side; a Window node
+    // would mean every chunk occurrence shuffles to be ranked row-by-row.
+    val q = TextQueries.spanDedup(spark, dir)
+    q.collect()
+    val plan = executedPlan(q)
+    assert(!plan.contains("Window"),
+      s"corpus-wide window crept into spanDedup:\n$plan")
+  }
+
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
     val plan = g.adjacency.queryExecution.executedPlan.toString

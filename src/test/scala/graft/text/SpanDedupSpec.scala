@@ -1,0 +1,62 @@
+package graft.text
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(docs: Seq[(Long, String)], n: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Dedup.spanDedup(docs.toDF("doc_id", "text"), n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("first occurrence by (doc_id, idx) survives; later copies removed") {
+    val got = run(Seq(
+      1L -> "a b c d e f",       // chunks: "a b c","d e f"
+      2L -> "d e f a b c",       // both chunks already seen in doc 1
+      3L -> "a b c x"            // "a b c" seen; partial chunk "x" is new
+    ), n = 3)
+    assert(got(1L) == ((2L, 2L)))
+    assert(got(2L) == ((2L, 0L)))
+    assert(got(3L) == ((2L, 1L)))
+  }
+
+  test("intra-doc duplicate chunks keep only the first; partial tail chunk") {
+    // chunks(n=2): "a b","a b","c" — 3 chunks, 2 distinct
+    val got = run(Seq(7L -> "a b a b c"), n = 2)
+    assert(got(7L) == ((3L, 2L)))
+  }
+
+  test("chunking is alignment-sensitive (non-overlapping windows)") {
+    // doc 2's tokens contain doc 1's chunk "b c" only at an odd offset —
+    // its own chunks are "a b","c d", so nothing is removed.
+    val got = run(Seq(1L -> "b c", 2L -> "a b c d"), n = 2)
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((2L, 2L)))
+  }
+
+  test("empty, null-ish and short docs") {
+    val got = run(Seq(1L -> "", 2L -> "solo"), n = 5)
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((1L, 1L)))
+  }
+
+  test("differential vs brute-force first-occurrence replay") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c")
+    val docs = (0L until 30L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val n = 2
+    val got = run(docs, n)
+    val seen = scala.collection.mutable.Set.empty[String]
+    for ((id, text) <- docs) {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val chunks = toks.grouped(n).map(_.mkString(" ")).toSeq
+      var kept = 0L
+      for (c <- chunks) if (seen.add(c)) kept += 1
+      assert(got(id) == ((chunks.size.toLong, kept)), s"doc $id")
+    }
+  }
+}
