@@ -27,6 +27,7 @@ object SparkEntry {
     "g_pagerank5" -> (GraphQueries.pagerank(5) _),
     "g_ppr5" -> (GraphQueries.ppr(5) _),
     "g_hits3" -> (GraphQueries.hits(3) _),
+    "g_salsa3" -> (GraphQueries.salsa(3) _),
     "g_walks4" -> (GraphQueries.walks(4) _),
     "g_lp3" -> (GraphQueries.lp(3) _),
     "g_triangles" -> (GraphQueries.triangles _),
@@ -44,9 +45,12 @@ object SparkEntry {
     "g_kcore" -> (GraphQueries.kcore _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
+    "i_host_rank" -> (graft.queries.IngestQueries.hostRank _),
+    "i_host_rank_w" -> (graft.queries.IngestQueries.hostRankWeighted _),
     "t_decontam" -> (graft.queries.TextQueries.decontam _),
     "d_span_dedup" -> (graft.queries.TextQueries.spanDedup _),
     "d_winnow_pairs" -> (graft.queries.TextQueries.winnowPairs _),
+    "e_label_centroid" -> (graft.queries.TextQueries.labelCentroid _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
     "q_setop" -> (graft.queries.RelationalQueries.setOps _),
@@ -92,6 +96,7 @@ object SparkEntry {
     "g_pagerank5" -> GraphQueries.pagerankSql(5),
     "g_ppr5" -> GraphQueries.pprSql(5),
     "g_hits3" -> GraphQueries.hitsSql(3),
+    "g_salsa3" -> GraphQueries.salsaSql(3),
     "g_walks4" -> GraphQueries.walksSql(4),
     "g_lp3" -> GraphQueries.lpSql(3),
     "g_triangles" -> GraphQueries.trianglesSql,
@@ -109,9 +114,12 @@ object SparkEntry {
     "g_kcore" -> GraphQueries.kcoreSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,
+    "i_host_rank" -> graft.queries.IngestQueries.hostRankSql,
+    "i_host_rank_w" -> graft.queries.IngestQueries.hostRankWeightedSql,
     "t_decontam" -> graft.queries.TextQueries.decontamSql,
     "d_span_dedup" -> graft.queries.TextQueries.spanDedupSql,
     "d_winnow_pairs" -> graft.queries.TextQueries.winnowPairsSql,
+    "e_label_centroid" -> graft.queries.TextQueries.labelCentroidSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
     "q_setop" -> graft.queries.RelationalQueries.setOpsSql,

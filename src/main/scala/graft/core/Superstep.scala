@@ -56,6 +56,16 @@ final class IterationContext(
 ) {
 
   private var prev: Option[DataFrame] = None
+  /** The caller-provided initial/resumed state. Its plan may embed
+    * checkpointed inputs the CALLER owns (e.g. a DenseIds vertex map the
+    * caller joins against after the loop), so when it is superseded only
+    * its own persist is dropped — [[Lineage.release]] walking its plan
+    * would unpersist those caller blocks and break any later read
+    * (observed: i_host_rank's post-loop hostname join lost the DenseIds
+    * checkpoint). States built by [[cut]] are rooted AT their checkpoint
+    * RDD, so releasing them touches exactly the context-owned blocks.
+    */
+  private var initial: Option[DataFrame] = None
   private var iterStartMs: Long = System.currentTimeMillis()
   val history: ArrayBuffer[SuperstepMetrics] = ArrayBuffer.empty
 
@@ -65,6 +75,7 @@ final class IterationContext(
       TableIO.latest(spark, c.dir).map { case (m, df) =>
         val st = df.persist(StorageLevel.MEMORY_AND_DISK)
         prev = Some(st)
+        initial = Some(st)
         (st, m.iteration)
       }
     }
@@ -73,6 +84,7 @@ final class IterationContext(
   def init(state: DataFrame): DataFrame = {
     val st = state.persist(StorageLevel.MEMORY_AND_DISK)
     prev = Some(st)
+    initial = Some(st)
     iterStartMs = System.currentTimeMillis()
     st
   }
@@ -131,7 +143,7 @@ final class IterationContext(
     }
     prev.filter(_ ne st).foreach { p =>
       p.unpersist()
-      releaseCheckpointBlocks(p)
+      if (!initial.exists(_ eq p)) releaseCheckpointBlocks(p)
     }
     prev = Some(st)
     val now = System.currentTimeMillis()

@@ -37,8 +37,16 @@ import org.apache.spark.storage.StorageLevel
 object Hits {
 
   /** (id, hub, auth) after `iterations` full a-then-h rounds, h₀ = 1. */
-  def run(graph: Graph, iterations: Int): DataFrame = {
-    require(iterations >= 1, "HITS needs at least one iteration")
+  def run(graph: Graph, iterations: Int): DataFrame =
+    iterate(graph, iterations, divideByDeg = false)
+
+  /** The shared a-then-h loop: plain-sum gathers for HITS, degree-
+    * normalized gathers ([[Salsa]]'s random-surfer splitting) when
+    * `divideByDeg` — identical superstep shape either way.
+    */
+  private[graft] def iterate(graph: Graph, iterations: Int,
+                             divideByDeg: Boolean): DataFrame = {
+    require(iterations >= 1, "HITS/SALSA needs at least one iteration")
     val spark = graph.spark
     import spark.implicits._
 
@@ -49,10 +57,10 @@ object Hits {
     var hub = verts.select($"id", lit(1.0).as("h")).localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aNext = halfStep(verts, adj, hub, "h", "a")
+      val aNext = halfStep(verts, adj, hub, "h", "a", divideByDeg)
       if (auth != null) Lineage.release(auth)
       auth = aNext
-      val hNext = halfStep(verts, tadj, auth, "a", "h")
+      val hNext = halfStep(verts, tadj, auth, "a", "h", divideByDeg)
       Lineage.release(hub)
       hub = hNext
     }
@@ -66,10 +74,11 @@ object Hits {
     * from its persisted src-partitioned form in both directions).
     */
   private[graft] def halfStep(verts: DataFrame, gather: Dataset[AdjChunk],
-                              state: DataFrame, inCol: String, outCol: String): DataFrame = {
+                              state: DataFrame, inCol: String, outCol: String,
+                              divideByDeg: Boolean = false): DataFrame = {
     val spark = verts.sparkSession
     import spark.implicits._
-    val all = gatherScores(verts, gather, state, inCol, outCol)
+    val all = gatherScores(verts, gather, state, inCol, outCol, divideByDeg)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val normed = all
       .crossJoin(all.agg(sum(col(outCol)).as("_s")))
@@ -85,12 +94,16 @@ object Hits {
     * the checkpointing wrapper so `PlanSpec` can pin its physical shape.
     */
   private[graft] def gatherScores(verts: DataFrame, gather: Dataset[AdjChunk],
-                                  state: DataFrame, inCol: String, outCol: String): DataFrame = {
+                                  state: DataFrame, inCol: String, outCol: String,
+                                  divideByDeg: Boolean = false): DataFrame = {
     val spark = verts.sparkSession
     import spark.implicits._
+    // `deg` is the chunk's FULL source degree (AdjChunk carries it per
+    // chunk), so the degree-normalized contribution needs no extra join.
+    val contrib = if (divideByDeg) $"s" / $"deg" else $"s"
     val raw = gather
       .join(state.select($"id".as("src"), col(inCol).as("s")), Seq("src"))
-      .select(explode($"dsts").as("id"), $"s")
+      .select(explode($"dsts").as("id"), contrib.as("s"))
       .groupBy($"id")
       .agg(sum($"s").as(outCol))
     verts

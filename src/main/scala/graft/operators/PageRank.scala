@@ -118,6 +118,83 @@ object PageRank {
   def runFixed(graph: Graph, iterations: Int, alpha: Double = 0.85): DataFrame =
     run(graph, alpha, tol = 0.0, maxIter = iterations).ranks
 
+  /** Weighted PageRank (fixed iterations) over an explicit weighted edge
+    * table — rows (src, dst, weight > 0) with vertex ids of ANY
+    * equality-comparable type (host-level ranking runs directly on
+    * hostname strings; no dense-id detour). Contributions split in
+    * proportion to edge weight:
+    *
+    *   rₜ₊₁(v) = (1−α)/n + α·( Σ_{(u,v)} rₜ(u)·w(u,v)/W(u) + Dₜ/n )
+    *
+    * where W(u) is u's total out-weight and Dₜ the dangling (W=0) mass.
+    * Parallel arcs are legal — their weights add. With all weights equal
+    * on a simple graph this reduces to [[run]]'s semantics exactly.
+    *
+    * Scale shape: the weighted edge table is repartitioned by src ONCE
+    * and persisted for the loop (the chunked [[Graph]] adjacency carries
+    * no weights — this operator owns its layout); per superstep only the
+    * (id, rank) state shuffles to meet it, the contribution sum
+    * partial-aggregates map-side, one driver action per superstep (the
+    * dangling mass).
+    */
+  def runWeightedFixed(
+      edges: DataFrame,
+      iterations: Int,
+      alpha: Double = 0.85
+  ): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges
+      .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outw = e.groupBy($"src".as("id")).agg(sum($"w").as("ow"))
+    val verts = e.select($"src".as("id"))
+      .union(e.select($"dst".as("id")))
+      .distinct()
+      .join(outw, Seq("id"), "left")
+      .select($"id", coalesce($"ow", lit(0.0)).as("ow"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    if (n == 0) {
+      e.unpersist(); verts.unpersist()
+      return verts.select($"id", lit(0.0).as("rank"))
+    }
+
+    var state = verts
+      .select($"id", lit(1.0 / n).as("rank"), $"ow")
+      .localCheckpoint(true)
+    var dangling = {
+      val r = state.agg(sum(when($"ow" === 0, $"rank"))).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(state.select($"id".as("src"), $"rank", $"ow"), Seq("src"))
+        .filter($"ow" > 0)
+        .select($"dst".as("id"), ($"rank" * $"w" / $"ow").as("c"))
+        .groupBy($"id")
+        .agg(sum($"c").as("contrib"))
+      val base = (1.0 - alpha) / n + alpha * dangling / n
+      val next = state
+        .select($"id", $"ow")
+        .join(contribs, Seq("id"), "left")
+        .select(
+          $"id",
+          (lit(base) + lit(alpha) * coalesce($"contrib", lit(0.0))).as("rank"),
+          $"ow")
+        .localCheckpoint(true)
+      val r = next.agg(sum(when($"ow" === 0, $"rank"))).head()
+      dangling = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      graft.core.Lineage.release(state)
+      state = next
+    }
+    e.unpersist()
+    verts.unpersist()
+    state.select($"id", $"rank")
+  }
+
   /** Personalized PageRank: teleport concentrated on a source set instead
     * of uniform — the seed-relevance primitive (related-page discovery,
     * topic-conditioned authority) on link graphs.

@@ -155,32 +155,41 @@ object GraphQueries {
       .select(col("id"), round(col("rank"), 8).as("rank"))
 
   /** Unrolled k-stage PageRank oracle in portable SQL. */
-  def pagerankSql(iters: Int): String = {
-    val stages = (1 to iters).map { k =>
-      val p = if (k == 1) "pr0" else s"pr${k - 1}"
-      s"""pr$k AS (
+  /** Unrolled PageRank stage chain over caller-named prelude CTEs —
+    * shared by the lineitem-derived `g_pagerank5` oracle and the
+    * host-graph `i_host_rank` oracle (IngestQueries), which differ only
+    * in how the edge set / nodes / degrees are derived. The caller's
+    * prelude must define `$edges(src,dst)`, `$ndeg(id,deg)`, `$cnt(n)`
+    * and the initial state `${prefix}0(id,rank,deg)`.
+    */
+  private[queries] def prStagesSql(iters: Int, edges: String, ndeg: String,
+                                   cnt: String, prefix: String): String =
+    (1 to iters).map { k =>
+      val p = s"$prefix${k - 1}"
+      s"""$prefix$k AS (
          |  SELECT n.id,
-         |         (0.15 / cnt.n) + 0.85 * (coalesce(c.contrib, 0) + d.dang / cnt.n) AS rank,
+         |         (0.15 / $cnt.n) + 0.85 * (coalesce(c.contrib, 0) + d.dang / $cnt.n) AS rank,
          |         n.deg
-         |  FROM ndeg n
-         |  CROSS JOIN cnt
+         |  FROM $ndeg n
+         |  CROSS JOIN $cnt
          |  CROSS JOIN (SELECT coalesce(sum(rank), 0) AS dang FROM $p WHERE deg = 0) d
          |  LEFT JOIN (
          |    SELECT e.dst AS id, sum(p.rank / p.deg) AS contrib
-         |    FROM $p p JOIN edges e ON e.src = p.id
+         |    FROM $p p JOIN $edges e ON e.src = p.id
          |    WHERE p.deg > 0
          |    GROUP BY e.dst
          |  ) c ON c.id = n.id
          |)""".stripMargin
     }.mkString(",\n")
+
+  def pagerankSql(iters: Int): String =
     s"""WITH $edgesSql,
        |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
        |ndeg AS (SELECT n.id, coalesce(od.c, 0) AS deg FROM nodes n LEFT JOIN od ON n.id = od.id),
        |cnt AS (SELECT count(*) AS n FROM nodes),
        |pr0 AS (SELECT id, 1.0 / cnt.n AS rank, deg FROM ndeg CROSS JOIN cnt),
-       |$stages
+       |${prStagesSql(iters, "edges", "ndeg", "cnt", "pr")}
        |SELECT id, round(rank, 8) AS rank FROM pr$iters""".stripMargin
-  }
 
   /** Personalized PageRank from the 5 smallest vertex ids (a
     * deterministic stand-in for a user's seed set), `iters` power
@@ -311,6 +320,56 @@ object GraphQueries {
         half(s"h$k", s"a$k", "dst", "src", "a", "h"))
     }.mkString(",\n")
     s"""WITH $edgesSql,
+       |h0 AS (SELECT id, CAST(1 AS DOUBLE) AS h FROM nodes),
+       |$stages
+       |SELECT h.id, round(h.h, 8) AS hub, round(a.a, 8) AS auth
+       |FROM h$iters h JOIN a$iters a ON h.id = a.id""".stripMargin
+  }
+
+  /** SALSA ([[Salsa.run]]): HITS's random-walk sibling — scores split by
+    * degree before gathering; same 8-dp rounding contract as [[hits]].
+    */
+  def salsa(iters: Int)(spark: SparkSession, dir: String): DataFrame =
+    Salsa.run(graph(spark, dir), iterations = iters)
+      .select(col("id"),
+        round(col("hub"), 8).as("hub"),
+        round(col("auth"), 8).as("auth"))
+
+  /** Unrolled SALSA oracle: [[hitsSql]]'s half-step with the gather
+    * source's score divided by its degree in the gather direction
+    * (outdeg for the a-step, indeg for the h-step). Vertices absent from
+    * the degree table are dangling in that direction and contribute
+    * nothing (inner join), exactly like the adjacency join in Scala.
+    */
+  def salsaSql(iters: Int): String = {
+    def half(out: String, in: String, fromEdge: String, toEdge: String,
+             inCol: String, outCol: String, degTable: String): String =
+      s"""${out}r AS (
+         |  SELECT e.$toEdge AS id, sum(p.$inCol / d.c) AS $outCol
+         |  FROM $in p
+         |  JOIN $degTable d ON d.id = p.id
+         |  JOIN edges e ON e.$fromEdge = p.id
+         |  GROUP BY e.$toEdge
+         |),
+         |${out}n AS (
+         |  SELECT n.id, coalesce(r.$outCol, CAST(0 AS DOUBLE)) AS $outCol
+         |  FROM nodes n LEFT JOIN ${out}r r ON n.id = r.id
+         |),
+         |${out}s AS (SELECT sum($outCol) AS s FROM ${out}n),
+         |$out AS (
+         |  SELECT id, CASE WHEN s.s > 0 THEN $outCol / s.s
+         |                  ELSE CAST(0 AS DOUBLE) END AS $outCol
+         |  FROM ${out}n CROSS JOIN ${out}s s
+         |)""".stripMargin
+    val stages = (1 to iters).flatMap { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      Seq(
+        half(s"a$k", prevH, "src", "dst", "h", "a", "sod"),
+        half(s"h$k", s"a$k", "dst", "src", "a", "h", "sid"))
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |sod AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |sid AS MATERIALIZED (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst),
        |h0 AS (SELECT id, CAST(1 AS DOUBLE) AS h FROM nodes),
        |$stages
        |SELECT h.id, round(h.h, 8) AS hub, round(a.a, 8) AS auth

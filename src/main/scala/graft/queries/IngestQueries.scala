@@ -90,6 +90,104 @@ object IngestQueries {
        |       count(*) AS weight
        |FROM lnk GROUP BY src_host, dst_host""".stripMargin
 
+  /** Host-level PageRank — the composite pipeline a web-search stack
+    * actually runs (host quality priors feed crawl scheduling and doc
+    * ranking): derived pages → link extraction → host-graph collapse →
+    * dense host ids → 5 unweighted power iterations over the DISTINCT
+    * host-pair graph → ranks mapped back to hostnames.
+    *
+    * Scale shape: the expensive page-level work is the one map-side-
+    * combined host collapse ([[LinkExtract.hostGraph]]); everything after
+    * runs on the ~10⁷-host graph (here 40 hosts), so the PageRank cost is
+    * negligible next to the collapse — exactly the asymmetry the host
+    * abstraction exists for.
+    */
+  def hostRank(spark: SparkSession, dir: String): DataFrame = {
+    val hg = LinkExtract.hostGraph(LinkExtract.links(pages(spark, dir)))
+    val hedges = hg.select(col("src_host"), col("dst_host")).distinct()
+    val hosts = graft.ingest.DenseIds.assign(
+      hedges.select(col("src_host").as("host"))
+        .union(hedges.select(col("dst_host").as("host"))), "host")
+    val edges = hedges
+      .join(hosts.select(col("host").as("src_host"), col("id").as("src")), Seq("src_host"))
+      .join(hosts.select(col("host").as("dst_host"), col("id").as("dst")), Seq("dst_host"))
+      .select(col("src"), col("dst"))
+    graft.operators.PageRank.runFixed(graft.core.Graph.fromEdges(edges), iterations = 5)
+      .join(hosts, Seq("id"))
+      .select(col("host"), round(col("rank"), 8).as("rank"))
+  }
+
+  /** Oracle: PageRank is vertex-identity-agnostic, so the unrolled stage
+    * chain (shared with g_pagerank5 via [[GraphQueries.prStagesSql]]) runs
+    * keyed directly by hostname — no dense-id replay needed.
+    */
+  val hostRankSql: String =
+    s"""WITH $pagesLnkSql,
+       |hedges AS MATERIALIZED (
+       |  SELECT DISTINCT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src,
+       |         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst
+       |  FROM lnk),
+       |hnodes AS (SELECT src AS id FROM hedges UNION SELECT dst AS id FROM hedges),
+       |hod AS (SELECT src AS id, count(*) AS c FROM hedges GROUP BY src),
+       |hndeg AS (SELECT n.id, coalesce(hod.c, 0) AS deg
+       |          FROM hnodes n LEFT JOIN hod ON n.id = hod.id),
+       |hcnt AS (SELECT count(*) AS n FROM hnodes),
+       |hpr0 AS (SELECT id, 1.0 / hcnt.n AS rank, deg FROM hndeg CROSS JOIN hcnt),
+       |${GraphQueries.prStagesSql(5, "hedges", "hndeg", "hcnt", "hpr")}
+       |SELECT id AS host, round(rank, 8) AS rank FROM hpr5""".stripMargin
+
+  /** Weighted host-level PageRank ([[graft.operators.PageRank.runWeightedFixed]]):
+    * same host graph, but link MULTIPLICITY matters — a host funneling
+    * 100 links to one neighbor sends it 100× the rank mass of a
+    * single-link neighbor. Runs directly on hostname strings (the
+    * operator is vertex-type-agnostic), so the whole query is collapse →
+    * rank → done.
+    */
+  def hostRankWeighted(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PageRank.runWeightedFixed(
+      hostGraph(spark, dir).select(
+        col("src_host").as("src"), col("dst_host").as("dst"), col("weight")),
+      iterations = 5)
+      .select(col("id").as("host"), round(col("rank"), 8).as("rank"))
+
+  /** Unrolled weighted-PR oracle: contribution = rank·w/W(u), dangling =
+    * zero-out-weight mass; weights and out-weights cast to DOUBLE so both
+    * engines run the identical (rank * w) / W float expression.
+    */
+  val hostRankWeightedSql: String = {
+    val stages = (1 to 5).map { k =>
+      val p = s"wpr${k - 1}"
+      s"""wpr$k AS (
+         |  SELECT n.id,
+         |         (0.15 / wcnt.n) + 0.85 * (coalesce(c.contrib, 0) + d.dang / wcnt.n) AS rank,
+         |         n.ow
+         |  FROM wdeg n
+         |  CROSS JOIN wcnt
+         |  CROSS JOIN (SELECT coalesce(sum(rank), 0) AS dang FROM $p WHERE ow = 0) d
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.rank * e.w / p.ow) AS contrib
+         |    FROM $p p JOIN wh e ON e.src = p.id
+         |    WHERE p.ow > 0
+         |    GROUP BY e.dst
+         |  ) c ON c.id = n.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pagesLnkSql,
+       |wh AS MATERIALIZED (
+       |  SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src,
+       |         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst,
+       |         CAST(count(*) AS DOUBLE) AS w
+       |  FROM lnk GROUP BY 1, 2),
+       |wnodes AS (SELECT src AS id FROM wh UNION SELECT dst AS id FROM wh),
+       |wow AS (SELECT src AS id, sum(w) AS ow FROM wh GROUP BY src),
+       |wdeg AS (SELECT n.id, coalesce(wow.ow, CAST(0 AS DOUBLE)) AS ow
+       |         FROM wnodes n LEFT JOIN wow ON n.id = wow.id),
+       |wcnt AS (SELECT count(*) AS n FROM wnodes),
+       |wpr0 AS (SELECT id, 1.0 / wcnt.n AS rank, ow FROM wdeg CROSS JOIN wcnt),
+       |$stages
+       |SELECT id AS host, round(rank, 8) AS rank FROM wpr5""".stripMargin
+  }
+
   /** Per-target anchor-text signals ([[LinkExtract.anchorText]]) over the
     * same derived pages.
     */

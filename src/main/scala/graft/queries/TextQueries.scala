@@ -543,6 +543,32 @@ object TextQueries {
     s"""WITH $winnowSetSql
        |SELECT doc_id, fp FROM wfp""".stripMargin
 
+  // --- per-label embedding centroids -----------------------------------
+
+  /** Element-wise class centroids over the embeddings table — the
+    * aggregation IVF coarse-quantizer seeding and corpus-diversity
+    * dashboards run: (label, dim, mean, n). posexplode + groupBy is the
+    * codegen path (sum/count partial-aggregate map-side, so the shuffle
+    * carries labels × dims partials, never vectors); round(6) absorbs
+    * float-sum association ulps cross-engine.
+    */
+  def labelCentroid(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mean"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("mean"), col("n"))
+
+  val labelCentroidSql: String =
+    """WITH e AS (
+      |  SELECT label,
+      |         unnest(range(0, len(embedding))) AS dim,
+      |         unnest(embedding) AS x
+      |  FROM embeddings
+      |)
+      |SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS mean, count(*) AS n
+      |FROM e GROUP BY label, dim""".stripMargin
+
   // --- winnow copy-detection pairs -------------------------------------
 
   /** MOSS copy-detection pairs ([[Dedup.winnowPairs]]). maxDf=3 /

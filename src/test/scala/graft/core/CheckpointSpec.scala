@@ -69,4 +69,24 @@ class CheckpointResumeSpec extends AnyFunSuite {
     assert(a.keySet == b.keySet)
     a.foreach { case (v, r) => assert(math.abs(r - b(v)) < 1e-12) }
   }
+
+  test("advance never releases caller-owned checkpoints embedded in the init state") {
+    // Regression (i_host_rank): the init state's plan embeds a checkpoint
+    // the CALLER still needs after the loop (DenseIds host map joined back
+    // onto the ranks). Superseding the init state must drop only its own
+    // persist — walking its plan with Lineage.release would unpersist the
+    // caller's blocks and make any later read fail with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val callerOwned = Seq((1L, "x"), (2L, "y")).toDF("id", "tag").localCheckpoint(true)
+    val ctx = new IterationContext("release-guard")
+    val st0 = ctx.init(callerOwned.select($"id", lit(0L).as("v")))
+    val next = ctx.cut(st0.select($"id", ($"v" + 1).as("v")))
+    next.count()
+    ctx.advance(1, next, deltaNorm = 1.0, messages = 2, changed = 2)
+    ctx.close()
+    // The caller's checkpoint must still be readable.
+    assert(callerOwned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
 }
