@@ -43,6 +43,7 @@ object SparkEntry {
     "g_eff_diameter" -> (GraphQueries.effDiameter _),
     "g_bowtie" -> (GraphQueries.bowtie _),
     "g_kcore" -> (GraphQueries.kcore _),
+    "g_degdist" -> (GraphQueries.degDist _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
     "i_host_rank" -> (graft.queries.IngestQueries.hostRank _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "d_span_dedup" -> (graft.queries.TextQueries.spanDedup _),
     "d_winnow_pairs" -> (graft.queries.TextQueries.winnowPairs _),
     "e_label_centroid" -> (graft.queries.TextQueries.labelCentroid _),
+    "s_sliding" -> (graft.queries.RelationalQueries.eventsSliding _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
     "q_setop" -> (graft.queries.RelationalQueries.setOps _),
@@ -112,6 +114,7 @@ object SparkEntry {
     "g_eff_diameter" -> GraphQueries.effDiameterSql,
     "g_bowtie" -> GraphQueries.bowtieSql,
     "g_kcore" -> GraphQueries.kcoreSql,
+    "g_degdist" -> GraphQueries.degDistSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,
     "i_host_rank" -> graft.queries.IngestQueries.hostRankSql,
@@ -120,6 +123,7 @@ object SparkEntry {
     "d_span_dedup" -> graft.queries.TextQueries.spanDedupSql,
     "d_winnow_pairs" -> graft.queries.TextQueries.winnowPairsSql,
     "e_label_centroid" -> graft.queries.TextQueries.labelCentroidSql,
+    "s_sliding" -> graft.queries.RelationalQueries.eventsSlidingSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
     "q_setop" -> graft.queries.RelationalQueries.setOpsSql,

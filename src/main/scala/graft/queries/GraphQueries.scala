@@ -110,6 +110,36 @@ object GraphQueries {
        |SELECT n.id, coalesce(od.c, 0) AS outdeg, coalesce(idg.c, 0) AS indeg
        |FROM nodes n LEFT JOIN od ON n.id = od.id LEFT JOIN idg ON n.id = idg.id""".stripMargin
 
+  /** Degree-distribution histogram — the power-law shape check every
+    * web-graph analysis starts with: vertices bucketed by
+    * floor(log2(degree)) separately for out- and in-degree. The bucket is
+    * `length(bin(deg))` — the binary-string length, an EXACT integer
+    * log2 both engines compute identically (floor(ln(d)/ln(2)) flips at
+    * powers of two under IEEE rounding). Degree-0 vertices land in
+    * bucket 0.
+    */
+  def degDist(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    def hist(df: DataFrame, side: String) = df
+      .select(when(col("deg") > 0, length(bin(col("deg")))).otherwise(lit(0)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("vertices"))
+      .select(lit(side).as("side"), col("bucket").cast("long").as("bucket"), col("vertices"))
+    hist(g.outDegrees, "out").unionAll(hist(g.inDegrees, "in"))
+  }
+
+  val degDistSql: String =
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |idg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst),
+       |ob AS (SELECT CASE WHEN coalesce(od.c, 0) > 0 THEN length(bin(od.c)) ELSE 0 END AS bucket
+       |       FROM nodes n LEFT JOIN od ON n.id = od.id),
+       |ib AS (SELECT CASE WHEN coalesce(idg.c, 0) > 0 THEN length(bin(idg.c)) ELSE 0 END AS bucket
+       |       FROM nodes n LEFT JOIN idg ON n.id = idg.id)
+       |SELECT 'out' AS side, bucket, count(*) AS vertices FROM ob GROUP BY bucket
+       |UNION ALL
+       |SELECT 'in' AS side, bucket, count(*) AS vertices FROM ib GROUP BY bucket""".stripMargin
+
   def cc(spark: SparkSession, dir: String): DataFrame =
     ccShared(spark, dir)
 

@@ -105,6 +105,33 @@ object RelationalQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Sliding 1-hour/30-minute windows, batch face
+    * ([[graft.streaming.EventStream.slidingAgg]] — the spec pins
+    * stream == batch; this row pins batch == DuckDB).
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.slidingAgg(
+      spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Oracle: each event lands in exactly len/slide = 2 windows whose
+    * starts are the two slide-aligned instants within the hour before it;
+    * `time_bucket`'s 2000-01-01 origin is a whole multiple of 30 minutes
+    * from the epoch, so the alignment matches Spark's epoch-aligned
+    * `window()`.
+    */
+  val eventsSlidingSql: String =
+    """WITH sh AS (
+      |  SELECT unnest([INTERVAL '0' MINUTE, INTERVAL '30' MINUTE]) AS off
+      |),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - off AS win_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN sh
+      |)
+      |SELECT win_start, event_type, count(*) AS n,
+      |       round(sum(value), 3) AS sum_value
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   /** Gap-based sessionization, batch face
     * ([[graft.streaming.EventStream.sessionize]] — the exact semantics
     * the flatMapGroupsWithState stream maintains incrementally;

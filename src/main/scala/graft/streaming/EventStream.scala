@@ -32,6 +32,24 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window twin of [[hourlyAgg]]: 1-hour windows sliding every
+    * 30 minutes, so each event contributes to exactly len/slide = 2
+    * overlapping windows — the moving-aggregate view (rate monitoring,
+    * rolling counts) next to the tumbling hourly rollup. Same watermark
+    * eviction, same batch/stream duality; window starts are epoch-aligned
+    * multiples of the slide in both engines.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 3).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Run the streaming query over a parquet directory until all available
     * input is processed; results land in an in-memory table `name`.
     *

@@ -62,6 +62,31 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SLIDING windows (1h/30min, Append) equal batch; every event in 2 windows") {
+    withSentinels { (srcDir, sentinelTs) =>
+      val batchDf = EventStream.slidingAgg(spark.read.parquet(s"$srcDir/part-0.parquet"))
+      val batch = batchDf
+        .collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      // Sliding coverage: total window-contributions = 2 × event count.
+      val nEvents = spark.read.parquet(s"$srcDir/part-0.parquet").count()
+      assert(batch.values.map(_._1).sum == 2 * nEvents)
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val drain = EventStream.startDrain(EventStream.slidingAgg(stream), "ev_sliding",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      drain.drain()
+      addSentinel(srcDir, sentinelTs, "sent1s")
+      drain.drain()
+      addSentinel(srcDir, new java.sql.Timestamp(sentinelTs.getTime + 3600_000L), "sent2s")
+      val streamed = drain.stop()
+        .filter(col("event_type") =!= "sentinel")
+        .collect().map(r => (r.get(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    }
+  }
+
   private def writePart(df: org.apache.spark.sql.DataFrame, srcDir: String, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
