@@ -44,6 +44,7 @@ object SparkEntry {
     "g_bowtie" -> (GraphQueries.bowtie _),
     "g_kcore" -> (GraphQueries.kcore _),
     "g_degdist" -> (GraphQueries.degDist _),
+    "g_clustering" -> (GraphQueries.clustering _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
     "i_host_rank" -> (graft.queries.IngestQueries.hostRank _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "g_bowtie" -> GraphQueries.bowtieSql,
     "g_kcore" -> GraphQueries.kcoreSql,
     "g_degdist" -> GraphQueries.degDistSql,
+    "g_clustering" -> GraphQueries.clusteringSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,
     "i_host_rank" -> graft.queries.IngestQueries.hostRankSql,

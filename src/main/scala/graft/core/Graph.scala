@@ -38,7 +38,13 @@ final class Graph private (
     @transient val spark: SparkSession,
     /** Deduplicated directed edges. */
     val edges: Dataset[Edge],
-    val chunkSize: Int
+    val chunkSize: Int,
+    /** True when `edges` is already hash-clustered by src (a
+      * [[Bucketed]] table scan): the forward-adjacency build then skips
+      * its repartition. Applies to the FORWARD direction only — the
+      * transpose still needs its own shuffle.
+      */
+    private val edgesClustered: Boolean = false
 ) extends Serializable {
   import spark.implicits._
 
@@ -76,7 +82,8 @@ final class Graph private (
   /** Forward CSR adjacency, hash-partitioned by src and persisted so each
     * iterative superstep only shuffles the (small) vertex-state side.
     */
-  lazy val adjacency: Dataset[AdjChunk] = Graph.buildAdjacency(edges, chunkSize)
+  lazy val adjacency: Dataset[AdjChunk] =
+    Graph.buildAdjacency(edges, chunkSize, clustered = edgesClustered)
 
   /** Transpose adjacency (successor lists of the reversed graph). */
   lazy val transposeAdjacency: Dataset[AdjChunk] =
@@ -129,6 +136,21 @@ object Graph {
     fromEdges(pairs.toDF("src", "dst"), chunkSize)
   }
 
+  /** Graph over a [[Bucketed.writeEdges]] table. The write already
+    * deduplicated and src-clustered the arcs, so the adjacency assembly
+    * SKIPS the repartition a raw edge file needs — only an in-partition
+    * sort remains (a bucket's files are each sorted, but the scan
+    * concatenates them, so the cheap local re-sort is still required;
+    * no exchange anywhere). Iterative superstep joins against the
+    * persisted adjacency — and any direct `state ⋈ edges` / degree
+    * aggregation — likewise reuse the bucket partitioning.
+    */
+  def fromBucketed(spark: SparkSession, table: String, chunkSize: Int = DefaultChunkSize): Graph = {
+    import spark.implicits._
+    val e = Bucketed.edges(spark, table).as[Edge]
+    new Graph(spark, e, chunkSize, edgesClustered = true)
+  }
+
   /** Sorted-successor chunked adjacency: ONE shuffle (hash by src) + an
     * in-partition sort + a streaming pass assembling CSR chunk rows.
     *
@@ -145,11 +167,16 @@ object Graph {
     * vertex state against it on src, so only the state side shuffles per
     * superstep.
     */
-  private[graft] def buildAdjacency(edges: Dataset[Edge], chunkSize: Int): Dataset[AdjChunk] = {
+  private[graft] def buildAdjacency(edges: Dataset[Edge], chunkSize: Int,
+                                    clustered: Boolean = false): Dataset[AdjChunk] = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val adj = edges
-      .repartition(col("src"))
+    // A bucketed scan is already src-clustered: skip the exchange, keep
+    // the (cheap, local) sort — bucket files are each sorted but the scan
+    // concatenates a bucket's files, so per-partition order must be
+    // re-established.
+    val part = if (clustered) edges else edges.repartition(col("src"))
+    val adj = part
       .sortWithinPartitions($"src", $"dst")
       .mapPartitions { it =>
         new Iterator[AdjChunk] {

@@ -34,5 +34,8 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.join.preferSortMergeJoin", "false") // per-superstep SMJ re-sorts measured 3.5x slower than SHJ
       .config("spark.sql.session.timeZone", "UTC")
+      // Bucketed-table storage ([[Bucketed]]) lands in scratch, not the
+      // process working directory (the default ./spark-warehouse).
+      .config("spark.sql.warehouse.dir", s"$scratchDir/warehouse")
       .config("spark.ui.enabled", "false")
 }

@@ -452,6 +452,48 @@ object GraphQueries {
        |SELECT n.id, coalesce(pv.triangles, 0) AS triangles
        |FROM nodes n LEFT JOIN pv ON n.id = pv.id""".stripMargin
 
+  /** Local clustering coefficient — c(v) = 2·T(v) / (d(v)·(d(v)−1)) over
+    * the undirected simple graph (self-loops dropped), 0 when d < 2. The
+    * coefficient is ONE IEEE division of exact integers (2·T and d·(d−1)
+    * are exact in double), so the raw double is bit-identical
+    * cross-engine — no rounding, per the [[TextQueries]] float-contract
+    * analysis. Composition of the shared triangle count and a degree
+    * aggregation; no new shuffle shape.
+    */
+  def clustering(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val deg = g.symmetrize.edges.toDF()
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    TriangleCount.perVertex(g)
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("triangles"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          lit(2.0) * col("triangles") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  val clusteringSql: String =
+    s"""WITH $edgesSql,
+       |$orientSql,
+       |pv AS (
+       |  SELECT id, count(*) AS triangles
+       |  FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) t
+       |  GROUP BY id
+       |)
+       |SELECT n.id,
+       |       coalesce(pv.triangles, 0) AS triangles,
+       |       coalesce(deg.deg, 0) AS deg,
+       |       CASE WHEN coalesce(deg.deg, 0) >= 2
+       |            THEN CAST(2 AS DOUBLE) * coalesce(pv.triangles, 0)
+       |                 / (deg.deg * (deg.deg - 1))
+       |            ELSE CAST(0 AS DOUBLE) END AS clustering
+       |FROM nodes n
+       |LEFT JOIN pv ON n.id = pv.id
+       |LEFT JOIN deg ON n.id = deg.id""".stripMargin
+
   def bfs(root: Long)(spark: SparkSession, dir: String): DataFrame =
     Bfs.distances(graph(spark, dir), Seq(root))
 
