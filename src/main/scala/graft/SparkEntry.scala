@@ -54,6 +54,8 @@ object SparkEntry {
     "d_winnow_pairs" -> (graft.queries.TextQueries.winnowPairs _),
     "e_label_centroid" -> (graft.queries.TextQueries.labelCentroid _),
     "s_sliding" -> (graft.queries.RelationalQueries.eventsSliding _),
+    "t_mix" -> (graft.queries.TextQueries.mixWeights _),
+    "t_sample_strat" -> (graft.queries.TextQueries.sampleStrat _),
     "q_join_agg" -> (graft.queries.RelationalQueries.joinAgg _),
     "q_window_top" -> (graft.queries.RelationalQueries.windowTopOrders _),
     "q_setop" -> (graft.queries.RelationalQueries.setOps _),
@@ -126,6 +128,8 @@ object SparkEntry {
     "d_winnow_pairs" -> graft.queries.TextQueries.winnowPairsSql,
     "e_label_centroid" -> graft.queries.TextQueries.labelCentroidSql,
     "s_sliding" -> graft.queries.RelationalQueries.eventsSlidingSql,
+    "t_mix" -> graft.queries.TextQueries.mixWeightsSql,
+    "t_sample_strat" -> graft.queries.TextQueries.sampleStratSql,
     "q_join_agg" -> graft.queries.RelationalQueries.joinAggSql,
     "q_window_top" -> graft.queries.RelationalQueries.windowTopOrdersSql,
     "q_setop" -> graft.queries.RelationalQueries.setOpsSql,

@@ -543,6 +543,47 @@ object TextQueries {
     s"""WITH $winnowSetSql
        |SELECT doc_id, fp FROM wfp""".stripMargin
 
+  // --- corpus mixing / subsampling -------------------------------------
+
+  /** Sqrt-temperature mixing weights per source
+    * ([[graft.text.Mixing.sqrtTemperatureWeights]]): weight ∝
+    * sqrt(source token count), normalized — sqrt is IEEE-correctly-
+    * rounded in both engines, unlike pow(x, t).
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Mixing.sqrtTemperatureWeights(docs(spark, dir), col("source"))
+
+  val mixWeightsSql: String =
+    """WITH c AS (
+      |  SELECT source AS "group", count(*) AS n_docs,
+      |         CAST(coalesce(sum(len(list_filter(string_split_regex(text, '\s+'),
+      |                                           x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |),
+      |z AS (SELECT sum(sqrt(n_tokens)) AS z FROM c)
+      |SELECT "group", n_docs, n_tokens,
+      |       round(sqrt(n_tokens) / z.z, 6) AS weight
+      |FROM c CROSS JOIN z""".stripMargin
+
+  /** Deterministic per-language stratified sample
+    * ([[graft.text.Mixing.stratifiedSample]]): en capped at 1/4, zh
+    * upsampled to 1/2, everything else 1/8 — all power-of-two rates, so
+    * rate·2^60 is an EXACT integer threshold in both engines and the
+    * selection is a pure function of (doc_id, salt).
+    */
+  def sampleStrat(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Mixing.stratifiedSample(
+      docs(spark, dir).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"),
+      rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 0.125,
+      salt = "s1")
+
+  val sampleStratSql: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 15)) AS BIGINT)
+       |      < CAST(round((CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5
+       |                    ELSE 0.125 END) * ${1L << 60}) AS BIGINT)""".stripMargin
+
   // --- per-label embedding centroids -----------------------------------
 
   /** Element-wise class centroids over the embeddings table — the
