@@ -438,8 +438,18 @@ object GraphQueries {
        |$orientSql
        |SELECT count(*) AS triangles FROM tri""".stripMargin
 
+  /** Per-vertex triangle counts, computed once per (session, dir) —
+    * shared by g_tri_per_vertex and g_clustering (the coefficient is a
+    * projection over the same counts).
+    */
+  private def triPerVertexShared(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"tripv:$dir") {
+      TriangleCount.perVertex(graph(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def triPerVertex(spark: SparkSession, dir: String): DataFrame =
-    TriangleCount.perVertex(graph(spark, dir))
+    triPerVertexShared(spark, dir)
 
   val triPerVertexSql: String =
     s"""WITH $edgesSql,
@@ -466,7 +476,7 @@ object GraphQueries {
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
-    TriangleCount.perVertex(g)
+    triPerVertexShared(spark, dir)
       .join(deg, Seq("id"), "left")
       .select(col("id"), col("triangles"),
         coalesce(col("deg"), lit(0L)).as("deg"),

@@ -100,6 +100,46 @@ object WebGolden {
     val maxOut = g.outDegrees.agg(max($"deg")).head().getLong(0)
     val maxIn = g.inDegrees.agg(max($"deg")).head().getLong(0)
 
+    // ---- "ext" mode: round-4 operator goldens (k-core, bow-tie) --------
+    // Separate derivation pass so extending the pinned set never re-runs
+    // the original sections. Each value is cross-checked before freezing:
+    // k-core sizes by distributed peel AND an independent sequential
+    // peel; the bow-tie core size must equal the largest-SCC golden.
+    if (args.contains("ext")) {
+      val localEdges = g.edges.collect().map(e => (e.src, e.dst)).toSeq
+      def seqCore(k: Int): (Long, Int) = {
+        import scala.collection.mutable
+        val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+        for ((u, v) <- localEdges if u != v) {
+          adj.getOrElseUpdate(u, mutable.Set.empty) += v
+          adj.getOrElseUpdate(v, mutable.Set.empty) += u
+        }
+        var rounds = 0
+        var removing = true
+        while (removing) {
+          val rm = adj.collect { case (x, s) if s.size < k => x }.toSeq
+          if (rm.isEmpty) removing = false
+          else {
+            if (rm.exists(adj(_).nonEmpty)) rounds += 1
+            for (x <- rm) { for (y <- adj(x)) adj(y) -= x; adj -= x }
+          }
+        }
+        (adj.size.toLong, rounds)
+      }
+      val kparts = for (k <- Seq(2, 5, 10)) yield {
+        val r = timed(s"kcore$k")(KCore.run(g, k))
+        val sz = r.core.count()
+        val (seqSz, seqRounds) = seqCore(k)
+        s""""k$k":{"size":$sz,"seqSize":$seqSz,"rounds":${r.rounds},"seqRounds":$seqRounds}"""
+      }
+      val bt = timed("bowtie")(BowTie.sizes(g)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val btJson = bt.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(s"""GOLDEN-EXT {${kparts.mkString(",")},"bowtie":$btJson}""")
+      spark.stop()
+      return
+    }
+
     val scc = timed("scc")(Scc.run(g).persist())
     val sccCount = scc.select($"comp").distinct().count()
     val largestScc = scc.groupBy($"comp").count().agg(max($"count")).head().getLong(0)

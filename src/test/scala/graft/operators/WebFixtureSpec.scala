@@ -88,6 +88,34 @@ class WebFixtureSpec extends AnyFunSuite {
     assert(TriangleCount.total(g) == Triangles)
   }
 
+  test("100k web fixture: k-core sizes and peel depths (seq-peel cross-checked at derivation)") {
+    // GOLDEN-EXT (graft.tools.WebGolden "ext", 2026-08-18): every size
+    // and round count matched an independent sequential peel exactly —
+    // {"k2":{"size":99460,"rounds":2},"k5":{"size":34031,"rounds":27},
+    //  "k10":{"size":1443,"rounds":5}}. The k=5 peel's 27-round cascade
+    // is the deep-peel regression web topology provides and ER graphs
+    // don't.
+    for ((k, size, rounds) <- Seq((2, 99460L, 2), (5, 34031L, 27), (10, 1443L, 5))) {
+      val r = KCore.run(g, k)
+      assert(r.converged, s"k=$k did not converge")
+      assert(r.core.count() == size, s"k=$k core size")
+      assert(r.rounds == rounds, s"k=$k peel depth")
+    }
+  }
+
+  test("100k web fixture: bow-tie census (core == the giant-SCC golden)") {
+    // GOLDEN-EXT: regions sum to the vertex golden; `core` is exactly
+    // the largest SCC pinned above — a CROSS-operator consistency the
+    // per-operator fuzz specs cannot observe.
+    val got = BowTie.sizes(g).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "core" -> LargestScc,
+      "in" -> 4550L, "out" -> 2056L,
+      "tendril_in" -> 20L, "tendril_out" -> 7L, "tube" -> 2L,
+      "disconnected" -> 2L))
+    assert(got.values.sum == Vertices)
+  }
+
   test("100k web fixture: HyperBall NF sequence and iteration count") {
     val hb = HyperBall.run(g)
     assert(hb.iterations == HbIters)
