@@ -513,9 +513,20 @@ object TextQueries {
 
   // --- winnowing fingerprints -----------------------------------------
 
+  /** The (doc_id, fp) winnow fingerprint set, computed once per
+    * (session, dir) — shared by `t_winnow` and `d_winnow_pairs` (the
+    * pair query otherwise re-hashes every character k-gram of the
+    * corpus, the dominant winnow cost).
+    */
+  private def winnowShared(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionMemo(spark, s"winnow:$dir") {
+      TextOps.winnow(docs(spark, dir), k = 8, w = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** MOSS winnowing fingerprint sets ([[TextOps.winnow]], k=8 w=4). */
   def winnow(spark: SparkSession, dir: String): DataFrame =
-    TextOps.winnow(docs(spark, dir), k = 8, w = 4)
+    winnowShared(spark, dir)
 
   /** Composable winnow prelude (k=8, w=4): CTE chain ending in `wfp` =
     * the distinct (doc_id, fp) fingerprint sets. Shared by `t_winnow`
@@ -620,7 +631,7 @@ object TextQueries {
     * higher caps; the knobs are per-corpus.
     */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.winnowPairs(docs(spark, dir), k = 8, w = 4, minShared = 2, maxDf = 3)
+    Dedup.winnowPairsFromFps(winnowShared(spark, dir), minShared = 2, maxDf = 3)
 
   val winnowPairsSql: String =
     s"""WITH $winnowSetSql,

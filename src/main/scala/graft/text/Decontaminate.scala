@@ -34,11 +34,13 @@ object Decontaminate {
     * sets (the gate query derives bench by id arithmetic and excludes it
     * from the corpus side).
     */
-  def run(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+  def run(docs: DataFrame, bench: DataFrame, n: Int = 5,
+          hashMode: String = "md5"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    val hash = TextOps.hash60(hashMode)
     val gramHashes =
       transform(array_distinct(TextOps.shinglesCol(col("text"), n)),
-        g => TextOps.portableHash60(g))
+        g => hash(g))
 
     val benchSet = bench
       .select(explode(gramHashes).as("h"))

@@ -319,8 +319,9 @@ object Dedup {
     * adversarial-corpus deployment would swap in the 128-bit sha prefix
     * exactly as [[exact]] does).
     */
-  def spanDedup(docs: DataFrame, n: Int = 5): DataFrame = {
+  def spanDedup(docs: DataFrame, n: Int = 5, hashMode: String = "md5"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    val hash = TextOps.hash60(hashMode)
     val w = TextOps.tokensCol(col("text"))
     // ceil(len/n) chunk starts; slice is 1-based and clips the last chunk.
     val chunks = when(size(w) > 0,
@@ -330,8 +331,7 @@ object Dedup {
 
     val occ = docs
       .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
-      .select(col("doc_id"), col("idx"),
-        TextOps.portableHash60(col("chunk")).as("h"))
+      .select(col("doc_id"), col("idx"), hash(col("chunk")).as("h"))
 
     val firsts = occ
       .groupBy(col("h"))
@@ -366,9 +366,15 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                   minShared: Int = 2, maxDf: Int = 1000,
-                  hashMode: String = "md5"): DataFrame = {
+                  hashMode: String = "md5"): DataFrame =
+    winnowPairsFromFps(TextOps.winnow(docs, k, w, hashMode), minShared, maxDf)
+
+  /** [[winnowPairs]] over a pre-computed (doc_id, fp) fingerprint set —
+    * for callers that already hold one (the gate shares one winnow pass
+    * between the fingerprint and pair queries).
+    */
+  def winnowPairsFromFps(fps: DataFrame, minShared: Int, maxDf: Int): DataFrame = {
     require(minShared >= 1 && maxDf >= 2)
-    val fps = TextOps.winnow(docs, k, w, hashMode)
     val rareFps = fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))

@@ -28,6 +28,22 @@ object TextOps {
   def portableHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Single-base feature-hash resolver for the `hashMode` option shared
+    * by [[winnow]], [[Dedup.spanDedup]] and [[Decontaminate.run]]:
+    * `"md5"` = [[portableHash60]] (oracle-replayable, the gate default);
+    * `"xxhash64"` = Spark's codegen'd hash masked to the same nonneg
+    * 60-bit range (~10× less hashing work — the md5 evaluation is the
+    * dominant cost of these operators at crawl scale). Engine-only, so
+    * xxhash64 paths are spec-verified differentially: the operators'
+    * guarantees are hash-choice-independent.
+    */
+  private[graft] def hash60(hashMode: String): Column => Column = hashMode match {
+    case "md5" => portableHash60
+    case "xxhash64" => c => xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+    case other => throw new IllegalArgumentException(
+      s"hashMode must be md5 or xxhash64, got $other")
+  }
+
   /** Word n-gram shingles (space-joined). Empty array when fewer than n
     * tokens (guarded: sequence(1,0) would DESCEND, not be empty).
     */
@@ -205,12 +221,7 @@ object TextOps {
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
              hashMode: String = "md5"): DataFrame = {
     require(k > 0 && w > 0)
-    val hash: Column => Column = hashMode match {
-      case "md5" => portableHash60
-      case "xxhash64" => c => xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
-      case other => throw new IllegalArgumentException(
-        s"hashMode must be md5 or xxhash64, got $other")
-    }
+    val hash = hash60(hashMode)
     import org.apache.spark.sql.expressions.Window
     val s = lower(coalesce(col("text"), lit("")))
     val m = greatest(length(s) - (k - 1), lit(0)) // k-gram count

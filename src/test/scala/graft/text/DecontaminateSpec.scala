@@ -57,6 +57,18 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("xxhash64 production mode produces the identical report") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0L until 30L).map(i => i -> doc(3 + rnd.nextInt(12))).toDF("doc_id", "text")
+    val bench = (100L until 104L).map(i => i -> doc(12)).toDF("doc_id", "text")
+    def rep(mode: String) = Decontaminate.run(corpus, bench, 3, hashMode = mode)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep("md5") == rep("xxhash64"))
+  }
+
   test("clean corpus: zero rows shuffle through the hit join") {
     val got = report(Seq(1L -> "p q r s t u"), Seq(9L -> "v w x y z v"), n = 5)
     assert(got(1L) == ((2L, 0L, false)))

@@ -43,6 +43,19 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 1L)))
   }
 
+  test("xxhash64 production mode produces the identical report") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 40L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      .toDF("doc_id", "text")
+    def rep(mode: String) = Dedup.spanDedup(docs, 3, hashMode = mode)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep("md5") == rep("xxhash64"))
+    intercept[IllegalArgumentException](Dedup.spanDedup(docs, 3, hashMode = "nope"))
+  }
+
   test("differential vs brute-force first-occurrence replay") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("a", "b", "c")
