@@ -29,10 +29,18 @@ object Bucketed {
     * `buckets` should be sized so one bucket's arcs fit an executor
     * (at crawl scale: thousands); it is also the max useful parallelism
     * of later scans, exactly like a cluster's fixed partition count.
+    *
+    * With `path` set, the table is EXTERNAL: the files live at `path`
+    * and survive both `DROP TABLE` and the session — the deployment
+    * shape, since the default in-memory catalog is session-scoped and a
+    * NEW session re-registers the files with [[attach]] (a metastore
+    * deployment would skip that step). Without `path` the table is
+    * managed in the warehouse dir (convenient for single-session use).
     */
-  def writeEdges(edges: DataFrame, table: String, buckets: Int): Unit = {
+  def writeEdges(edges: DataFrame, table: String, buckets: Int,
+                 path: Option[String] = None): Unit = {
     require(buckets > 0)
-    edges
+    val w = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
@@ -41,7 +49,25 @@ object Bucketed {
       .format("parquet")
       .bucketBy(buckets, "src")
       .sortBy("src", "dst")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Re-register an existing [[writeEdges]] directory in THIS session's
+    * catalog with its bucketing metadata — what makes "write once, any
+    * future session joins shuffle-free" true without a persistent
+    * metastore: the bucket layout is a property of the files, the
+    * catalog entry merely declares it. `buckets` must match the value
+    * the files were written with (a mismatch mis-routes the bucket
+    * pruning — the caller records it next to the path).
+    */
+  def attach(spark: SparkSession, table: String, path: String, buckets: Int): Unit = {
+    require(buckets > 0)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table (src BIGINT, dst BIGINT)
+         |USING parquet
+         |CLUSTERED BY (src) SORTED BY (src, dst) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    ()
   }
 
   /** The stored edge table (deduplicated at write time). */

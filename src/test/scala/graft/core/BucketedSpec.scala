@@ -57,6 +57,28 @@ class BucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("attach re-registers external files with bucketing intact (the new-session path)") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft-bkt-ext").toString
+    withTable("bkt_ext") {
+      Bucketed.writeEdges(Fixtures.erdosRenyi(120, 0.06, 41).toDF("src", "dst"),
+        "bkt_ext", buckets = 4, path = Some(loc))
+      val before = Bucketed.edges(spark, "bkt_ext").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Simulate a fresh session's empty catalog: external drop keeps files.
+      spark.sql("DROP TABLE bkt_ext")
+      Bucketed.attach(spark, "bkt_ext", loc, buckets = 4)
+      val e = Bucketed.edges(spark, "bkt_ext")
+      assert(e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+      // ... and the re-attached table still aggregates with no exchange.
+      val degs = e.groupBy($"src").agg(count(lit(1)))
+      degs.collect()
+      val plan = degs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-attached table lost its bucketing metadata:\n$plan")
+    }
+  }
+
   test("fromBucketed adjacency equals fromEdges adjacency and builds with no exchange") {
     import spark.implicits._
     withTable("bkt_adj") {
