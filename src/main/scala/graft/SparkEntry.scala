@@ -45,6 +45,7 @@ object SparkEntry {
     "g_kcore" -> (GraphQueries.kcore _),
     "g_degdist" -> (GraphQueries.degDist _),
     "g_clustering" -> (GraphQueries.clustering _),
+    "g_reciprocity" -> (GraphQueries.reciprocity _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
     "i_host_rank" -> (graft.queries.IngestQueries.hostRank _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "g_kcore" -> GraphQueries.kcoreSql,
     "g_degdist" -> GraphQueries.degDistSql,
     "g_clustering" -> GraphQueries.clusteringSql,
+    "g_reciprocity" -> GraphQueries.reciprocitySql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,
     "i_host_rank" -> graft.queries.IngestQueries.hostRankSql,
