@@ -40,6 +40,23 @@ object Bucketed {
   def writeEdges(edges: DataFrame, table: String, buckets: Int,
                  path: Option[String] = None): Unit = {
     require(buckets > 0)
+    requireSimpleName(table)
+    val spark = edges.sparkSession
+    // mode("overwrite") only overwrites when the CATALOG already knows
+    // the table. A fresh session whose warehouse still holds a dead
+    // session's files takes the CREATE path instead and dies with
+    // LOCATION_ALREADY_EXISTS — i.e. the managed default would fail
+    // exactly on restart-after-unclean-exit, the scenario this module
+    // exists for. Drop any current entry, then clear the target
+    // location (destructive by declaration: this method IS overwrite).
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = path.getOrElse(
+      spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .toString)
+    val hPath = new org.apache.hadoop.fs.Path(loc)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hPath)) fs.delete(hPath, true)
     val w = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -62,13 +79,24 @@ object Bucketed {
     */
   def attach(spark: SparkSession, table: String, path: String, buckets: Int): Unit = {
     require(buckets > 0)
+    requireSimpleName(table)
+    // Single quotes in the location are SQL-escaped by doubling — a
+    // path like /data/o'brien must not terminate the string literal.
+    val loc = path.replace("'", "''")
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $table (src BIGINT, dst BIGINT)
          |USING parquet
          |CLUSTERED BY (src) SORTED BY (src, dst) INTO $buckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+         |LOCATION '$loc'""".stripMargin)
     ()
   }
+
+  /** Table names are interpolated into SQL and catalog identifiers:
+    * restrict to simple identifiers so neither can be broken out of.
+    */
+  private def requireSimpleName(table: String): Unit =
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table must be a simple identifier, got '$table'")
 
   /** The stored edge table (deduplicated at write time). */
   def edges(spark: SparkSession, table: String): DataFrame = spark.table(table)

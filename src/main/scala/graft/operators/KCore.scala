@@ -87,6 +87,12 @@ object KCore {
           changed = prevEdges - cnt)
         prevEdges = cnt
         if (cnt == 0L) changed = false
+      } else {
+        // Fixpoint probe: the freshly-built (and materialized) cut frame
+        // is discarded — release its checkpoint blocks explicitly, like
+        // every superseded state (leaked, they pin |E| rows until GC).
+        next.unpersist()
+        graft.core.Lineage.release(next)
       }
     }
 
@@ -119,7 +125,8 @@ object KCore {
 
     val ctx = new IterationContext("coreness", checkpoint, verbose = verbose)
     val sym0 = graph.symmetrize.edges.filter($"src" =!= $"dst").toDF()
-    var state = ctx.init(sym0)
+    val state0 = ctx.init(sym0)
+    var state = state0
     var stateCount = state.count()
     // All vertices (incl. isolated / self-loop-only ones, which the
     // symmetrized simple edge table no longer carries): core number 0
@@ -152,20 +159,33 @@ object KCore {
             deltaNorm = (stateCount - cnt).toDouble, messages = stateCount,
             changed = stateCount - cnt)
           stateCount = cnt
+        } else {
+          // Discarded fixpoint probe — release like any superseded state.
+          next.unpersist()
+          graft.core.Lineage.release(next)
         }
       }
       // Survivors of this level are in the level-core: their core number
       // is at least `level` (overwrites the previous level's label).
       val survivors = state.select($"src".as("id")).distinct()
-      labels = ctx.cut(
+      val newLabels = ctx.cut(
         labels
           .join(survivors.select($"id", lit(true).as("inCore")), Seq("id"), "left")
           .select($"id", when($"inCore", lit(level.toLong)).otherwise($"core").as("core")))
-      labels.count()
+      newLabels.count()
+      // Release the superseded label frame — but only frames WE cut: the
+      // initial frame's plan embeds the caller's graph.vertices lineage.
+      if (level > 1) { labels.unpersist(); graft.core.Lineage.release(labels) }
+      labels = newLabels
       level += 1
     }
 
-    ctx.close()
+    // Only `labels` leaves this method: drop the final edge-state blocks
+    // (but never walk the INITIAL frame's plan — it embeds caller-owned
+    // lineage, the IterationContext release-guard rationale).
+    val lastState = state
+    ctx.close(keepFinal = false)
+    if (lastState ne state0) graft.core.Lineage.release(lastState)
     labels
   }
 }

@@ -39,6 +39,37 @@ object RangeJoin {
     */
   val DefaultMaxBins: Long = 1L << 16
 
+  /** Bin numbers beyond ±2^61 are treated as sentinel garbage and the
+    * row is dropped (left rows: auditable via [[oversizedIntervals]]).
+    * Every real epoch time at any unit is orders of magnitude inside the
+    * bound; allowing larger values would let the long cast in [[bin]]
+    * overflow (ANSI: throws; legacy: wraps) and one poisoned row kill
+    * the whole job — the failure mode this operator's guards exist to
+    * prevent.
+    */
+  private val BinAbsBound: Double = math.pow(2.0, 61)
+
+  /** Floor-division bin as a DOUBLE, overflow-free for every long input:
+    * subtract the nonneg pmod first, so the division is of an exact
+    * multiple and bin edges never flip on FP for in-range values.
+    */
+  private def dbin(c: org.apache.spark.sql.Column, binWidth: Long) =
+    (c - pmod(c, lit(binWidth))) / binWidth
+
+  private def bin(c: org.apache.spark.sql.Column, binWidth: Long) =
+    dbin(c, binWidth).cast("long")
+
+  /** The guard under which a left row is allowed into the explode: all
+    * arithmetic in DOUBLE, so a sentinel interval (lo = Long.MinValue,
+    * hi = Long.MaxValue, binWidth = 1) cannot overflow the guard itself
+    * — the r3-ADVICE failure this guard was added against, which a
+    * long-typed `bin(hi) - bin(lo)` re-introduced at extreme magnitudes.
+    */
+  private def leftGuard(lo: String, hi: String, binWidth: Long, maxBins: Long) =
+    abs(dbin(col(lo), binWidth)) < BinAbsBound &&
+      abs(dbin(col(hi), binWidth)) < BinAbsBound &&
+      (dbin(col(hi), binWidth) - dbin(col(lo), binWidth)) < lit(maxBins.toDouble)
+
   def pointInInterval(
       left: DataFrame,
       right: DataFrame,
@@ -52,11 +83,6 @@ object RangeJoin {
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBins > 0, "maxBins must be positive")
-    // Exact floor-division bin of a (possibly negative) long time:
-    // subtract the nonneg pmod first, so the double division is of an
-    // exact multiple (no FP boundary flips at bin edges).
-    def bin(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
     val l2 = left
       .where(col(leftKey).isNotNull && col(lo).isNotNull && col(hi).isNotNull
         && col(lo) <= col(hi))
@@ -65,13 +91,17 @@ object RangeJoin {
       // max array length and kill the whole job at runtime (ADVICE r3).
       // Oversized rows are dropped from the join — auditable via
       // [[oversizedIntervals]], which evaluates the same predicate.
-      .where(bin(col(hi)) - bin(col(lo)) < lit(maxBins))
+      .where(leftGuard(lo, hi, binWidth, maxBins))
       .withColumn("__bin",
-        explode(sequence(bin(col(lo)), bin(col(hi)))))
+        explode(sequence(bin(col(lo), binWidth), bin(col(hi), binWidth))))
       .withColumnRenamed(leftKey, "__k")
     val r2 = right
-      .where(col(rightKey).isNotNull && col(t).isNotNull)
-      .withColumn("__bin", bin(col(t)))
+      .where(col(rightKey).isNotNull && col(t).isNotNull
+        // A sentinel point (|t| near Long.MaxValue) can never match a
+        // guarded interval; drop it before the cast rather than let it
+        // overflow the bin cast.
+        && abs(dbin(col(t), binWidth)) < BinAbsBound)
+      .withColumn("__bin", bin(col(t), binWidth))
       .withColumnRenamed(rightKey, "__k")
     l2.join(r2, Seq("__k", "__bin"))
       .where(col(t) >= col(lo) && col(t) <= col(hi))
@@ -79,11 +109,11 @@ object RangeJoin {
       .withColumnRenamed("__k", leftKey)
   }
 
-  /** The left rows [[pointInInterval]] DROPS under `maxBins` — the audit
-    * face of the guard: a pipeline that must not lose rows silently runs
-    * this (count or sink it) next to the join; anything it returns is a
-    * data-quality incident (a sentinel hi, a units mix-up), not a join
-    * input.
+  /** The left rows [[pointInInterval]] DROPS under its guard (too many
+    * bins OR sentinel-magnitude bounds) — the audit face: a pipeline
+    * that must not lose rows silently runs this (count or sink it) next
+    * to the join; anything it returns is a data-quality incident (a
+    * sentinel hi, a units mix-up), not a join input.
     */
   def oversizedIntervals(
       left: DataFrame,
@@ -94,10 +124,9 @@ object RangeJoin {
       maxBins: Long = DefaultMaxBins
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bin(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    require(maxBins > 0, "maxBins must be positive")
     left.where(col(leftKey).isNotNull && col(lo).isNotNull && col(hi).isNotNull
       && col(lo) <= col(hi)
-      && bin(col(hi)) - bin(col(lo)) >= lit(maxBins))
+      && !leftGuard(lo, hi, binWidth, maxBins))
   }
 }

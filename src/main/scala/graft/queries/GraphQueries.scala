@@ -147,11 +147,16 @@ object GraphQueries {
     * cross-engine, no rounding).
     */
   def reciprocity(spark: SparkSession, dir: String): DataFrame = {
-    val nl = edgesDf(spark, dir).filter(col("src") =!= col("dst"))
-    val rev = nl.select(col("dst").as("src"), col("src").as("dst"))
-    nl.join(rev, Seq("src", "dst"), "left_semi")
-      .agg(count(lit(1)).as("reciprocal"))
-      .crossJoin(nl.agg(count(lit(1)).as("arcs")))
+    // Arcs come from the shared graph's PERSISTED adjacency (both
+    // references below hit the cache), never a fresh lineitem
+    // scan+distinct — the memoized-family rule every sibling g_* query
+    // follows. One left join + one aggregate computes both counts.
+    val nl = graph(spark, dir).adjacency
+      .select(col("src"), explode(col("dsts")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val rev = nl.select(col("dst").as("src"), col("src").as("dst"), lit(1).as("hasRev"))
+    nl.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("arcs"), count(col("hasRev")).as("reciprocal"))
       .select(col("arcs"), col("reciprocal"),
         (col("reciprocal") / col("arcs")).as("reciprocity"))
   }

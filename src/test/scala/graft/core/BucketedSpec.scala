@@ -57,6 +57,25 @@ class BucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("writeEdges overwrites stale managed files left by a dead session") {
+    import spark.implicits._
+    // Simulate an unclean exit: files exist at the managed location but
+    // the (session-scoped) catalog has no entry — the CREATE path would
+    // throw LOCATION_ALREADY_EXISTS without the overwrite cleanup.
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier("bkt_stale"))
+        .toString))
+    loc.mkdirs()
+    java.nio.file.Files.writeString(loc.toPath.resolve("stale.parquet"), "junk")
+    withTable("bkt_stale") {
+      Bucketed.writeEdges(Fixtures.bucket9.toDF("src", "dst"), "bkt_stale", buckets = 2)
+      val got = Bucketed.edges(spark, "bkt_stale")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Fixtures.bucket9.toSet)
+    }
+  }
+
   test("attach re-registers external files with bucketing intact (the new-session path)") {
     import spark.implicits._
     val loc = java.nio.file.Files.createTempDirectory("graft-bkt-ext").toString

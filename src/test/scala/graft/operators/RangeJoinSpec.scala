@@ -74,6 +74,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(RangeJoin.oversizedIntervals(wide, "k", "lo", "hi", 100L, maxBins = 1L << 17).count() == 0)
   }
 
+  test("binWidth=1 with full-long sentinel bounds: guard itself cannot overflow") {
+    // The r4 code-review find: a long-typed bin(hi) - bin(lo) wraps for
+    // (Long.MinValue, Long.MaxValue) at binWidth=1, letting the sentinel
+    // THROUGH the guard (legacy) or killing the job in the guard (ANSI).
+    // The double-typed guard must drop it — and a sane row still joins.
+    val l = Seq((1L, 0L, 100L, 200L), (2L, 0L, Long.MinValue, Long.MaxValue))
+      .toDF("lid", "k", "lo", "hi")
+    val r = Seq((10L, 0L, 150L)).toDF("rid", "rk", "t")
+    val got = RangeJoin.pointInInterval(l, r, "k", "rk", "lo", "hi", "t", binWidth = 1L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+    val dropped = RangeJoin.oversizedIntervals(l, "k", "lo", "hi", binWidth = 1L)
+      .select("lid").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L))
+    // A sentinel-magnitude right POINT is likewise dropped, not fatal.
+    val rBad = Seq((10L, 0L, 150L), (11L, 0L, Long.MaxValue)).toDF("rid", "rk", "t")
+    val got2 = RangeJoin.pointInInterval(l, rBad, "k", "rk", "lo", "hi", "t", binWidth = 1L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(10L))
+  }
+
   test("plan: equi-join on (key, bin), no nested-loop/cartesian") {
     val l = Seq((1L, 0L, 100L, 200L)).toDF("lid", "k", "lo", "hi")
     val r = Seq((10L, 0L, 100L)).toDF("rid", "rk", "t")
