@@ -46,6 +46,7 @@ object SparkEntry {
     "g_degdist" -> (GraphQueries.degDist _),
     "g_clustering" -> (GraphQueries.clustering _),
     "g_reciprocity" -> (GraphQueries.reciprocity _),
+    "q_asof_tol" -> (graft.queries.RelationalQueries.asofOrdersTol _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
     "i_host_rank" -> (graft.queries.IngestQueries.hostRank _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "g_degdist" -> GraphQueries.degDistSql,
     "g_clustering" -> GraphQueries.clusteringSql,
     "g_reciprocity" -> GraphQueries.reciprocitySql,
+    "q_asof_tol" -> graft.queries.RelationalQueries.asofOrdersTolSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,
     "i_host_rank" -> graft.queries.IngestQueries.hostRankSql,

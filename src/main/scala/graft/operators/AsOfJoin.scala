@@ -40,13 +40,22 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `tolerance`: maximum staleness — a match additionally requires
+    * `rightTime >= leftTime - tolerance` (inclusive, pandas
+    * `merge_asof`-style; times must be numeric, same unit as the time
+    * columns). Implemented as a projection over the merge's running
+    * match — the matched right row carries its own time — so the plan
+    * shape (one shuffle + one window pass) is unchanged; too-stale
+    * matches null out, preserving left-outer semantics.
+    */
   def asOf(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
       rightKey: String,
       leftTime: String,
-      rightTime: String
+      rightTime: String,
+      tolerance: Option[Long] = None
   ): DataFrame = {
     val lStruct = struct(left.columns.map(left.col): _*)
     val rStruct = struct(right.columns.map(right.col): _*)
@@ -75,8 +84,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val leftCols = left.columns.map(c => col("__l").getField(c).as(c))
     val rightCols = right.columns.map(c => col("__m").getField(c).as(c))
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val bounded = tolerance.fold(matched)(tol =>
+      when(matched.getField(rightTime) >= col("__t") - tol, matched))
     l2.unionByName(r2)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", bounded)
       .where(col("__tag") === 1)
       .select(leftCols ++ rightCols: _*)
   }

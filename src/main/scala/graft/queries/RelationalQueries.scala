@@ -281,6 +281,60 @@ object RelationalQueries {
       |  AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 3600000000 AND epoch_us(a.ts)""".stripMargin
 
   /** DuckDB replays the same dedupe, then its native ASOF LEFT JOIN. */
+  /** Tolerance (max-staleness) in microseconds for `q_asof_tol`: 8400
+    * days. The corpus staleness median is ~8372 days (modern event
+    * timestamps vs TPC-H-era order dates), so this bound keeps most
+    * matches and nulls a real minority — both branches of the tolerance
+    * predicate carry rows.
+    */
+  private val AsofTolMicros: Long = 8400L * 86400L * 1000000L
+
+  /** As-of join with a staleness bound
+    * ([[graft.operators.AsOfJoin.asOf]] `tolerance`): same alignment as
+    * q_asof, but a preceding order older than the tolerance no longer
+    * counts as point-in-time context. Times travel as epoch micros
+    * (exact integer cross-engine).
+    */
+  def asofOrdersTol(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val r = o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.operators.AsOfJoin
+      .asOf(e, r, "user_id", "o_custkey", "ts_us", "od_us",
+        tolerance = Some(AsofTolMicros))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  /** Oracle: the native ASOF LEFT JOIN picks the same latest-preceding
+    * row; the tolerance then NULLs the matched columns (not the row —
+    * left-outer semantics are preserved), exactly as the Scala side does.
+    */
+  val asofOrdersTolSql: String =
+    s"""WITH r AS (
+       |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+       |         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+       |                            ORDER BY o_orderkey DESC) AS rn
+       |  FROM orders
+       |),
+       |rr AS (SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od_us,
+       |              o_orderkey, o_totalprice
+       |       FROM r WHERE rn = 1)
+       |SELECT e.event_id, e.user_id,
+       |       CASE WHEN rr.od_us >= epoch_us(e.ts) - $AsofTolMicros
+       |            THEN rr.o_orderkey END AS o_orderkey,
+       |       CASE WHEN rr.od_us >= epoch_us(e.ts) - $AsofTolMicros
+       |            THEN rr.o_totalprice END AS o_totalprice
+       |FROM events e ASOF LEFT JOIN rr
+       |  ON e.user_id = rr.o_custkey AND epoch_us(e.ts) >= rr.od_us""".stripMargin
+
   val asofOrdersSql: String =
     """WITH r AS (
       |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,

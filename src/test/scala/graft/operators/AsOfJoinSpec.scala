@@ -57,6 +57,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("tolerance bounds staleness: matches older than t - tol null out") {
+    val out = AsOfJoin.asOf(
+      leftDf.withColumnRenamed("v", "t_k"), rightDf, "t_k", "k", "t", "ot",
+      tolerance = Some(12L))
+    val m = out.collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(m(1L) == Some(100L)) // staleness 10 <= 12
+    assert(m(2L) == Some(102L)) // exact match, staleness 0
+    assert(m(5L) == None)       // best match t=80, staleness 15 > 12
+    assert(m(3L) == None && m(4L) == None)
+    // boundary inclusive: staleness == tol still matches
+    val b = AsOfJoin.asOf(
+      leftDf.withColumnRenamed("v", "t_k"), rightDf, "t_k", "k", "t", "ot",
+      tolerance = Some(15L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(b(5L) == Some(106L))
+  }
+
+  test("tolerance differential vs brute force") {
+    val rnd = new scala.util.Random(19)
+    val lrows = (0 until 200).map(i => (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(500).toLong))
+    val rrowsMap = scala.collection.mutable.Map[(Long, Long), Long]()
+    (0 until 250).foreach { j =>
+      rrowsMap((rnd.nextInt(8).toLong, rnd.nextInt(500).toLong)) = j.toLong
+    }
+    val rrows = rrowsMap.toSeq.map { case ((k, t), id) => (id, k, t) }
+    val tol = 25L
+    val got = AsOfJoin.asOf(
+        lrows.toDF("ev", "lk", "lt"), rrows.toDF("rid", "rk", "rt"),
+        "lk", "rk", "lt", "rt", tolerance = Some(tol))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    lrows.foreach { case (ev, k, t) =>
+      val want = rrows.filter(r => r._2 == k && r._3 <= t && r._3 >= t - tol)
+        .sortBy(_._3).lastOption.map(_._1)
+      assert(got(ev) == want, s"left row $ev key $k time $t")
+    }
+  }
+
   test("null key / null time on the left never match; right nulls are dropped") {
     val l = Seq(
       (1L, Option(5L), Option(100L)),
