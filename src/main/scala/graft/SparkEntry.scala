@@ -54,6 +54,7 @@ object SparkEntry {
     "t_decontam" -> (graft.queries.TextQueries.decontam _),
     "d_span_dedup" -> (graft.queries.TextQueries.spanDedup _),
     "d_winnow_pairs" -> (graft.queries.TextQueries.winnowPairs _),
+    "d_span_rewrite" -> (graft.queries.TextQueries.spanRewrite _),
     "e_label_centroid" -> (graft.queries.TextQueries.labelCentroid _),
     "s_sliding" -> (graft.queries.RelationalQueries.eventsSliding _),
     "t_mix" -> (graft.queries.TextQueries.mixWeights _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "t_decontam" -> graft.queries.TextQueries.decontamSql,
     "d_span_dedup" -> graft.queries.TextQueries.spanDedupSql,
     "d_winnow_pairs" -> graft.queries.TextQueries.winnowPairsSql,
+    "d_span_rewrite" -> graft.queries.TextQueries.spanRewriteSql,
     "e_label_centroid" -> graft.queries.TextQueries.labelCentroidSql,
     "s_sliding" -> graft.queries.RelationalQueries.eventsSlidingSql,
     "t_mix" -> graft.queries.TextQueries.mixWeightsSql,

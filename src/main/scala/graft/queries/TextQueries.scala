@@ -621,6 +621,38 @@ object TextQueries {
       |SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS mean, count(*) AS n
       |FROM e GROUP BY label, dim""".stripMargin
 
+  /** Span-dedup REWRITE face ([[Dedup.spanDedupRewrite]]): the corpus
+    * re-emitted with duplicate 5-token spans removed.
+    */
+  def spanRewrite(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedupRewrite(docs(spark, dir), n = 5)
+
+  /** Oracle replays chunking + first-occurrence survival, then rebuilds
+    * each doc from its surviving chunk indices in order.
+    */
+  val spanRewriteSql: String =
+    s"""WITH $toksSql,
+       |ch AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) AS idx,
+       |         unnest(list_transform(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT)),
+       |                i -> array_to_string(w[i*5+1:i*5+5], ' '))) AS c
+       |  FROM toks WHERE len(w) > 0
+       |),
+       |o AS (SELECT doc_id, idx, ${hash60Sql("c")} AS h FROM ch),
+       |r AS (SELECT doc_id, idx,
+       |             row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+       |      FROM o),
+       |k AS (SELECT doc_id, list_sort(list(idx)) AS keep FROM r WHERE rn = 1 GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CASE WHEN k.keep IS NULL THEN ''
+       |            ELSE array_to_string(list_transform(
+       |                   list_filter(range(0, CAST(ceil(len(t.w) / 5.0) AS BIGINT)),
+       |                               i -> list_contains(k.keep, i)),
+       |                   i -> array_to_string(t.w[i*5+1:i*5+5], ' ')), ' ')
+       |       END AS new_text
+       |FROM toks t LEFT JOIN k ON k.doc_id = t.doc_id""".stripMargin
+
   // --- winnow copy-detection pairs -------------------------------------
 
   /** MOSS copy-detection pairs ([[Dedup.winnowPairs]]). maxDf=3 /

@@ -319,32 +319,74 @@ object Dedup {
     * adversarial-corpus deployment would swap in the 128-bit sha prefix
     * exactly as [[exact]] does).
     */
-  def spanDedup(docs: DataFrame, n: Int = 5, hashMode: String = "md5"): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val hash = TextOps.hash60(hashMode)
+  /** The non-overlapping n-token chunk array of `text` (last chunk may
+    * be shorter); shared by the span-dedup report and rewrite faces.
+    */
+  private def chunksCol(n: Int) = {
     val w = TextOps.tokensCol(col("text"))
     // ceil(len/n) chunk starts; slice is 1-based and clips the last chunk.
-    val chunks = when(size(w) > 0,
+    when(size(w) > 0,
       transform(sequence(lit(0), floor((size(w) - 1) / lit(n)).cast("int")),
         i => concat_ws(" ", slice(w, i * n + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
 
-    val occ = docs
-      .select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+  /** (doc_id, idx) of every chunk occurrence that SURVIVES first-
+    * occurrence-by-(doc_id, idx) dedup — the shared core of the two
+    * span-dedup faces.
+    */
+  private def spanFirsts(docs: DataFrame, n: Int, hashMode: String): DataFrame = {
+    val hash = TextOps.hash60(hashMode)
+    docs
+      .select(col("doc_id"), posexplode(chunksCol(n)).as(Seq("idx", "chunk")))
       .select(col("doc_id"), col("idx"), hash(col("chunk")).as("h"))
-
-    val firsts = occ
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-      .select(col("first.doc_id").as("doc_id"))
+      .select(col("first.doc_id").as("doc_id"), col("first.idx").as("idx"))
+  }
+
+  def spanDedup(docs: DataFrame, n: Int = 5, hashMode: String = "md5"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val kept = spanFirsts(docs, n, hashMode)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept"))
-
     docs
-      .select(col("doc_id"), size(chunks).cast("long").as("n_chunks"))
-      .join(firsts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(chunksCol(n)).cast("long").as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** The REWRITE face of [[spanDedup]]: each document re-emitted with
+    * only its surviving chunk occurrences, in original order —
+    * (doc_id, new_text). A document whose every chunk was already seen
+    * (or with no tokens) becomes the empty string. Whitespace is
+    * normalized to single spaces (the chunking tokenizer's semantics);
+    * `n_kept == 0` rows in the report face are exactly the docs a
+    * pipeline would drop entirely after this rewrite.
+    *
+    * Scale shape: the only addition over the report face is one
+    * per-doc `collect_list` of surviving chunk INDICES (ints, bounded
+    * by chunks-per-doc — never text) and one join back to the corpus;
+    * the rewrite itself is a pure array expression over the doc's own
+    * chunks.
+    */
+  def spanDedupRewrite(docs: DataFrame, n: Int = 5, hashMode: String = "md5"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val keptIdx = spanFirsts(docs, n, hashMode)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("__keep"))
+    val chunks = chunksCol(n)
+    docs
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__keep").isNull, lit(""))
+          .otherwise(concat_ws(" ",
+            transform(
+              filter(sequence(lit(0), size(chunks) - 1),
+                i => array_contains(col("__keep"), i)),
+              i => element_at(chunks, i + 1))))
+          .as("new_text"))
   }
 
   /** MOSS-style copy-detection pairs over winnowing fingerprints
