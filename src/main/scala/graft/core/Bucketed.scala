@@ -42,6 +42,15 @@ object Bucketed {
     require(buckets > 0)
     requireSimpleName(table)
     val spark = edges.sparkSession
+    // Force ANALYSIS of the projected input BEFORE anything destructive:
+    // a call with a missing/mistyped column must fail here with the old
+    // table still intact, not after the drop below has already deleted
+    // it (second-round review find).
+    val prepared = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    prepared.schema
     // mode("overwrite") only overwrites when the CATALOG already knows
     // the table. A fresh session whose warehouse still holds a dead
     // session's files takes the CREATE path instead and dies with
@@ -57,10 +66,7 @@ object Bucketed {
     val hPath = new org.apache.hadoop.fs.Path(loc)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(hPath)) fs.delete(hPath, true)
-    val w = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val w = prepared
       .write
       .mode("overwrite")
       .format("parquet")

@@ -57,6 +57,10 @@ object AsOfJoin {
       rightTime: String,
       tolerance: Option[Long] = None
   ): DataFrame = {
+    // A negative tolerance can never match (the running match already
+    // satisfies rightTime <= leftTime) — fail fast like pandas does
+    // rather than silently nulling every row.
+    tolerance.foreach(tol => require(tol >= 0, s"tolerance must be >= 0, got $tol"))
     val lStruct = struct(left.columns.map(left.col): _*)
     val rStruct = struct(right.columns.map(right.col): _*)
     val rType = right.schema

@@ -39,35 +39,46 @@ object RangeJoin {
     */
   val DefaultMaxBins: Long = 1L << 16
 
-  /** Bin numbers beyond ±2^61 are treated as sentinel garbage and the
-    * row is dropped (left rows: auditable via [[oversizedIntervals]]).
-    * Every real epoch time at any unit is orders of magnitude inside the
-    * bound; allowing larger values would let the long cast in [[bin]]
-    * overflow (ANSI: throws; legacy: wraps) and one poisoned row kill
-    * the whole job — the failure mode this operator's guards exist to
-    * prevent.
+  /** Times beyond ±2^61 are treated as sentinel garbage and the row is
+    * dropped (left rows: auditable via [[oversizedIntervals]]). Every
+    * real epoch time at any unit is orders of magnitude inside the
+    * bound; allowing larger values would let bin arithmetic overflow
+    * (ANSI: throws; legacy: wraps) and one poisoned row kill the whole
+    * job — the failure mode this operator's guards exist to prevent.
     */
-  private val BinAbsBound: Double = math.pow(2.0, 61)
+  private val TimeAbsBound: Double = math.pow(2.0, 61)
 
-  /** Floor-division bin as a DOUBLE, overflow-free for every long input:
-    * subtract the nonneg pmod first, so the division is of an exact
-    * multiple and bin edges never flip on FP for in-range values.
+  /** True iff the raw time is inside [[TimeAbsBound]] — evaluated on a
+    * lossless long→double cast, so the predicate itself can never
+    * overflow.
     */
-  private def dbin(c: org.apache.spark.sql.Column, binWidth: Long) =
-    (c - pmod(c, lit(binWidth))) / binWidth
+  private def inRange(c: org.apache.spark.sql.Column) =
+    abs(c.cast("double")) < TimeAbsBound
+
+  /** Floor-division bin as a DOUBLE, total for every long input: the
+    * value is CLAMPED to 0 outside [[TimeAbsBound]] BEFORE any long
+    * arithmetic — `c - pmod(c, w)` itself underflows for c within w of
+    * Long.MinValue (the second-round review find; Spark may also
+    * reorder filter conjuncts, so guarding with a preceding AND is not
+    * enough under ANSI). Clamped rows are excluded by the callers'
+    * [[inRange]] predicates; in range, the pmod-subtract keeps the
+    * division an exact multiple so bin edges never flip on FP.
+    */
+  private def dbin(c: org.apache.spark.sql.Column, binWidth: Long) = {
+    val cc = when(inRange(c), c).otherwise(lit(0L))
+    (cc - pmod(cc, lit(binWidth))) / binWidth
+  }
 
   private def bin(c: org.apache.spark.sql.Column, binWidth: Long) =
-    dbin(c, binWidth).cast("long")
+    dbin(c, binWidth).cast("long") // |bin| <= 2^61: cast-safe
 
-  /** The guard under which a left row is allowed into the explode: all
-    * arithmetic in DOUBLE, so a sentinel interval (lo = Long.MinValue,
-    * hi = Long.MaxValue, binWidth = 1) cannot overflow the guard itself
-    * — the r3-ADVICE failure this guard was added against, which a
-    * long-typed `bin(hi) - bin(lo)` re-introduced at extreme magnitudes.
+  /** The guard under which a left row is allowed into the explode:
+    * overflow-free for ANY (lo, hi, binWidth) — a sentinel interval
+    * (Long.MinValue, Long.MaxValue) cannot overflow the guard itself —
+    * the r3-ADVICE failure class this guard exists for.
     */
   private def leftGuard(lo: String, hi: String, binWidth: Long, maxBins: Long) =
-    abs(dbin(col(lo), binWidth)) < BinAbsBound &&
-      abs(dbin(col(hi), binWidth)) < BinAbsBound &&
+    inRange(col(lo)) && inRange(col(hi)) &&
       (dbin(col(hi), binWidth) - dbin(col(lo), binWidth)) < lit(maxBins.toDouble)
 
   def pointInInterval(
@@ -97,10 +108,10 @@ object RangeJoin {
       .withColumnRenamed(leftKey, "__k")
     val r2 = right
       .where(col(rightKey).isNotNull && col(t).isNotNull
-        // A sentinel point (|t| near Long.MaxValue) can never match a
-        // guarded interval; drop it before the cast rather than let it
-        // overflow the bin cast.
-        && abs(dbin(col(t), binWidth)) < BinAbsBound)
+        // A sentinel point (|t| near the long extremes) can never match
+        // a guarded interval; drop it rather than let it poison the bin
+        // arithmetic.
+        && inRange(col(t)))
       .withColumn("__bin", bin(col(t), binWidth))
       .withColumnRenamed(rightKey, "__k")
     l2.join(r2, Seq("__k", "__bin"))

@@ -76,6 +76,22 @@ class BucketedSpec extends AnyFunSuite {
     }
   }
 
+  test("a writeEdges call that fails analysis leaves the existing table intact") {
+    import spark.implicits._
+    withTable("bkt_safe") {
+      Bucketed.writeEdges(Fixtures.bucket9.toDF("src", "dst"), "bkt_safe", buckets = 2)
+      // Missing `dst` column: must fail BEFORE the drop/delete, so the
+      // previous table survives (second-round review find — the
+      // destructive steps used to run before the input was analyzed).
+      intercept[Exception] {
+        Bucketed.writeEdges(Seq(1L).toDF("src"), "bkt_safe", buckets = 2)
+      }
+      val got = Bucketed.edges(spark, "bkt_safe")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Fixtures.bucket9.toSet)
+    }
+  }
+
   test("attach re-registers external files with bucketing intact (the new-session path)") {
     import spark.implicits._
     val loc = java.nio.file.Files.createTempDirectory("graft-bkt-ext").toString

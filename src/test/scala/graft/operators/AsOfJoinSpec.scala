@@ -74,6 +74,13 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(b(5L) == Some(106L))
   }
 
+  test("negative tolerance fails fast instead of nulling every match") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(leftDf.withColumnRenamed("v", "t_k"), rightDf,
+        "t_k", "k", "t", "ot", tolerance = Some(-1L))
+    }
+  }
+
   test("tolerance differential vs brute force") {
     val rnd = new scala.util.Random(19)
     val lrows = (0 until 200).map(i => (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(500).toLong))

@@ -95,6 +95,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got2 == Set(10L))
   }
 
+  test("binWidth > 1 near Long.MinValue: pmod-subtract cannot underflow") {
+    // Second-round review find: `c - pmod(c, w)` underflows for c within
+    // w of Long.MinValue when w > 1 (binWidth=1 has pmod=0 and hides
+    // it). rangeEvents' hour-in-micros width is the realistic case.
+    val w = 3600000000L
+    val l = Seq(
+      (1L, 0L, 100L, 200L),
+      (2L, 0L, Long.MinValue, Long.MinValue + 10L), // sentinel bounds
+      (3L, 0L, Long.MinValue, Long.MaxValue)
+    ).toDF("lid", "k", "lo", "hi")
+    val r = Seq((10L, 0L, 150L), (11L, 0L, Long.MinValue + 5L)).toDF("rid", "rk", "t")
+    val got = RangeJoin.pointInInterval(l, r, "k", "rk", "lo", "hi", "t", binWidth = w)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L))) // sane pair only; no overflow, no garbage match
+    val dropped = RangeJoin.oversizedIntervals(l, "k", "lo", "hi", binWidth = w)
+      .select("lid").collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L, 3L)) // the audit face sees BOTH sentinels
+  }
+
   test("plan: equi-join on (key, bin), no nested-loop/cartesian") {
     val l = Seq((1L, 0L, 100L, 200L)).toDF("lid", "k", "lo", "hi")
     val r = Seq((10L, 0L, 100L)).toDF("rid", "rk", "t")
