@@ -46,6 +46,13 @@ object SparkEntry {
     "g_degdist" -> (GraphQueries.degDist _),
     "g_clustering" -> (GraphQueries.clustering _),
     "g_reciprocity" -> (GraphQueries.reciprocity _),
+    "g_assort" -> (GraphQueries.assortativity _),
+    "g_stats" -> (GraphQueries.stats _),
+    "i_coupling" -> (graft.queries.IngestQueries.coupling _),
+    "i_cocite" -> (graft.queries.IngestQueries.cocite _),
+    "i_adamic" -> (graft.queries.IngestQueries.adamicAdar _),
+    "i_extract_text" -> (graft.queries.IngestQueries.extractText _),
+    "t_tfidf" -> (graft.queries.TextQueries.tfIdf _),
     "q_asof_tol" -> (graft.queries.RelationalQueries.asofOrdersTol _),
     "i_links" -> (graft.queries.IngestQueries.links _),
     "i_anchor_text" -> (graft.queries.IngestQueries.anchorText _),
@@ -123,6 +130,13 @@ object SparkEntry {
     "g_degdist" -> GraphQueries.degDistSql,
     "g_clustering" -> GraphQueries.clusteringSql,
     "g_reciprocity" -> GraphQueries.reciprocitySql,
+    "g_assort" -> GraphQueries.assortativitySql,
+    "g_stats" -> GraphQueries.statsSql,
+    "i_coupling" -> graft.queries.IngestQueries.couplingSql,
+    "i_cocite" -> graft.queries.IngestQueries.cociteSql,
+    "i_adamic" -> graft.queries.IngestQueries.adamicAdarSql,
+    "i_extract_text" -> graft.queries.IngestQueries.extractTextSql,
+    "t_tfidf" -> graft.queries.TextQueries.tfIdfSql,
     "q_asof_tol" -> graft.queries.RelationalQueries.asofOrdersTolSql,
     "i_links" -> graft.queries.IngestQueries.linksSql,
     "i_anchor_text" -> graft.queries.IngestQueries.anchorTextSql,

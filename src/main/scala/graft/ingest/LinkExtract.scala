@@ -65,6 +65,30 @@ object LinkExtract {
           regexp_extract_all(col("html").cast("string"),
             lit("""<a href="([^"]+)""""), lit(1))).as("dst_url"))
 
+  /** WET-style plain-text extraction (url, text, n_tokens): strip every
+    * markup tag (replaced by a space so token boundaries survive
+    * tag-adjacent text), collapse whitespace runs, trim. The
+    * Common-Crawl WARC→WET step — the front of every webtext training
+    * pipeline; [[TextOps]] quality / dedup / language-id operators then
+    * run on the extracted `text` column.
+    *
+    * Pure codegen'd per-row string expressions — zero shuffles, zero
+    * joins; at crawl scale this is a map-only pass whose cost is the
+    * regexp scan of each page's html, pipelined into whatever consumes
+    * it. (A production extractor adds entity decoding and script/style
+    * content drops — tag stripping is the structural part and keeps the
+    * whole derivation portable to the SQL oracle.)
+    */
+  def extractText(pages: DataFrame): DataFrame = {
+    val stripped = trim(regexp_replace(
+      regexp_replace(col("html").cast("string"), "<[^>]+>", " "), " +", " "))
+    pages
+      .select(col("url"), stripped.as("text"))
+      .select(col("url"), col("text"),
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+  }
+
   /** (url, id) dense vertex map over all page urls (every crawled page is
     * a vertex even if never linked — matches Graph-over-all-pages
     * semantics and keeps dangling pages).

@@ -171,6 +171,114 @@ object GraphQueries {
        |       CAST(r.c AS DOUBLE) / t.c AS reciprocity
        |FROM r CROSS JOIN t""".stripMargin
 
+  /** Degree assortativity (Newman 2002, out→in flavor): the Pearson
+    * correlation across arcs between the source's out-degree and the
+    * target's in-degree — negative on real web graphs (hubs point at
+    * low-degree pages). Computed from EXACT int64 moment sums with the
+    * float ops deferred to one final expression (`cov/(√varx·√vary)`) so
+    * both engines produce the bit-identical double: every sum, product
+    * and difference fits int64 at any graph this vertex space admits
+    * (deg ≤ N, arcs ≤ N², N = 601 ⇒ m·Σx² ≤ 5·10¹⁶), and int64→double,
+    * sqrt, multiply, divide are each IEEE-deterministic.
+    *
+    * Scale shape: degrees are vertex-sized (broadcast side); the arc
+    * table streams through two broadcast joins into ONE scalar
+    * aggregate — no arc-keyed shuffle at all, partial sums combine
+    * map-side. At 10¹⁰ arcs this is a single pass over the edge scan.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val arcs = g.adjacency.select(col("src"), explode(col("dsts")).as("dst"))
+    val x = g.outDegrees.select(col("id").as("src"), col("deg").as("x"))
+    val y = g.inDegrees.select(col("id").as("dst"), col("deg").as("y"))
+    arcs
+      .join(broadcast(x), Seq("src"))
+      .join(broadcast(y), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("m").as("arcs"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |idg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst),
+       |j AS (SELECT od.c AS x, idg.c AS y
+       |      FROM edges e JOIN od ON od.id = e.src JOIN idg ON idg.id = e.dst),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+       |             CAST(sum(x*y) AS BIGINT) AS sxy
+       |      FROM j)
+       |SELECT m AS arcs,
+       |       CAST(m*sxy - sx*sy AS DOUBLE) /
+       |       (sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(m*syy - sy*sy AS DOUBLE)))
+       |         AS assortativity
+       |FROM s""".stripMargin
+
+  /** One-row graph summary — the stats pass every webgraph analysis
+    * (and the reference's properties files) leads with: vertex/arc
+    * counts, self-loops, dangling vertices (no out-arcs), source
+    * vertices (no in-arcs), degree maxima, average out-degree, density.
+    * All counts are exact int64 sums; the two ratios are single
+    * int64→double divisions, IEEE-identical across engines.
+    *
+    * Scale shape: one pass over the edge scan plus two passes over the
+    * vertex-sized degree tables, each a map-side-combined scalar
+    * aggregate; the three 1-row frames cross-join on the driver side of
+    * the plan. No shuffle wider than the degree aggregates the Graph
+    * already materializes.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val e = edgesDf(spark, dir)
+    val ea = e.agg(
+      count(lit(1)).as("arcs"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("self_loops"))
+    val oa = g.outDegrees.agg(
+      count(lit(1)).as("nodes"),
+      sum(when(col("deg") === 0, 1L).otherwise(0L)).as("dangling"),
+      max(col("deg")).as("max_outdeg"))
+    val ia = g.inDegrees.agg(
+      sum(when(col("deg") === 0, 1L).otherwise(0L)).as("sources"),
+      max(col("deg")).as("max_indeg"))
+    ea.crossJoin(oa).crossJoin(ia)
+      .select(
+        col("nodes"), col("arcs"), col("self_loops"), col("dangling"),
+        col("sources"), col("max_outdeg"), col("max_indeg"),
+        (col("arcs").cast("double") / col("nodes")).as("avg_outdeg"),
+        (col("arcs").cast("double") / (col("nodes") * (col("nodes") - 1)))
+          .as("density"))
+  }
+
+  val statsSql: String =
+    s"""WITH $edgesSql,
+       |ea AS (SELECT CAST(count(*) AS BIGINT) AS arcs,
+       |              CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS self_loops
+       |       FROM edges),
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |idg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst),
+       |oa AS (SELECT CAST(count(*) AS BIGINT) AS nodes,
+       |              CAST(sum(CASE WHEN od.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dangling,
+       |              CAST(max(coalesce(od.c, 0)) AS BIGINT) AS max_outdeg
+       |       FROM nodes n LEFT JOIN od ON od.id = n.id),
+       |ia AS (SELECT CAST(sum(CASE WHEN idg.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sources,
+       |              CAST(max(coalesce(idg.c, 0)) AS BIGINT) AS max_indeg
+       |       FROM nodes n LEFT JOIN idg ON idg.id = n.id)
+       |SELECT nodes, arcs, self_loops, dangling, sources, max_outdeg, max_indeg,
+       |       CAST(arcs AS DOUBLE) / nodes AS avg_outdeg,
+       |       CAST(arcs AS DOUBLE) / (nodes * (nodes - 1)) AS density
+       |FROM ea CROSS JOIN oa CROSS JOIN ia""".stripMargin
+
   def cc(spark: SparkSession, dir: String): DataFrame =
     ccShared(spark, dir)
 

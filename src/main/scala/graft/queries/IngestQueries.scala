@@ -55,12 +55,15 @@ object IngestQueries {
     """cnt AS (SELECT count(*) AS n FROM documents),
       |pages AS (
       |  SELECT 'http://site' || (doc_id % 40) || '.test/p' || doc_id AS url,
-      |         '<html><body>' || array_to_string(
+      |         -- coalesce: DuckDB's array_to_string(empty, '') is NULL,
+      |         -- Spark's concat_ws is '' — the no-link page must have
+      |         -- non-null html in BOTH engines or extract-text diverges.
+      |         '<html><body>' || coalesce(array_to_string(
       |           list_transform(range(0, doc_id % 5),
       |             j -> '<a href="http://site' || (((doc_id * 31 + j * 17 + 1) % n) % 40) ||
       |                  '.test/p' || ((doc_id * 31 + j * 17 + 1) % n) ||
       |                  '">w' || ((doc_id * 13 + j * 7) % 9) || '</a>'),
-      |           '') || '</body></html>' AS html
+      |           ''), '') || '</body></html>' AS html
       |  FROM documents CROSS JOIN cnt
       |),
       |lnk AS (
@@ -215,4 +218,100 @@ object IngestQueries {
        |)
        |SELECT dst_url, inlinks, n_anchors, anchor AS top_anchor
        |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** WET-style text extraction ([[LinkExtract.extractText]]) over the
+    * same derived pages: strip tags (tag → space so tag-adjacent tokens
+    * stay separated), collapse spaces, trim, count tokens.
+    */
+  def extractText(spark: SparkSession, dir: String): DataFrame =
+    LinkExtract.extractText(pages(spark, dir))
+
+  val extractTextSql: String =
+    s"""WITH $pagesLnkSql,
+       |t AS (
+       |  SELECT url,
+       |         trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+       |                             ' +', ' ', 'g')) AS text
+       |  FROM pages
+       |)
+       |SELECT url, text,
+       |       CASE WHEN length(text) = 0 THEN 0
+       |            ELSE len(string_split(text, ' ')) END AS n_tokens
+       |FROM t""".stripMargin
+
+  /** Co-citation "related pages" over the extracted page-link graph
+    * ([[graft.operators.CoCitation]] keyed directly by url — the
+    * operator is vertex-type-agnostic, so no dense-id replay is needed):
+    * target pairs linked by ≥ 2 common sources. The dense derived
+    * lineitem graph is the WRONG substrate for this operator (its
+    * out-degrees are uniformly huge, so the hub cap — correctly —
+    * discards everything); the page graph has the bounded-fan-out shape
+    * co-citation is defined for.
+    */
+  def cocite(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CoCitation
+      .run(LinkExtract.links(pages(spark, dir))
+        .select(col("src_url").as("src"), col("dst_url").as("dst")))
+      .select(col("u"), col("v"), col("common"))
+
+  /** Shared oracle CTE chain: dedup'd capped links + co-cited triples
+    * (u < v as url strings; both engines compare ASCII urls bytewise).
+    * `srcExpr`/`dstExpr` pick the pairing direction: (src_url, dst_url)
+    * co-cites targets; swapped, it couples sources (bibliographic
+    * coupling — the hub cap then bounds the shared target's IN-degree
+    * and the Adamic–Adar weight becomes 1/ln(indeg), the standard
+    * inverse-log-popularity discount).
+    */
+  private def pairsSql(srcExpr: String, dstExpr: String): String =
+    s"""el AS MATERIALIZED (SELECT DISTINCT $srcExpr AS src, $dstExpr AS dst FROM lnk),
+       |od AS (SELECT src, count(*) AS c FROM el GROUP BY src),
+       |cap AS MATERIALIZED (
+       |  SELECT e.src, e.dst, od.c FROM el e JOIN od USING (src)
+       |  WHERE od.c <= ${graft.operators.CoCitation.DefaultMaxOutDeg}),
+       |p AS (SELECT a.src, a.c, a.dst AS u, b.dst AS v
+       |      FROM cap a JOIN cap b ON a.src = b.src AND a.dst < b.dst)""".stripMargin
+
+  val cociteSql: String =
+    s"""WITH $pagesLnkSql,
+       |${pairsSql("src_url", "dst_url")}
+       |SELECT u, v, count(*) AS common FROM p GROUP BY u, v
+       |HAVING count(*) >= 2""".stripMargin
+
+  /** Adamic–Adar link-prediction scores over the same co-cited pairs
+    * (each common source contributes 1/ln(outdeg); see
+    * [[graft.operators.CoCitation]] for the rounding and cap rationale).
+    */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CoCitation
+      .run(LinkExtract.links(pages(spark, dir))
+        .select(col("src_url").as("src"), col("dst_url").as("dst")))
+
+  val adamicAdarSql: String =
+    s"""WITH $pagesLnkSql,
+       |${pairsSql("src_url", "dst_url")}
+       |SELECT u, v, count(*) AS common,
+       |       round(sum(1.0 / ln(CAST(c AS DOUBLE))), 6) AS aa
+       |FROM p GROUP BY u, v
+       |HAVING count(*) >= 2""".stripMargin
+
+  /** Bibliographic coupling (Kessler 1963) — co-citation's mirror: two
+    * SOURCES are related when their out-link sets overlap. Same
+    * [[graft.operators.CoCitation]] operator fed the reversed edge table,
+    * so the hub cap bounds the shared target's in-degree and the `aa`
+    * weight becomes 1/ln(indeg) — popular targets (navigation pages,
+    * boilerplate links) say little about the pair; rare shared targets
+    * say a lot.
+    */
+  def coupling(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CoCitation
+      .run(LinkExtract.links(pages(spark, dir))
+        .select(col("dst_url").as("src"), col("src_url").as("dst")))
+
+  val couplingSql: String =
+    s"""WITH $pagesLnkSql,
+       |${pairsSql("dst_url", "src_url")}
+       |SELECT u, v, count(*) AS common,
+       |       round(sum(1.0 / ln(CAST(c AS DOUBLE))), 6) AS aa
+       |FROM p GROUP BY u, v
+       |HAVING count(*) >= 2""".stripMargin
 }

@@ -45,6 +45,32 @@ object TextQueries {
        |                 / greatest(len(w), 1) END AS avg_token_len
        |FROM toks""".stripMargin
 
+  // --- tf-idf top terms ----------------------------------------------
+
+  def tfIdf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdfTop(docs(spark, dir), k = 3)
+
+  /** Oracle replays [[TextOps.tfIdfTop]]: smoothed idf, 6-dp rounding
+    * BEFORE the (score desc, term asc) ranking — see its scaladoc.
+    */
+  val tfIdfSql: String =
+    s"""WITH $toksSql,
+       |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         round(tf.tf * (ln(CAST(nd.n + 1 AS DOUBLE) / (dfx.df + 1)) + 1), 6) AS score
+       |  FROM tf JOIN dfx USING (term) CROSS JOIN nd),
+       |r AS (
+       |  SELECT doc_id, term, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term ASC) AS rn
+       |  FROM sc)
+       |SELECT doc_id, term, CAST(rn AS BIGINT) AS rn, score
+       |FROM r WHERE rn <= 3""".stripMargin
+
   // --- quality -------------------------------------------------------
 
   def quality(spark: SparkSession, dir: String): DataFrame =

@@ -238,4 +238,40 @@ object TextOps {
       .filter(col("pos") <= greatest(col("m") - w, lit(0)))
       .select(col("doc_id"), col("fp")).distinct()
   }
+
+  /** Top-k terms per document by smoothed tf-idf
+    * (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing) — the topic /
+    * keyword signal a corpus-curation pipeline attaches before sampling
+    * or clustering. Output (doc_id, term, rn, score); scores rounded to
+    * 6 dp BEFORE ranking so the (score desc, term asc) order — and hence
+    * row_number — is engine-stable under last-ulp ln() drift.
+    *
+    * Scale shape: one map-side-combined (doc_id, term) count, a
+    * vocabulary-sized df aggregate whose join back is broadcast-sized
+    * (vocab ≪ corpus), the corpus count as a 1-row cross join (no
+    * driver collect), and one window partitioned by doc_id — the only
+    * full-width shuffle. Per-doc window partitions are bounded by doc
+    * vocabulary, never corpus size.
+    */
+  def tfIdfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * (log((col("n") + 1).cast("double") / (col("df") + 1)) + 1), 6)
+          .as("score"))
+    scored
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("rn"), col("score"))
+  }
 }

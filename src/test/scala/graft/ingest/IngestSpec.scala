@@ -87,6 +87,23 @@ class LinkExtractSpec extends AnyFunSuite {
       "t3" -> ((1L, 1L, ""))))
   }
 
+  test("extractText: tag-adjacent tokens stay split; whitespace collapses; no-tag and empty pages") {
+    import spark.implicits._
+    val pages = Seq(
+      ("u1", """<html><body><a href="x">one</a><a href="y">two</a></body></html>"""),
+      ("u2", "plain  text   here"), // no tags: collapse only
+      ("u3", "<html><body></body></html>"), // tags only -> empty text
+      ("u4", "a<br/>b")
+    ).toDF("url", "html")
+    val got = LinkExtract.extractText(pages)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "u1" -> (("one two", 2L)),
+      "u2" -> (("plain text here", 3L)),
+      "u3" -> (("", 0L)),
+      "u4" -> (("a b", 2L))))
+  }
+
   test("full ingest: dense vertex map covers all pages; edges in range") {
     val pages = PageGen.pages(spark, 200L)
     val (vm, edges) = LinkExtract.ingest(pages)
