@@ -48,6 +48,8 @@ object SparkEntry {
     "g_reciprocity" -> (GraphQueries.reciprocity _),
     "g_assort" -> (GraphQueries.assortativity _),
     "g_stats" -> (GraphQueries.stats _),
+    "g_sssp10" -> (GraphQueries.sssp(0, 10) _),
+    "t_lang_confusion" -> (graft.queries.TextQueries.langConfusion _),
     "i_coupling" -> (graft.queries.IngestQueries.coupling _),
     "i_cocite" -> (graft.queries.IngestQueries.cocite _),
     "i_adamic" -> (graft.queries.IngestQueries.adamicAdar _),
@@ -132,6 +134,8 @@ object SparkEntry {
     "g_reciprocity" -> GraphQueries.reciprocitySql,
     "g_assort" -> GraphQueries.assortativitySql,
     "g_stats" -> GraphQueries.statsSql,
+    "g_sssp10" -> GraphQueries.ssspSql(0, 10),
+    "t_lang_confusion" -> graft.queries.TextQueries.langConfusionSql,
     "i_coupling" -> graft.queries.IngestQueries.couplingSql,
     "i_cocite" -> graft.queries.IngestQueries.cociteSql,
     "i_adamic" -> graft.queries.IngestQueries.adamicAdarSql,

@@ -279,6 +279,42 @@ object GraphQueries {
        |       CAST(arcs AS DOUBLE) / (nodes * (nodes - 1)) AS density
        |FROM ea CROSS JOIN oa CROSS JOIN ia""".stripMargin
 
+  /** Weighted single-source shortest paths ([[Sssp.run]] — synchronous
+    * Bellman–Ford with fixpoint stop) from `root`, over the derived arcs
+    * weighted w(src,dst) = ((src·7 + dst·13) mod 10) + 1 ∈ [1,10].
+    * Integer weights keep every distance exact int64, so the compare has
+    * no float tolerance in play at all. `rounds` caps relaxation; the
+    * fixpoint stop makes any cap ≥ the convergence round equivalent, so
+    * the oracle unrolls exactly `rounds` stages and matches.
+    */
+  def sssp(root: Long, rounds: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val e = edgesDf(spark, dir).select(
+      col("src"), col("dst"),
+      (((col("src") * 7 + col("dst") * 13) % 10) + 1).as("w"))
+    val roots = spark.range(1).select(lit(root).as("id"))
+    Sssp.run(e, roots, maxRounds = rounds)
+  }
+
+  def ssspSql(root: Long, rounds: Int): String = {
+    val stages = (1 to rounds).map { k =>
+      s"""r$k AS (
+         |  SELECT e.dst AS id, min(d.dist + e.w) AS cand
+         |  FROM d${k - 1} d JOIN wedges e ON e.src = d.id GROUP BY e.dst
+         |),
+         |d$k AS MATERIALIZED (
+         |  SELECT coalesce(d.id, r.id) AS id,
+         |         CAST(least(coalesce(d.dist, r.cand), coalesce(r.cand, d.dist)) AS BIGINT) AS dist
+         |  FROM d${k - 1} d FULL JOIN r$k r ON d.id = r.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |wedges AS MATERIALIZED (
+       |  SELECT src, dst, ((src * 7 + dst * 13) % 10) + 1 AS w FROM edges),
+       |d0 AS (SELECT CAST($root AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+       |$stages
+       |SELECT id, dist FROM d$rounds""".stripMargin
+  }
+
   def cc(spark: SparkSession, dir: String): DataFrame =
     ccShared(spark, dir)
 

@@ -104,7 +104,11 @@ object TextQueries {
   def langId(spark: SparkSession, dir: String): DataFrame =
     TextOps.langId(docs(spark, dir))
 
-  val langIdSql: String = {
+  /** Shared oracle CTE chain ending in `pred(doc_id, pred_lang)` —
+    * composed (not substring-sliced) into [[langIdSql]] and
+    * [[langConfusionSql]].
+    */
+  private val langPredSql: String = {
     val markers = Seq(
       "de" -> Seq(" der ", " und ", " die ", " nicht "),
       "en" -> Seq(" the ", " and ", " is ", " of "),
@@ -118,16 +122,54 @@ object TextQueries {
       }.mkString(" + ")
       s"SELECT doc_id, '$l' AS lang, $score AS score FROM padded"
     }.mkString("\nUNION ALL\n")
-    s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+    s"""padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
        |scores AS (
        |$branches
-       |)
-       |SELECT doc_id, lang AS pred_lang FROM (
-       |  SELECT doc_id, lang,
-       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
-       |  FROM scores
-       |) t WHERE rn = 1""".stripMargin
+       |),
+       |pred AS (
+       |  SELECT doc_id, lang AS pred_lang FROM (
+       |    SELECT doc_id, lang,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |    FROM scores
+       |  ) t WHERE rn = 1
+       |)""".stripMargin
   }
+
+  val langIdSql: String =
+    s"""WITH $langPredSql
+       |SELECT doc_id, pred_lang FROM pred""".stripMargin
+
+  /** Language confusion matrix — the corpus-composition check a curation
+    * pipeline runs after language ID: for every (labeled, detected)
+    * language pair, the document count and its share within the label.
+    * Detection is the real [[TextOps.langId]] operator; the stored `lang`
+    * column is the ground truth.
+    *
+    * Scale shape: the langid scoring is a pure per-row expression; the
+    * matrix is one map-side-combined groupBy over ≤ |langs|² keys, and
+    * the share divides by a window sum over that tiny matrix — nothing
+    * corpus-sized shuffles beyond the (doc_id, lang) pair join, which is
+    * co-keyed on doc_id.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    TextOps.langId(d.select(col("doc_id"), col("text")))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy("lang")))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH $langPredSql
+       |SELECT d.lang, p.pred_lang, count(*) AS n_docs,
+       |       CAST(count(*) AS DOUBLE) /
+       |         sum(count(*)) OVER (PARTITION BY d.lang) AS share
+       |FROM documents d JOIN pred p USING (doc_id)
+       |GROUP BY d.lang, p.pred_lang""".stripMargin
 
   // --- fingerprint ---------------------------------------------------
 
