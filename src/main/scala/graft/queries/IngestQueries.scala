@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ingest.LinkExtract
+import graft.ingest.{LinkExtract, UrlNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -314,4 +314,60 @@ object IngestQueries {
        |       round(sum(1.0 / ln(CAST(c AS DOUBLE))), 6) AS aa
        |FROM p GROUP BY u, v
        |HAVING count(*) >= 2""".stripMargin
+
+  /** URL canonicalization + variant collapse ([[graft.ingest.UrlNorm]])
+    * — the crawl-frontier dedup: each document's base URL plus a messy
+    * fetch variant (case 0: uppercased scheme+host; 1: utm tracking
+    * params; 2: fragment; 3: explicit default port; 4: doubled+trailing
+    * slashes — all identity-preserving, so each collapses onto its base),
+    * and every 7th doc adds a variant with a REAL param among tracking
+    * ones (`?ref=a&utm_x=1`), which canonicalizes to its own
+    * `?ref=a` group — pinning that stripping is surgical, not "drop the
+    * whole query string".
+    *
+    * Scale shape: canonicalization is scan-fused string codegen; the
+    * group-by is map-side-combined on the canonical key — the same
+    * shuffle the downstream exact-dedup pays anyway.
+    */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    val host = col("doc_id") % 40
+    val base = urlOf(col("doc_id"))
+    val variant = col("doc_id") % 5
+    val messy = when(variant === 0,
+        concat(lit("HTTP://SITE"), host, lit(".TEST/p"), col("doc_id")))
+      .when(variant === 1, concat(base, lit("?utm_source=feed&utm_campaign=x")))
+      .when(variant === 2, concat(base, lit("#sec2")))
+      .when(variant === 3,
+        concat(lit("http://site"), host, lit(".test:80/p"), col("doc_id")))
+      .otherwise(concat(base, lit("//")))
+    val extra = concat(base, lit("?ref=a&utm_x=1"))
+    d.select(explode(
+        when(col("doc_id") % 7 === 0, array(base, messy, extra))
+          .otherwise(array(base, messy))).as("url"))
+      .groupBy(UrlNorm.canonicalize(col("url")).as("canon_url"))
+      .agg(count(lit(1)).as("n_raw"))
+  }
+
+  val urlCanonSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id,
+       |         'http://site' || (doc_id % 40) || '.test/p' || doc_id AS base,
+       |         CASE doc_id % 5
+       |           WHEN 0 THEN 'HTTP://SITE' || (doc_id % 40) || '.TEST/p' || doc_id
+       |           WHEN 1 THEN 'http://site' || (doc_id % 40) || '.test/p' || doc_id
+       |                       || '?utm_source=feed&utm_campaign=x'
+       |           WHEN 2 THEN 'http://site' || (doc_id % 40) || '.test/p' || doc_id || '#sec2'
+       |           WHEN 3 THEN 'http://site' || (doc_id % 40) || '.test:80/p' || doc_id
+       |           ELSE 'http://site' || (doc_id % 40) || '.test/p' || doc_id || '//'
+       |         END AS messy
+       |  FROM documents),
+       |raw AS (
+       |  SELECT unnest(CASE WHEN doc_id % 7 = 0
+       |                     THEN [base, messy, base || '?ref=a&utm_x=1']
+       |                     ELSE [base, messy] END) AS u
+       |  FROM v)
+       |SELECT ${graft.ingest.UrlNorm.canonicalizeSql("u")} AS canon_url,
+       |       count(*) AS n_raw
+       |FROM raw GROUP BY canon_url""".stripMargin
 }

@@ -908,4 +908,62 @@ object TextQueries {
        |JOIN reps r ON r.keeper = c.keeper
        |JOIN sizes s ON s.keeper = c.keeper""".stripMargin
   }
+
+  // --- PII scrub -----------------------------------------------------
+
+  /** The deterministic PII-bearing face of `documents` shared by the
+    * Spark query and the oracle: every doc gets one email appended,
+    * every 3rd a phone number, every 4th (mod 4 == 1) an IPv4 — so the
+    * expected counts have structure, not a constant.
+    */
+  // Single line ON PURPOSE: this snippet is embedded inside other
+  // stripMargin strings, which would strip one '|' off a line-leading
+  // '||' and corrupt the SQL.
+  private def piiTextSql(textExpr: String): String =
+    s"$textExpr || ' contact p' || doc_id || '@m' || (doc_id % 7) || '.example now' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+      "CASE WHEN doc_id % 4 = 1 THEN ' from 10.0.' || (doc_id % 256) || '.' || " +
+      "((doc_id * 7) % 256) ELSE '' END"
+
+  /** PII scrub ([[TextOps.piiStats]]) over the PII-injected face of the
+    * corpus: per doc, counts per category plus the md5 of the fully
+    * redacted text — the hash pins every replacement span byte-exactly
+    * without shipping the redacted corpus through the compare.
+    */
+  def pii(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" contact p"), col("doc_id"), lit("@m"),
+        col("doc_id") % 7, lit(".example now"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+            (col("doc_id") * 7) % 256))
+          .otherwise(lit(""))).as("text"))
+    TextOps.piiStats(d)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  val piiSql: String = {
+    val counts = TextOps.PiiPatterns.map { case (cat, pat) =>
+      s"len(regexp_extract_all(t, '$pat')) AS n_${cat}s"
+    }.mkString(",\n       ")
+    val redacted = TextOps.PiiPatterns.foldLeft("t") { case (e, (cat, pat)) =>
+      s"regexp_replace($e, '$pat', '<${cat.toUpperCase}>', 'g')"
+    }
+    s"""WITH pt AS (
+       |  SELECT doc_id,
+       |         ${piiTextSql("text")} AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       $counts,
+       |       md5($redacted) AS redacted_md5
+       |FROM pt""".stripMargin
+  }
 }

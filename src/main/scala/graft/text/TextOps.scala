@@ -274,4 +274,40 @@ object TextOps {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("rn"), col("score"))
   }
+
+  /** PII patterns shared by [[piiStats]] and the oracle — the RE2 ∧ Java
+    * portable subset (no lookarounds), ordered by redaction precedence
+    * (emails first: an email's host part must not be half-eaten by the
+    * IP pattern before the email pattern sees it).
+    */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** PII scrub — the redaction pass a training-data pipeline runs before
+    * anything leaves the curation boundary: per document, the count of
+    * each PII category found (emails, phone numbers, IPv4 addresses) and
+    * the text with every occurrence replaced by `<CATEGORY>` tokens.
+    * Regex-heuristic by design (the recall/precision trade-off of
+    * pattern-based scrubbing is documented, not hidden): counts let the
+    * pipeline quarantine PII-dense documents instead of shipping them
+    * redacted-but-suspicious.
+    *
+    * Pure per-row codegen'd expressions — counts via `regexp_extract_all`
+    * on the ORIGINAL text, then one `regexp_replace` chain in category
+    * order, so a count never misses a span an earlier replacement
+    * rewrote. Null text behaves as empty. No shuffle; at crawl scale
+    * this is scan-fused like [[quality]].
+    */
+  def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = PiiPatterns.map { case (cat, pat) =>
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("long").as(s"n_${cat}s")
+    }
+    val redacted = PiiPatterns.foldLeft(t) { case (c, (cat, pat)) =>
+      regexp_replace(c, pat, s"<${cat.toUpperCase}>")
+    }
+    docs.select(col("doc_id") +: counts :+ redacted.as("redacted"): _*)
+  }
 }
