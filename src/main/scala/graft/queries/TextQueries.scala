@@ -950,6 +950,65 @@ object TextQueries {
         md5(col("redacted")).as("redacted_md5"))
   }
 
+  /** Per-source corpus curation report — the composition dashboard a
+    * pipeline reads before setting mixing weights ([[Mixing]]): document
+    * and token counts, exact-duplicate incidence, detected-language
+    * diversity, and mean quality, per `source`.
+    *
+    * Scale shape: every per-doc signal (tokens, quality, language) is a
+    * scan-fused Column from [[TextOps]] — computed in ONE pass, no
+    * self-joins; the duplicate incidence is one window count over the
+    * 16-byte text fingerprint (the same shuffle exact dedup pays, here
+    * with no join-back); the final groupBy is map-side-combined onto
+    * |sources| keys. `avg_quality` is unrounded: summation order differs
+    * across engines/partitionings only at ~1e-15 relative, inside the
+    * gate's 1e-9 tolerance.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(coalesce(col("text"), lit(""))), isnull(col("text")))
+    docs(spark, dir)
+      .select(
+        col("source"),
+        size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityScoreCol(col("text")).as("q"),
+        TextOps.predLangCol(col("text")).as("pred_lang"),
+        count(lit(1)).over(w).as("group_size"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("group_size") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("pred_lang")).as("n_langs"),
+        avg(col("q")).as("avg_quality"))
+  }
+
+  val corpusReportSql: String = {
+    val stop = "['the','a','and','of','to','in','is','for']"
+    s"""WITH $langPredSql,
+       |t2 AS (
+       |  SELECT doc_id, source, text,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+       |         count(*) OVER (PARTITION BY text) AS group_size
+       |  FROM documents),
+       |q2 AS (
+       |  SELECT doc_id, source, group_size, len(w) AS n_tokens,
+       |         CAST(len(w) AS DOUBLE) AS ntok,
+       |         CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE) AS stop_hits,
+       |         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) AS punct
+       |  FROM t2)
+       |SELECT q2.source,
+       |       count(*) AS n_docs,
+       |       CAST(sum(q2.n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN q2.group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |       count(DISTINCT p.pred_lang) AS n_langs,
+       |       avg(least(q2.ntok / 64.0, 1.0) * 0.5
+       |           + least(q2.stop_hits / greatest(q2.ntok, 1.0) * 5.0, 1.0) * 0.3
+       |           + (1.0 - least(q2.punct / greatest(q2.ntok, 1.0), 1.0)) * 0.2) AS avg_quality
+       |FROM q2 JOIN pred p USING (doc_id)
+       |GROUP BY q2.source""".stripMargin
+  }
+
   val piiSql: String = {
     val counts = TextOps.PiiPatterns.map { case (cat, pat) =>
       s"len(regexp_extract_all(t, '$pat')) AS n_${cat}s"

@@ -122,6 +122,20 @@ object TextOps {
     * ratio → a [0,1] score. Heuristics follow common crawl-filtering
     * recipes (length window + stopword presence + low punctuation noise).
     */
+  /** The composite quality score of [[quality]] as a standalone Column —
+    * shared with the corpus report so the formula exists once.
+    */
+  def qualityScoreCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    val punct = (length(text) -
+      length(regexp_replace(text, "[\\.,;:!\\?]", ""))).cast("double")
+    least(nTok / lit(64.0), lit(1.0)) * lit(0.5) +
+      least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))) * lit(0.2)
+  }
+
   def quality(docs: DataFrame): DataFrame = {
     val toks = tokensCol(col("text"))
     val nTok = size(toks).cast("double")
@@ -141,10 +155,7 @@ object TextOps {
       (stopHits / greatest(nTok, lit(1.0))).as("stopword_ratio"),
       (punct / greatest(length(col("text")).cast("double"), lit(1.0))).as("punct_ratio"),
       (upper / greatest(length(col("text")).cast("double"), lit(1.0))).as("upper_ratio"),
-      (least(nTok / lit(64.0), lit(1.0)) * lit(0.5)
-        + least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0)) * lit(0.3)
-        + (lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))) * lit(0.2)
-        ).as("quality_score"))
+      qualityScoreCol(col("text")).as("quality_score"))
   }
 
   /** Per-language stopword marker lists (tiny n-gram/stopword heuristic —
@@ -157,27 +168,31 @@ object TextOps {
     "fr" -> Seq(" le ", " et ", " les ", " est "),
     "zh" -> Seq("的", "是", "了", "在"))
 
-  /** (doc_id, pred_lang, score): occurrence-count language ID. */
-  def langId(docs: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), col("text"), lit(" "))
+  /** The detected language of [[langId]] as a standalone Column —
+    * shared with the corpus report so the marker argmax exists once.
+    */
+  def predLangCol(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
     def hits(markers: Seq[String]): Column =
       markers.map { m =>
         ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
           / lit(m.length)).cast("long")
       }.reduce(_ + _)
     val scored = langMarkers.map { case (l, ms) => struct(hits(ms).as("score"), lit(l).as("lang")) }
-    docs.select(
-      col("doc_id"),
-      // max_by over (score, inverted-lang) would need reverse-lex; sort the
-      // candidate array instead: highest score first, then lang ascending.
-      array_sort(array(scored: _*), (a, b) =>
-        when(a("score") > b("score"), -1)
-          .when(a("score") < b("score"), 1)
-          .when(a("lang") < b("lang"), -1)
-          .when(a("lang") > b("lang"), 1)
-          .otherwise(0))
-        .getItem(0).getField("lang").as("pred_lang"))
+    // max_by over (score, inverted-lang) would need reverse-lex; sort the
+    // candidate array instead: highest score first, then lang ascending.
+    array_sort(array(scored: _*), (a, b) =>
+      when(a("score") > b("score"), -1)
+        .when(a("score") < b("score"), 1)
+        .when(a("lang") < b("lang"), -1)
+        .when(a("lang") > b("lang"), 1)
+        .otherwise(0))
+      .getItem(0).getField("lang")
   }
+
+  /** (doc_id, pred_lang): occurrence-count language ID. */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), predLangCol(col("text")).as("pred_lang"))
 
   /** Document fingerprint: hash of whitespace-normalized lowercased text
     * (md5 → portable to the DuckDB oracle; the rolling-hash variant for
