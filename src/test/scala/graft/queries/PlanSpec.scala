@@ -16,6 +16,16 @@ class PlanSpec extends AnyFunSuite {
   private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** The AQE-final physical plan only — an executed AdaptiveSparkPlan
+    * stringifies BOTH its final and initial plans, so node COUNTS over
+    * the raw string double up.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val s = executedPlan(df)
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
   test("derived-graph scan prunes lineitem to exactly the 3 id columns") {
     val plan = executedPlan(GraphQueries.edgesDf(spark, dir))
     val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
@@ -186,6 +196,42 @@ class PlanSpec extends AnyFunSuite {
     val plan = executedPlan(q)
     assert(!plan.contains("Window"),
       s"corpus-wide window crept into spanDedup:\n$plan")
+  }
+
+  test("t_pii: scan-fused — zero exchanges, no UDF, codegen span") {
+    val q = TextQueries.pii(spark, dir)
+    q.collect()
+    val plan = executedPlan(q)
+    assert(!plan.contains("Exchange"),
+      s"PII scrub must be a pure per-row projection; it shuffles:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF leaked into the PII path:\n$plan")
+    assert(plan.contains("*("), s"no whole-stage codegen span:\n$plan")
+  }
+
+  test("t_corpus_report: ONE corpus scan, no self-joins") {
+    // The scale contract: every per-doc signal is computed in the same
+    // pass (shared TextOps Columns), dup incidence is a window over the
+    // text fingerprint, and the groupBy collapses map-side. A Join node
+    // would mean the corpus is being scanned per signal and re-joined.
+    val q = TextQueries.corpusReport(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"),
+      s"corpus report self-joins the corpus:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
+  }
+
+  test("i_url_canon: canonicalize fuses into the scan side of ONE count shuffle") {
+    val q = IngestQueries.urlCanon(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the URL path:\n$plan")
+    // partial HashAggregate → single exchange on canon_url → final agg
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
   }
 
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
