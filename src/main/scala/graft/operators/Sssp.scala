@@ -20,18 +20,22 @@ import org.apache.spark.storage.StorageLevel
   * well-defined bounded-hop semantics, not an approximation artifact.
   * Unreached vertices are absent (no ∞ sentinel materializes).
   *
-  * Negative weights are rejected: with a changed-nothing stop a negative
-  * cycle would loop until `maxRounds` and return non-shortest labels
-  * silently; Dijkstra-style preconditions keep the contract honest.
+  * Negative, null, and non-integer weights are rejected up front: a
+  * negative cycle would defeat the changed-nothing stop and return
+  * non-shortest labels silently, and a fractional weight would silently
+  * truncate under the int64 cast; Dijkstra-style preconditions keep the
+  * contract honest.
   *
   * Scale shape (the [[PageRank.runWeightedFixed]] layout): the edge
   * table is hash-partitioned by src ONCE and persisted for the loop —
   * per round only the 16-byte (id, dist) state shuffles to meet it, the
   * per-target min partial-aggregates map-side (hub in-degree never
   * concentrates raw messages), and ONE driver action per round reads the
-  * changed count off the checkpointed next state. Rows per message batch
-  * are bounded by the frontier's out-arc count, not |E|: vertices whose
-  * distance is still ∞ have no state row and generate no messages.
+  * changed count off the checkpointed next state. Relaxation is DELTA:
+  * only the vertices whose distance improved last round send messages,
+  * so total message volume is Σ changed-out-arcs across rounds — not
+  * O(rounds × settled-out-arcs) — while the full-outer min-merge keeps
+  * every settled label.
   */
 object Sssp {
 
@@ -44,23 +48,36 @@ object Sssp {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // Validate BEFORE persisting (a rejected input must not leave cached
+    // blocks behind): weights must be present, non-negative — a negative
+    // cycle would defeat the fixpoint stop — and exactly representable as
+    // int64, so a fractional weight fails loudly instead of silently
+    // truncating shortest paths.
+    require(edges
+      .where($"w".isNull || $"w" < 0 ||
+        $"w".cast("double") =!= $"w".cast("long").cast("double"))
+      .isEmpty,
+      "Sssp requires non-null, non-negative, integer-representable weights")
     val e = edges
       .select($"src", $"dst", $"w".cast("long").as("w"))
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    require(e.where($"w" < 0).isEmpty,
-      "Sssp requires non-negative weights (negative cycles would defeat the fixpoint stop)")
 
     var dist = roots
       .select(col(roots.columns.head).as("id")).distinct()
       .select($"id", lit(0L).as("dist"))
       .localCheckpoint(true)
+    // Delta relaxation: only vertices whose distance improved last round
+    // generate messages this round (their out-arcs are the only ones that
+    // can improve anything — the min-merge against the full `dist` keeps
+    // settled labels). Round 1's frontier is the roots themselves.
+    var frontier = dist
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       round += 1
       val relaxed = e
-        .join(dist.select($"id".as("src"), $"dist"), Seq("src"))
+        .join(frontier.select($"id".as("src"), $"dist"), Seq("src"))
         .select($"dst".as("id"), ($"dist" + $"w").as("cand"))
         .groupBy($"id")
         .agg(min($"cand").as("cand"))
@@ -75,6 +92,7 @@ object Sssp {
       changed = if (row.isNullAt(0)) 0L else row.getLong(0)
       Lineage.release(dist)
       dist = next.select($"id", $"dist")
+      frontier = next.where($"didChange").select($"id", $"dist")
     }
     e.unpersist(blocking = false)
     dist

@@ -76,8 +76,19 @@ object TextQueries {
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextOps.quality(docs(spark, dir))
 
+  /** The SQL stopword literal and quality-score formula exist ONCE and
+    * compose into [[qualitySql]] and [[corpusReportSql]] (mirroring the
+    * Spark side's shared `TextOps.qualityScoreCol`); `p` prefixes the
+    * ntok/stop_hits/punct column references with the caller's CTE alias.
+    */
+  private val stopListSql = "['the','a','and','of','to','in','is','for']"
+  private def qualityScoreSqlExpr(p: String): String =
+    s"least(${p}ntok / 64.0, 1.0) * 0.5 " +
+      s"+ least(${p}stop_hits / greatest(${p}ntok, 1.0) * 5.0, 1.0) * 0.3 " +
+      s"+ (1.0 - least(${p}punct / greatest(${p}ntok, 1.0), 1.0)) * 0.2"
+
   val qualitySql: String = {
-    val stop = "['the','a','and','of','to','in','is','for']"
+    val stop = stopListSql
     s"""WITH $toksSql,
        |q AS (
        |  SELECT doc_id, text, w,
@@ -93,9 +104,7 @@ object TextQueries {
        |       stop_hits / greatest(ntok, 1.0) AS stopword_ratio,
        |       punct / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
        |       upper_n / greatest(CAST(length(text) AS DOUBLE), 1.0) AS upper_ratio,
-       |       least(ntok / 64.0, 1.0) * 0.5
-       |             + least(stop_hits / greatest(ntok, 1.0) * 5.0, 1.0) * 0.3
-       |             + (1.0 - least(punct / greatest(ntok, 1.0), 1.0)) * 0.2 AS quality_score
+       |       ${qualityScoreSqlExpr("")} AS quality_score
        |FROM q""".stripMargin
   }
 
@@ -153,9 +162,10 @@ object TextQueries {
     */
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(spark, dir)
-    TextOps.langId(d.select(col("doc_id"), col("text")))
-      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // Detection via the shared per-row Column — same scan as the label,
+    // no corpus self-join (Spark does not collapse those).
+    docs(spark, dir)
+      .select(col("lang"), TextOps.predLangCol(col("text")).as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share",
@@ -920,7 +930,7 @@ object TextQueries {
   // stripMargin strings, which would strip one '|' off a line-leading
   // '||' and corrupt the SQL.
   private def piiTextSql(textExpr: String): String =
-    s"$textExpr || ' contact p' || doc_id || '@m' || (doc_id % 7) || '.example now' || " +
+    s"coalesce($textExpr, '') || ' contact p' || doc_id || '@m' || (doc_id % 7) || '.example now' || " +
       "CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-' || " +
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
       "CASE WHEN doc_id % 4 = 1 THEN ' from 10.0.' || (doc_id % 256) || '.' || " +
@@ -935,7 +945,9 @@ object TextQueries {
     val d = docs(spark, dir).select(
       col("doc_id"),
       concat(
-        col("text"), lit(" contact p"), col("doc_id"), lit("@m"),
+        // coalesce mirrors the oracle: one NULL text must not null the
+        // whole injected face (Spark concat and SQL || both propagate).
+        coalesce(col("text"), lit("")), lit(" contact p"), col("doc_id"), lit("@m"),
         col("doc_id") % 7, lit(".example now"),
         when(col("doc_id") % 3 === 0,
           concat(lit(" call 555-867-"),
@@ -984,7 +996,7 @@ object TextQueries {
   }
 
   val corpusReportSql: String = {
-    val stop = "['the','a','and','of','to','in','is','for']"
+    val stop = stopListSql
     s"""WITH $langPredSql,
        |t2 AS (
        |  SELECT doc_id, source, text,
@@ -1002,9 +1014,7 @@ object TextQueries {
        |       CAST(sum(q2.n_tokens) AS BIGINT) AS n_tokens,
        |       CAST(sum(CASE WHEN q2.group_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
        |       count(DISTINCT p.pred_lang) AS n_langs,
-       |       avg(least(q2.ntok / 64.0, 1.0) * 0.5
-       |           + least(q2.stop_hits / greatest(q2.ntok, 1.0) * 5.0, 1.0) * 0.3
-       |           + (1.0 - least(q2.punct / greatest(q2.ntok, 1.0), 1.0)) * 0.2) AS avg_quality
+       |       avg(${qualityScoreSqlExpr("q2.")}) AS avg_quality
        |FROM q2 JOIN pred p USING (doc_id)
        |GROUP BY q2.source""".stripMargin
   }

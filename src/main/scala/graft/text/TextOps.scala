@@ -118,10 +118,6 @@ object TextOps {
   /** English-ish stopwords drawn from the corpus vocabulary. */
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
 
-  /** Quality scoring: length, punctuation ratio, stopword ratio, all-caps
-    * ratio → a [0,1] score. Heuristics follow common crawl-filtering
-    * recipes (length window + stopword presence + low punctuation noise).
-    */
   /** The composite quality score of [[quality]] as a standalone Column —
     * shared with the corpus report so the formula exists once.
     */
@@ -136,6 +132,10 @@ object TextOps {
       (lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))) * lit(0.2)
   }
 
+  /** Quality scoring: length, punctuation ratio, stopword ratio, all-caps
+    * ratio → a [0,1] score. Heuristics follow common crawl-filtering
+    * recipes (length window + stopword presence + low punctuation noise).
+    */
   def quality(docs: DataFrame): DataFrame = {
     val toks = tokensCol(col("text"))
     val nTok = size(toks).cast("double")

@@ -48,10 +48,21 @@ class SsspSpec extends AnyFunSuite {
     assert(got2 == seqSssp(edges, Seq(0L), maxRounds = 2))
   }
 
-  test("negative weights are rejected") {
-    val bad = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")
+  test("negative, null, and fractional weights are rejected") {
     assertThrows[IllegalArgumentException] {
-      Sssp.run(bad, Seq(0L).toDF("id"))
+      Sssp.run(Seq((0L, 1L, -1L)).toDF("src", "dst", "w"), Seq(0L).toDF("id"))
     }
+    assertThrows[IllegalArgumentException] {
+      Sssp.run(Seq((0L, 1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("src", "dst", "w"), Seq(0L).toDF("id"))
+    }
+    assertThrows[IllegalArgumentException] {
+      // 0.5 would silently truncate to 0 under the int64 cast
+      Sssp.run(Seq((0L, 1L, 0.5)).toDF("src", "dst", "w"), Seq(0L).toDF("id"))
+    }
+    // but a lossless double weight is fine
+    val ok = Sssp.run(Seq((0L, 1L, 2.0)).toDF("src", "dst", "w"), Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(0L -> 0L, 1L -> 2L))
   }
 }

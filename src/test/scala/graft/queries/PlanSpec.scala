@@ -223,6 +223,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
   }
 
+  test("t_lang_confusion: detection shares the label's scan — no self-join") {
+    val q = TextQueries.langConfusion(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"),
+      s"lang confusion self-joins the corpus:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
+  }
+
   test("i_url_canon: canonicalize fuses into the scan side of ONE count shuffle") {
     val q = IngestQueries.urlCanon(spark, dir)
     q.collect()
