@@ -919,6 +919,79 @@ object TextQueries {
        |JOIN sizes s ON s.keeper = c.keeper""".stripMargin
   }
 
+  // --- curation funnel -------------------------------------------------
+
+  /** Curation funnel — the per-stage retention report a pipeline audits
+    * after every recipe change: how many documents survive each filter
+    * of the cascade `all → language (en) → quality ≥ 0.7 →
+    * prefix-dedup keeper`. The dedup stage fingerprints the first 3
+    * tokens (coarse prefix dedup — catches template/boilerplate
+    * families exact dedup misses) and keeps the min doc_id AMONG
+    * SURVIVORS of the earlier stages, so the stages compose
+    * sequentially rather than being independent counts.
+    *
+    * Scale shape: ONE corpus scan computes every flag from the shared
+    * [[TextOps]] Columns; the keeper is `min(CASE survivor)` over a
+    * window on the tiny prefix key (the only corpus shuffle); the
+    * 4-row funnel falls out of one aggregate exploded to rows — no
+    * self-joins, no per-stage passes.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefix = concat_ws(" ",
+      slice(TextOps.tokensCol(coalesce(col("text"), lit(""))), 1, 3))
+    val langOk = TextOps.predLangCol(col("text")) === "en"
+    val qualOk = TextOps.qualityScoreCol(col("text")) >= 0.7
+    val surv = langOk && qualOk
+    val keeper = min(when(surv, col("doc_id"))).over(Window.partitionBy(prefix))
+    val agg = docs(spark, dir)
+      .select(col("doc_id"), langOk.as("lang_ok"), surv.as("surv"),
+        (surv && col("doc_id") === keeper).as("kept"))
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("surv"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n3"))
+    agg.select(explode(array(
+      struct(lit(0L).as("stage_idx"), lit("all").as("stage"), col("n0").as("n_docs")),
+      struct(lit(1L).as("stage_idx"), lit("lang_en").as("stage"), col("n1").as("n_docs")),
+      struct(lit(2L).as("stage_idx"), lit("quality").as("stage"), col("n2").as("n_docs")),
+      struct(lit(3L).as("stage_idx"), lit("prefix_dedup").as("stage"), col("n3").as("n_docs"))
+    )).as("s")).select(col("s.stage_idx"), col("s.stage"), col("s.n_docs"))
+  }
+
+  val funnelSql: String =
+    s"""WITH $langPredSql,
+       |t3 AS (
+       |  SELECT d.doc_id, p.pred_lang,
+       |         list_filter(string_split_regex(coalesce(d.text, ''), '\\s+'), x -> x <> '') AS w,
+       |         CAST(length(d.text) - length(regexp_replace(d.text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE) AS punct
+       |  FROM documents d JOIN pred p USING (doc_id)),
+       |t4 AS (
+       |  SELECT doc_id, pred_lang, w, punct,
+       |         CAST(len(w) AS DOUBLE) AS ntok,
+       |         CAST(len(list_filter(w, x -> list_contains($stopListSql, x))) AS DOUBLE) AS stop_hits
+       |  FROM t3),
+       |f AS (
+       |  SELECT doc_id,
+       |         array_to_string(w[1:3], ' ') AS prefix,
+       |         (pred_lang = 'en') AS lang_ok,
+       |         (${qualityScoreSqlExpr("")} >= 0.7) AS qual_ok
+       |  FROM t4),
+       |k AS (
+       |  SELECT doc_id, lang_ok, (lang_ok AND qual_ok) AS surv,
+       |         min(CASE WHEN lang_ok AND qual_ok THEN doc_id END)
+       |           OVER (PARTITION BY prefix) AS keeper
+       |  FROM f)
+       |SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage, count(*) AS n_docs FROM k
+       |UNION ALL
+       |SELECT 1, 'lang_en', CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+       |UNION ALL
+       |SELECT 2, 'quality', CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) FROM k
+       |UNION ALL
+       |SELECT 3, 'prefix_dedup',
+       |       CAST(sum(CASE WHEN surv AND doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin
+
   // --- PII scrub -----------------------------------------------------
 
   /** The deterministic PII-bearing face of `documents` shared by the
