@@ -132,6 +132,39 @@ object RelationalQueries {
       |       round(sum(value), 3) AS sum_value
       |FROM w GROUP BY 1, 2""".stripMargin
 
+  /** Stream-static enrichment, batch face
+    * ([[graft.streaming.EventStream.enrich]] — the spec pins stream ==
+    * batch; this row pins batch == DuckDB): events joined to the derived
+    * user-tier dimension (user_id mod 3 → free/pro/team), rolled up per
+    * tier. The dim is broadcast, so the event side never shuffles for
+    * the join; only the 3-key rollup exchanges.
+    */
+  def eventsEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    graft.streaming.EventStream.enrich(ev, userTierDim(ev), Seq("user_id"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+  }
+
+  /** The derived static dimension shared by the gate face and the
+    * streaming spec: every user_id seen in `ev`, tiered by id mod 3.
+    */
+  def userTierDim(ev: DataFrame): DataFrame =
+    ev.select(col("user_id")).distinct()
+      .withColumn("tier",
+        element_at(array(lit("free"), lit("pro"), lit("team")),
+          (col("user_id") % 3 + 1).cast("int")))
+
+  val eventsEnrichedSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id,
+      |         CASE CAST(user_id % 3 AS INTEGER)
+      |           WHEN 0 THEN 'free' WHEN 1 THEN 'pro' ELSE 'team' END AS tier
+      |  FROM events)
+      |SELECT d.tier, count(*) AS n, round(sum(e.value), 3) AS sum_value
+      |FROM events e LEFT JOIN dim d USING (user_id)
+      |GROUP BY d.tier""".stripMargin
+
   /** Gap-based sessionization, batch face
     * ([[graft.streaming.EventStream.sessionize]] — the exact semantics
     * the flatMapGroupsWithState stream maintains incrementally;

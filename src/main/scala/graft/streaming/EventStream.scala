@@ -50,6 +50,23 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join the (possibly unbounded) event
+    * stream to a STATIC dimension on `keys` — the lookup face every
+    * event pipeline needs (user tier, device class, geo). Spark plans
+    * stream-static joins fresh per micro-batch with NO state store
+    * (nothing buffers, unlike stream-stream joins); forcing `broadcast`
+    * on the dim keeps the stream side shuffle-free, so per-batch cost is
+    * O(batch), independent of history. Left join: an event with no dim
+    * row survives with nulls rather than silently dropping (inner would
+    * make missing dim rows a data-loss bug).
+    *
+    * Works identically on a batch DataFrame — the gate face
+    * (`s_enrich`) runs it over the parquet table; the stream==batch
+    * spec pins the duality.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Run the streaming query over a parquet directory until all available
     * input is processed; results land in an in-memory table `name`.
     *

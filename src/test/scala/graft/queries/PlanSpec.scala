@@ -223,6 +223,16 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
   }
 
+  test("s_enrich: the tier dim broadcasts; the event side never sort-merges") {
+    val q = RelationalQueries.eventsEnriched(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tier dim did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"event-side sort-merge join in the enrichment:\n$plan")
+  }
+
   test("t_lang_confusion: detection shares the label's scan — no self-join") {
     val q = TextQueries.langConfusion(spark, dir)
     q.collect()

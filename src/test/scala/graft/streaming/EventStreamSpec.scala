@@ -87,6 +87,28 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment (broadcast dim, stateless) equals batch") {
+    withSentinels { (srcDir, _) =>
+      val ev = spark.read.parquet(s"$srcDir/part-0.parquet")
+      val dim = graft.queries.RelationalQueries.userTierDim(ev)
+      val batch = EventStream.enrich(ev, dim, Seq("user_id"))
+        .select(col("event_id"), col("tier"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+      val drain = EventStream.startDrain(
+        EventStream.enrich(stream, dim, Seq("user_id"))
+          .select(col("event_id"), col("tier")),
+        "ev_enrich", org.apache.spark.sql.streaming.OutputMode.Append())
+      val streamed = drain.stop()
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // Left-join contract: every event survives (dim covers all users
+      // here, but the map sizes pin no row was dropped by the join).
+      assert(batch.size == ev.count())
+    }
+  }
+
   private def writePart(df: org.apache.spark.sql.DataFrame, srcDir: String, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
