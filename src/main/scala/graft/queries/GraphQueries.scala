@@ -1096,10 +1096,13 @@ object GraphQueries {
   def lp(iters: Int)(spark: SparkSession, dir: String): DataFrame =
     LabelPropagation.run(graph(spark, dir), maxIter = iters).labels
 
-  /** Unrolled LP oracle: each stage = neighbor-label frequency count +
-    * argmax (count desc, label asc), isolated vertices keep their label.
+  /** LP stage chain (sym → symnl → lab0 → votes/win/lab per iteration),
+    * assuming `edges`/`nodes` CTEs are in scope — FACTORED so
+    * [[lpSql]] (shared graph) and [[modularitySql]] (sparse graph)
+    * compose the same stage text instead of one slicing the other
+    * (the effDiameterSql lesson, ADVICE r3).
     */
-  def lpSql(iters: Int): String = {
+  private def lpStagesSql(iters: Int): String = {
     val stages = (1 to iters).map { k =>
       val p = s"lab${k - 1}"
       s"""votes$k AS (
@@ -1119,13 +1122,19 @@ object GraphQueries {
          |  FROM $p l LEFT JOIN win$k w ON w.id = l.id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgesSql,
-       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+    s"""sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
        |symnl AS (SELECT src, dst FROM sym WHERE src <> dst),
        |lab0 AS (SELECT id, id AS label FROM nodes),
-       |$stages
-       |SELECT id, label FROM lab$iters""".stripMargin
+       |$stages""".stripMargin
   }
+
+  /** Unrolled LP oracle: each stage = neighbor-label frequency count +
+    * argmax (count desc, label asc), isolated vertices keep their label.
+    */
+  def lpSql(iters: Int): String =
+    s"""WITH $edgesSql,
+       |${lpStagesSql(iters)}
+       |SELECT id, label FROM lab$iters""".stripMargin
 
   // --- k-core -----------------------------------------------------------
 
@@ -1155,9 +1164,32 @@ object GraphQueries {
         s"(l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $KCoreN AS dst")
       .distinct()
 
+  /** The sparse derived graph (mod [[KCoreN]]), loaded once per
+    * (session, dir) and shared by g_kcore / g_modularity /
+    * g_betweenness — avg simple degree ~15 at sf0.01 vs the shared
+    * N=601 graph's near-completeness, so distances (BFS depth 6),
+    * communities (~280 under LP-3) and cores are all non-degenerate.
+    */
+  private def sparseGraph(spark: SparkSession, dir: String): Graph =
+    memoized(spark, s"kgraph:$dir") { Graph.fromEdges(kcoreEdgesDf(spark, dir)) }
+
+  /** The `edges`/`nodes` CTE pair of the SPARSE derived graph — the
+    * oracle-side twin of [[sparseGraph]], name-compatible with
+    * [[lpStagesSql]] so sparse-graph oracles compose the same stage
+    * text as shared-graph ones.
+    */
+  private val sparseEdgesSql: String =
+    s"""edges AS MATERIALIZED (
+       |  SELECT DISTINCT (l_partkey % $KCoreN) AS src,
+       |         ((l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $KCoreN) AS dst
+       |  FROM lineitem
+       |), nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+       |)""".stripMargin
+
   /** k-core ([[KCore.run]]): surviving vertices with in-core degree. */
   def kcore(spark: SparkSession, dir: String): DataFrame =
-    KCore.run(Graph.fromEdges(kcoreEdgesDf(spark, dir)), k = KCoreK).core
+    KCore.run(sparseGraph(spark, dir), k = KCoreK).core
 
   /** Oracle: the same synchronous peel, unrolled — each round keeps the
     * vertices of current degree >= k and restricts the symmetric edge set
@@ -1186,5 +1218,160 @@ object GraphQueries {
        |  UNION ALL SELECT v AS src, u AS dst FROM und),
        |$rounds
        |SELECT src AS id, count(*) AS deg FROM sym$KCoreRounds GROUP BY src""".stripMargin
+  }
+
+  // --- modularity --------------------------------------------------------
+
+  /** LP-3 labels on the sparse graph, computed once per (session, dir)
+    * and shared (currently by g_modularity; any future community query
+    * composes here).
+    */
+  private def sparseLpShared(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"klp:$dir") {
+      LabelPropagation.run(sparseGraph(spark, dir), maxIter = 3).labels
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Newman modularity of the LP-3 communities on the sparse graph, per
+    * community: Q_c = e_c/m − (deg_c/2m)² over the undirected simple
+    * graph — computed in ARC terms (A = 2m symmetric arcs, within_arcs =
+    * 2e_c) so every input to the two IEEE divisions is an exact integer
+    * and the contribution is bit-identical cross-engine with no rounding.
+    * Σ contribution = the partition's Q (the per-community grain keeps
+    * the gate content-verifying ~280 rows instead of one scalar).
+    *
+    * Scale shape: two joins of the arc table against the (id, label)
+    * table (state-sized build sides at web scale would broadcast or
+    * shuffle-hash on id), then map-side-combined counts per label;
+    * the corpus-sized arc table is never shuffled wider than its key.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(sparseLpShared(spark, dir), kcoreEdgesDf(spark, dir))
+
+  /** The modularity algebra over explicit (id, label) labels and a
+    * directed edge table (symmetrized, self-loops dropped, here) —
+    * factored for direct spec coverage.
+    */
+  private[graft] def modularityOf(lab: DataFrame, e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .where(col("src") =!= col("dst"))
+    val arcs = sym
+      .join(lab.select(col("id").as("src"), col("label").as("ls")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("ld")), Seq("dst"))
+    val within = arcs.where(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label"))
+      .agg(count(lit(1)).as("within_arcs"))
+    val degSum = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .join(lab, Seq("id"))
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).as("deg_sum"))
+    val total = sym.agg(count(lit(1)).as("arcs_total"))
+    lab.select(col("label")).distinct()
+      .join(within, Seq("label"), "left")
+      .join(degSum, Seq("label"), "left")
+      .select(
+        col("label"),
+        coalesce(col("within_arcs"), lit(0L)).as("within_arcs"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"))
+      .crossJoin(total)
+      .select(
+        col("label"), col("within_arcs"), col("deg_sum"),
+        (col("within_arcs").cast("double") / col("arcs_total")
+          - (col("deg_sum").cast("double") / col("arcs_total"))
+          * (col("deg_sum").cast("double") / col("arcs_total"))).as("contribution"))
+  }
+
+  /** Oracle: the SAME LP stage chain as g_lp3 ([[lpStagesSql]]) over the
+    * sparse edges CTE, then the arc-term modularity algebra.
+    */
+  lazy val modularitySql: String =
+    s"""WITH $sparseEdgesSql,
+       |${lpStagesSql(3)},
+       |w AS MATERIALIZED (
+       |  SELECT la.label, count(*) AS within_arcs
+       |  FROM symnl e JOIN lab3 la ON la.id = e.src JOIN lab3 lb ON lb.id = e.dst
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |ds AS MATERIALIZED (
+       |  SELECT l.label, sum(d.deg) AS deg_sum
+       |  FROM (SELECT src AS id, count(*) AS deg FROM symnl GROUP BY src) d
+       |  JOIN lab3 l ON l.id = d.id GROUP BY l.label),
+       |tot AS (SELECT count(*) AS a FROM symnl)
+       |SELECT c.label,
+       |       coalesce(w.within_arcs, 0) AS within_arcs,
+       |       coalesce(ds.deg_sum, 0) AS deg_sum,
+       |       CAST(coalesce(w.within_arcs, 0) AS DOUBLE) / tot.a
+       |         - (CAST(coalesce(ds.deg_sum, 0) AS DOUBLE) / tot.a)
+       |         * (CAST(coalesce(ds.deg_sum, 0) AS DOUBLE) / tot.a) AS contribution
+       |FROM (SELECT DISTINCT label FROM lab3) c
+       |LEFT JOIN w ON w.label = c.label
+       |LEFT JOIN ds ON ds.label = c.label
+       |CROSS JOIN tot""".stripMargin
+
+  // --- betweenness -------------------------------------------------------
+
+  /** Seed set + depth cap of the g_betweenness query. Depth 12 is double
+    * the measured sf0.01 BFS eccentricity (6) of these seeds on the
+    * sparse graph; both engine and oracle apply the SAME cap, so the
+    * semantics stay defined-equal even if a scale factor ever exceeded it
+    * (bounded-depth Brandes, [[graft.operators.Betweenness]]).
+    */
+  val BetweennessSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L)
+  private val BetweennessDepth = 12
+
+  /** Sampled Brandes betweenness from [[BetweennessSeeds]] on the sparse
+    * graph ([[graft.operators.Betweenness.run]]).
+    */
+  def betweenness(spark: SparkSession, dir: String): DataFrame =
+    Betweenness.run(sparseGraph(spark, dir), BetweennessSeeds,
+      maxDepth = BetweennessDepth)
+
+  /** Oracle: forward BFS levels with path counting unrolled to the depth
+    * cap (stages past the fixpoint are empty — free margin), then the
+    * dependency accumulation unrolled deepest-first. σ sums are exact
+    * BIGINTs; δ arithmetic is the same double formula on both sides.
+    */
+  lazy val betweennessSql: String = {
+    val seedList = BetweennessSeeds.mkString(", ")
+    val d = BetweennessDepth
+    val fwd = (1 to d).map { k =>
+      s"""lvl$k AS MATERIALIZED (
+         |  SELECT l.s, e.dst AS id, $k AS dist, sum(l.sigma) AS sigma
+         |  FROM lvl${k - 1} l JOIN edges e ON e.src = l.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${k - 1} v
+         |                    WHERE v.s = l.s AND v.id = e.dst)
+         |  GROUP BY l.s, e.dst),
+         |vis$k AS MATERIALIZED (
+         |  SELECT * FROM vis${k - 1} UNION ALL SELECT * FROM lvl$k)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((d - 1) to 0 by -1).map { k =>
+      s"""del$k AS MATERIALIZED (
+         |  SELECT v.s, v.id,
+         |         sum(CAST(v.sigma AS DOUBLE) / w.sigma
+         |             * (1 + coalesce(dw.delta, 0))) AS delta
+         |  FROM vis$d v
+         |  JOIN edges e ON e.src = v.id
+         |  JOIN vis$d w ON w.s = v.s AND w.id = e.dst AND w.dist = v.dist + 1
+         |  LEFT JOIN del${k + 1} dw ON dw.s = v.s AND dw.id = e.dst
+         |  WHERE v.dist = $k
+         |  GROUP BY v.s, v.id)""".stripMargin
+    }.mkString(",\n")
+    val allDel = (0 until d).map(k => s"SELECT * FROM del$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sparseEdgesSql,
+       |lvl0 AS MATERIALIZED (
+       |  SELECT id AS s, id, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+       |  FROM nodes WHERE id IN ($seedList)),
+       |vis0 AS MATERIALIZED (SELECT * FROM lvl0),
+       |$fwd,
+       |del$d AS (SELECT s, id, CAST(0 AS DOUBLE) AS delta FROM lvl$d WHERE FALSE),
+       |$bwd,
+       |alld AS MATERIALIZED (
+       |  $allDel
+       |)
+       |SELECT n.id, coalesce(b.bc, 0.0) AS bc
+       |FROM nodes n LEFT JOIN (
+       |  SELECT id, sum(delta) AS bc FROM alld WHERE id <> s GROUP BY id
+       |) b ON b.id = n.id""".stripMargin
   }
 }

@@ -294,6 +294,48 @@ object TextQueries {
        |LEFT JOIN hits ON hits.doc_id = d.doc_id
        |WHERE d.doc_id % $DecontamMod <> 0""".stripMargin
 
+  // --- exact-substring duplication coverage -----------------------------
+
+  /** Exact-substring duplication coverage ([[Dedup.dupCoverage]], sliding
+    * 5-token grams): per doc, how many token positions sit inside some
+    * gram occurring ≥2 times corpus-wide — the Lee-et-al. suffix-array
+    * dedup signal at n-gram granularity.
+    */
+  def substrCover(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupCoverage(docs(spark, dir), n = 5)
+
+  /** Oracle replays the stride-1 gram hashing, the corpus-wide ≥2
+    * occurrence filter, and the covered-position union. dup_frac is one
+    * exact-int IEEE division, unrounded (the tokenStats discipline).
+    */
+  val substrCoverSql: String = {
+    // range() rejects lateral column parameters in DuckDB, so the
+    // stride-1 starts come from zipped unnests of per-row lists (the
+    // spanDedupSql pattern).
+    val gram = (1 to 5).map(k => s"w[i + $k]").mkString(" || ' ' || ")
+    val starts = "range(0, greatest(coalesce(len(w), 0) - 4, 0))"
+    s"""WITH $toksSql,
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         unnest($starts) AS i,
+       |         unnest(list_transform($starts, i -> ${hash60Sql(gram)})) AS h
+       |  FROM toks
+       |),
+       |dup AS MATERIALIZED (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT o.doc_id, o.i + s.j AS pos
+       |  FROM occ o JOIN dup USING (h), range(5) s(j)
+       |),
+       |cvr AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       len(t.w) AS n_tokens,
+       |       coalesce(c.covered, 0) AS covered_tokens,
+       |       CASE WHEN len(t.w) > 0
+       |              THEN CAST(coalesce(c.covered, 0) AS DOUBLE) / len(t.w)
+       |            WHEN len(t.w) = 0 THEN 0.0 END AS dup_frac
+       |FROM toks t LEFT JOIN cvr c ON c.doc_id = t.doc_id""".stripMargin
+  }
+
   // --- span-level exact dedup ------------------------------------------
 
   /** Span-level exact dedup ([[Dedup.spanDedup]], 5-token chunks): the

@@ -406,6 +406,63 @@ object Dedup {
     * [[ngramJaccard]]: explode → df filter → equi-join on fingerprint →
     * map-side-combined pair count.
     */
+  /** Exact-substring duplication coverage — the per-document signal of
+    * suffix-array dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): the fraction of token positions
+    * covered by some sliding word n-gram that occurs at least twice
+    * CORPUS-WIDE (any second occurrence counts, including within the
+    * same document). Where [[spanDedup]]'s non-overlapping chunks dedup
+    * at fixed alignments, the stride-1 window here detects a duplicated
+    * run of ≥ n tokens at ANY alignment exactly — n-gram granularity is
+    * the shuffle-friendly relaxation of the paper's arbitrary-length
+    * suffix matching (runs shorter than n are ignored).
+    *
+    * Output (doc_id, n_tokens, covered_tokens, dup_frac): n_tokens NULL
+    * for null text (the tokenizer's semantics, as in tokenStats);
+    * dup_frac is ONE IEEE division of exact integers — bit-identical
+    * cross-engine, deliberately NOT rounded (rounding reintroduces
+    * dyadic-midpoint divergence).
+    *
+    * Scale shape: gram production is pure array expressions (zero
+    * shuffle; the text never leaves its scan); the ONE wide shuffle
+    * carries (doc_id, pos, hash60) gram occurrences keyed by hash for a
+    * map-side-combined count; only occurrences of DUPLICATED grams — a
+    * small fraction of a healthy corpus — fan out into ≤ n covered
+    * positions each before the per-doc distinct. The occurrence table is
+    * recomputed for the dup-side join rather than persisted: at crawl
+    * scale it is ~corpus-sized, and a second columnar scan is cheaper
+    * than caching it.
+    */
+  def dupCoverage(docs: DataFrame, n: Int = 5, hashMode: String = "md5"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val h = TextOps.hash60(hashMode)
+    val w = TextOps.tokensCol(col("text"))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        struct(i.as("i"),
+          h(concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)).as("h"))))
+      .otherwise(array().cast("array<struct<i:int,h:bigint>>"))
+    val occ = docs
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("h"))
+    val covered = occ.join(dup, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("covered_tokens"))
+    docs
+      .select(col("doc_id"), size(w).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") / col("n_tokens"))
+          .otherwise(when(col("n_tokens") === 0, lit(0.0))))
+  }
+
   def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                   minShared: Int = 2, maxDf: Int = 1000,
                   hashMode: String = "md5"): DataFrame =
