@@ -203,6 +203,30 @@ object RelationalQueries {
       |       count(*) AS n_events, round(sum(value), 3) AS sum_value
       |FROM s GROUP BY user_id, session_idx""".stripMargin
 
+  /** Stream-stream interval-join attribution, batch face
+    * ([[graft.streaming.EventStream.attributionJoin]] — the spec pins
+    * stream (two state-store-buffered sides, watermark-bounded) == batch;
+    * this row pins batch == DuckDB): each purchase joined to the same
+    * user's views in the 4 hours before it.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.attributionJoin(
+      spark.read.parquet(s"$dir/events.parquet"))
+
+  /** delay_sec floors both timestamps to whole seconds (Spark's
+    * `unix_timestamp` truncates; DuckDB's `epoch` keeps micros), matching
+    * the sessionization convention; the RANGE predicate itself compares
+    * full-precision timestamps on both engines.
+    */
+  val attributionSql: String =
+    """SELECT c.event_id AS conv_id, v.event_id AS view_id, c.user_id,
+      |       CAST(floor(epoch(c.ts)) AS BIGINT)
+      |       - CAST(floor(epoch(v.ts)) AS BIGINT) AS delay_sec
+      |FROM events c JOIN events v
+      |  ON v.user_id = c.user_id
+      | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 4 HOUR
+      |WHERE c.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin
+
   /** Multimodal metadata path: documents' text treated as an opaque binary
     * blob column — byte length + magic prefix, the schema/partitioning
     * plumbing a real image/audio pipeline needs (decode is stubbed in

@@ -67,6 +67,43 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream INTERVAL join — conversion attribution: each
+    * `convType` event joins to the same user's `viewType` events at most
+    * `lookbackHours` before it. The one Structured Streaming join shape
+    * with TWO unbounded sides: Spark buffers each side in the state store
+    * keyed by the join key, and the watermark + time-range predicate
+    * bound that state — a buffered view older than
+    * `conversion-watermark − lookback` is provably unmatchable and is
+    * evicted, so state is O(events per lookback window), never
+    * O(history). Inner join: a pair emits as soon as both rows are
+    * present (no watermark wait), which is why the same function over a
+    * bounded table is the exact batch face (`s_attrib` gate row; the
+    * stream==batch spec pins the live state-store path against it —
+    * `withWatermark` on a batch child is erased by Catalyst's
+    * EliminateEventTimeWatermark, leaving a plain range join).
+    *
+    * `delay_sec` compares floor-seconds (`unix_timestamp`), matching the
+    * session-gap convention and the DuckDB oracle's floor(epoch()).
+    */
+  def attributionJoin(events: DataFrame, lookbackHours: Int = 4,
+                      viewType: String = "view", convType: String = "purchase"): DataFrame = {
+    val views = events.filter(col("event_type") === viewType)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").cast("timestamp").as("view_ts"))
+      .withWatermark("view_ts", s"$lookbackHours hours")
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id").as("__conv_user"), col("event_id").as("conv_id"),
+        col("ts").cast("timestamp").as("conv_ts"))
+      .withWatermark("conv_ts", "1 hour")
+    views.join(convs,
+        col("user_id") === col("__conv_user") &&
+          col("view_ts") <= col("conv_ts") &&
+          col("view_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackHours HOURS"))
+      .select(col("conv_id"), col("view_id"), col("user_id"),
+        (unix_timestamp(col("conv_ts")) - unix_timestamp(col("view_ts")))
+          .as("delay_sec"))
+  }
+
   /** Run the streaming query over a parquet directory until all available
     * input is processed; results land in an in-memory table `name`.
     *

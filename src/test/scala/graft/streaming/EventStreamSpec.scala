@@ -109,6 +109,24 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("STREAM-STREAM interval join (attribution) equals batch; inner join emits without watermark wait") {
+    withSentinels { (srcDir, _) =>
+      val ev = spark.read.parquet(s"$srcDir/part-0.parquet")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val batch = EventStream.attributionJoin(ev).collect().map(key).toSet
+      assert(batch.nonEmpty)
+      // Same function over a readStream: BOTH join sides buffer in the
+      // state store, watermark + range predicate bound the buffered views.
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val drain = EventStream.startDrain(EventStream.attributionJoin(stream),
+        "ev_attrib", org.apache.spark.sql.streaming.OutputMode.Append())
+      val streamed = drain.stop().collect().map(key).toSet
+      assert(streamed == batch)
+    }
+  }
+
   private def writePart(df: org.apache.spark.sql.DataFrame, srcDir: String, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
