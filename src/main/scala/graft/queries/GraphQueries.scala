@@ -318,15 +318,15 @@ object GraphQueries {
   def cc(spark: SparkSession, dir: String): DataFrame =
     ccShared(spark, dir)
 
-  val ccSql: String =
-    s"""WITH RECURSIVE $edgesSql,
+  // Weak components from the symmetric bitstring closure (see
+  // bitReachChain): comp = min member of the reachable set.
+  lazy val ccSql: String =
+    s"""WITH $edgesSql,
        |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.id
-       |)
-       |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin
+       |${bitReachChain("sym", "s")}
+       |SELECT r.src AS id, min(n.id) AS comp
+       |FROM sreach r JOIN nodes n ON get_bit(r.bs, CAST(n.id AS INTEGER)) = 1
+       |GROUP BY r.src""".stripMargin
 
   def ccSizes(spark: SparkSession, dir: String): DataFrame = {
     val comps = ccShared(spark, dir)
@@ -336,15 +336,15 @@ object GraphQueries {
       .distinct()
   }
 
-  val ccSizesSql: String =
-    s"""WITH RECURSIVE $edgesSql,
+  lazy val ccSizesSql: String =
+    s"""WITH $edgesSql,
        |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.id
+       |${bitReachChain("sym", "s")},
+       |cc AS (
+       |  SELECT r.src AS id, min(n.id) AS comp
+       |  FROM sreach r JOIN nodes n ON get_bit(r.bs, CAST(n.id AS INTEGER)) = 1
+       |  GROUP BY r.src
        |),
-       |cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
        |sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp)
        |SELECT comp, size,
        |       dense_rank() OVER (ORDER BY size DESC, comp ASC) - 1 AS rank
@@ -697,68 +697,110 @@ object GraphQueries {
   def scc(spark: SparkSession, dir: String): DataFrame =
     sccShared(spark, dir)
 
-  val sccSql: String =
-    s"""WITH RECURSIVE $edgesSql,
-       |reach(a, b) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-       |)
-       |SELECT r1.a AS id, min(r1.b) AS comp
-       |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
-       |GROUP BY r1.a""".stripMargin
+  lazy val sccSql: String =
+    s"""WITH $edgesSql,
+       |${bitReachChain("edges", "d")},
+       |${bitSccSql("d")}
+       |SELECT id, comp FROM scc""".stripMargin
 
-  /** Unrolled frontier BFS in portable SQL: a CTE chain ending in
-    * `dist(src, id, dist)` = exact min-hop distances from every vertex of
-    * `nodes` over the arc relation `rel`.
+  /** Bitstring-based reachability rounds (DuckDB-only, like the engine's
+    * other oracle idioms — `epoch`, `time_bucket`; the driver runs oracles
+    * in DuckDB, never Spark): per-source reachable SETS as N-bit
+    * `bitstring_agg` bitmaps, one `bit_or` merge join per level. Each
+    * level costs |E| fixed-width (N/8-byte) ORs — independent of how many
+    * pairs are reachable — where the pair-table frontier chain it
+    * replaced (r3's `bfsDistChain`) paid |frontier pairs| × degree join
+    * tuples per level (~100M on this dense derived graph: profiled 17–44 s per
+    * query at sf0.01, ~80 s of the r3 gate's budget across g_ecc /
+    * g_ecc_undir / g_bowtie; this form is ~0.6 s for the same result).
     *
-    * Level k expands only the LEVEL-(k−1) FRONTIER and anti-joins the
-    * accumulated pair set, so a level past the graph's actual diameter
-    * expands an empty frontier — near-free. The unroll depth `cap` is
-    * therefore a safety MARGIN, not a cost multiplier. (The r3 oracle was
-    * a recursive `walk(src,id,d)` CTE: carrying d in the UNION dedup key
-    * re-enumerated every reachable pair once per remaining depth level —
-    * profiled at 48–195 s PER QUERY at sf0.01, ~25 min gate total on the
-    * driver box, which is precisely what timed out round 3's artifacts.
-    * This form profiles at seconds; same exact result.)
-    *
-    * `cap` must still be ≥ the graph's diameter for exactness: the
-    * derived graph's BFS-measured diameter is ≤5 directed (sf0.001) and
-    * shrinks with sf; the symmetrized one is ≤4. Cap 10 is a 2× margin.
+    * Produces CTEs `{p}b0..{p}b{cap}` (reachable-within-k bitmaps, self
+    * included at k=0) and `{p}reach` (= level `cap`, the full closure for
+    * cap ≥ diameter). Ids are `% $N` ∈ [0, N), so the agg bounds are the
+    * constants DuckDB requires; membership tests are
+    * `get_bit(bs, CAST(v AS INTEGER)) = 1` (value = position under
+    * min=0). Several chains compose in ONE plain WITH list (prefix `p`
+    * disambiguates) — and nothing is recursive, so the DuckDB
+    * WITH-RECURSIVE quirk that turns sibling UNIONs into UNION ALL
+    * (see [[bowtieSql]] history) no longer applies.
     */
-  private def bfsDistChain(rel: String, cap: Int = 10): String = {
-    // MATERIALIZED throughout: bf/ba are each referenced twice (expansion
-    // + anti-join, accumulation) — inlined, the chain re-derives the whole
-    // prefix at every level (exponential plan growth).
-    val stages = (1 to cap).map { k =>
-      s"""bf$k AS MATERIALIZED (
-         |  SELECT DISTINCT f.src, e.dst AS id
-         |  FROM bf${k - 1} f JOIN $rel e ON e.src = f.id
-         |  WHERE NOT EXISTS (SELECT 1 FROM ba${k - 1} a WHERE a.src = f.src AND a.id = e.dst)
-         |),
-         |ba$k AS MATERIALIZED (SELECT src, id FROM ba${k - 1} UNION ALL SELECT src, id FROM bf$k)""".stripMargin
+  private def bitReachChain(rel: String, p: String, cap: Int = 10): String = {
+    val rounds = (1 to cap).map { k =>
+      s"""${p}n$k AS (
+         |  SELECT e.src, bit_or(r.bs) AS nbs
+         |  FROM $rel e JOIN ${p}b${k - 1} r ON r.src = e.dst GROUP BY e.src
+         |), ${p}b$k AS MATERIALIZED (
+         |  SELECT r.src, r.bs | coalesce(n.nbs, r.bs) AS bs
+         |  FROM ${p}b${k - 1} r LEFT JOIN ${p}n$k n ON n.src = r.src
+         |)""".stripMargin
     }.mkString(",\n")
-    val levels = (0 to cap)
-      .map(k => s"SELECT src, id, $k AS dist FROM bf$k")
+    s"""${p}b0 AS MATERIALIZED (
+       |  SELECT id AS src, bitstring_agg(id, 0, ${N - 1}) AS bs
+       |  FROM nodes GROUP BY id
+       |),
+       |$rounds,
+       |${p}reach AS MATERIALIZED (SELECT src, bs FROM ${p}b$cap)""".stripMargin
+  }
+
+  /** Eccentricity tail over a [[bitReachChain]]: the reachable-set sizes
+    * are monotone per source, so ecc(s) = first level whose popcount
+    * equals the final one (exact for cap ≥ diameter, the same margin
+    * contract as the chain itself). Produces `{p}ecc(id, ecc)`.
+    */
+  private def bitEccTail(p: String, cap: Int = 10): String = {
+    val pcU = (0 to cap)
+      .map(k => s"SELECT src, $k AS k, bit_count(bs) AS c FROM ${p}b$k")
       .mkString("\n  UNION ALL ")
-    s"""bf0 AS MATERIALIZED (SELECT id AS src, id AS id FROM nodes),
-       |ba0 AS (SELECT src, id FROM bf0),
-       |$stages,
-       |dist AS MATERIALIZED (
-       |  $levels
+    s"""${p}pc AS (
+       |  $pcU
+       |),
+       |${p}fin AS (SELECT src, max(c) AS cfin FROM ${p}pc GROUP BY src),
+       |${p}ecc AS MATERIALIZED (
+       |  SELECT q.src AS id, min(q.k) AS ecc
+       |  FROM ${p}pc q JOIN ${p}fin f ON f.src = q.src AND q.c = f.cfin
+       |  GROUP BY q.src
        |)""".stripMargin
   }
 
-  /** Shared oracle prelude: min distance per reachable pair (directed). */
-  private lazy val distSql: String = bfsDistChain("edges")
+  /** Pair-distance tail over a [[bitReachChain]]: dist(s, v) = first
+    * level whose bitmap contains v. Produces `dist(src, id, dist)` —
+    * the same relation the old unrolled frontier chain built,
+    * at (levels × N²) get_bit probes instead of pair-table joins.
+    */
+  private def bitDistTail(p: String, cap: Int = 10): String = {
+    val lvls = (0 to cap)
+      .map(k => s"SELECT src, $k AS k, bs FROM ${p}b$k")
+      .mkString("\n  UNION ALL ")
+    s"""dist AS MATERIALIZED (
+       |  SELECT l.src, n.id, min(l.k) AS dist
+       |  FROM (
+       |  $lvls
+       |  ) l JOIN nodes n ON get_bit(l.bs, CAST(n.id AS INTEGER)) = 1
+       |  GROUP BY l.src, n.id
+       |)""".stripMargin
+  }
+
+  /** Mutual-reachability SCC labels from a [[bitReachChain]]: one
+    * N×N `get_bit` pair probe instead of a pair-table self-join.
+    * Produces `scc(id, comp)`, comp = min member id.
+    */
+  private def bitSccSql(p: String): String =
+    s"""scc AS MATERIALIZED (
+       |  SELECT r1.src AS id, min(r2.src) AS comp
+       |  FROM ${p}reach r1 JOIN ${p}reach r2
+       |    ON get_bit(r1.bs, CAST(r2.src AS INTEGER)) = 1
+       |   AND get_bit(r2.bs, CAST(r1.src AS INTEGER)) = 1
+       |  GROUP BY r1.src
+       |)""".stripMargin
 
   def ecc(spark: SparkSession, dir: String): DataFrame =
     essShared(spark, dir).ecc
 
   lazy val eccSql: String =
     s"""WITH $edgesSql,
-       |$distSql
-       |SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src""".stripMargin
+       |${bitReachChain("edges", "d")},
+       |${bitEccTail("d")}
+       |SELECT id, ecc FROM decc""".stripMargin
 
   /** Undirected ExactSumSweep ([[SumSweep.computeUndirected]] — the
     * reference's `compute_undirected` path) on the symmetrized derived
@@ -780,8 +822,9 @@ object GraphQueries {
   lazy val eccUndirectedSql: String =
     s"""WITH $edgesSql,
        |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-       |${bfsDistChain("sym")}
-       |SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src""".stripMargin
+       |${bitReachChain("sym", "u")},
+       |${bitEccTail("u")}
+       |SELECT id, ecc FROM uecc""".stripMargin
 
   /** Exact per-vertex reachable-set size (the exact form of HyperBall's
     * per-vertex ball size; HyperBall itself is spec-verified — its hash
@@ -791,14 +834,10 @@ object GraphQueries {
   def reach(spark: SparkSession, dir: String): DataFrame =
     Reachability.counts(graph(spark, dir), Some(sccShared(spark, dir)))
 
-  val reachSql: String =
-    s"""WITH RECURSIVE $edgesSql,
-       |reach(a, b) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-       |)
-       |SELECT a AS id, count(*) AS reach FROM reach GROUP BY a""".stripMargin
+  lazy val reachSql: String =
+    s"""WITH $edgesSql,
+       |${bitReachChain("edges", "d")}
+       |SELECT src AS id, CAST(bit_count(bs) AS BIGINT) AS reach FROM dreach""".stripMargin
 
   def radiusDiameter(spark: SparkSession, dir: String): DataFrame = {
     val ess = essShared(spark, dir)
@@ -810,23 +849,22 @@ object GraphQueries {
 
   lazy val radiusDiameterSql: String =
     s"""WITH $edgesSql,
-       |$distSql,
-       |ecc AS MATERIALIZED (SELECT src AS id, max(dist) AS ecc FROM dist GROUP BY src),
-       |scc AS (
-       |  SELECT d1.src AS id, min(d1.id) AS comp
-       |  FROM dist d1 JOIN dist d2 ON d2.src = d1.id AND d2.id = d1.src
-       |  GROUP BY d1.src
-       |),
+       |${bitReachChain("edges", "d")},
+       |${bitEccTail("d")},
+       |${bitSccSql("d")},
        |largest AS (
        |  SELECT comp FROM (SELECT comp, count(*) AS c FROM scc GROUP BY comp
        |                    ORDER BY c DESC, comp ASC LIMIT 1) t
        |),
-       |radial AS MATERIALIZED (SELECT DISTINCT d.src AS id FROM dist d JOIN largest l ON d.id = l.comp)
+       |radial AS MATERIALIZED (
+       |  SELECT r.src AS id FROM dreach r, largest l
+       |  WHERE get_bit(r.bs, CAST(l.comp AS INTEGER)) = 1
+       |)
        |SELECT
-       |  (SELECT e.ecc FROM ecc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius,
-       |  (SELECT e.id  FROM ecc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius_vertex,
-       |  (SELECT ecc FROM ecc ORDER BY ecc DESC, id ASC LIMIT 1) AS diameter,
-       |  (SELECT id  FROM ecc ORDER BY ecc DESC, id ASC LIMIT 1) AS diameter_vertex""".stripMargin
+       |  (SELECT e.ecc FROM decc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius,
+       |  (SELECT e.id  FROM decc e JOIN radial r ON e.id = r.id ORDER BY e.ecc ASC, e.id ASC LIMIT 1) AS radius_vertex,
+       |  (SELECT ecc FROM decc ORDER BY ecc DESC, id ASC LIMIT 1) AS diameter,
+       |  (SELECT id  FROM decc ORDER BY ecc DESC, id ASC LIMIT 1) AS diameter_vertex""".stripMargin
 
   /** Kahn topological layering on the acyclic sub-graph derived with
     * jumps ≥ 13 (the original round-1 derivation, restored now that the
@@ -958,7 +996,8 @@ object GraphQueries {
          |     + ($z // 4294967296) * ($c % 4294967296)) % 4294967296) * 4294967296)
          |) % $U""".stripMargin
     s"""WITH $edgesSql,
-       |${bfsDistChain("edges")},
+       |${bitReachChain("edges", "d")},
+       |${bitDistTail("d")},
        |maxt AS MATERIALIZED (SELECT max(dist) AS mt FROM dist),
        |hz0 AS (
        |  SELECT id,
@@ -1029,48 +1068,53 @@ object GraphQueries {
     BowTie.run(graph(spark, dir),
       scc = Some(sccShared(spark, dir)), wcc = Some(ccShared(spark, dir)))
 
-  /** Oracle: the same region algebra from the unrolled distance closure —
-    * mutual-reach SCCs, largest by (count desc, comp asc), forward/
-    * backward sets as joins against `dist`, the recursive symmetric
-    * closure for the core's weak component. The oracle's `fwdin`/`bwdout`
-    * are UNconfined (plain reachability); the CASE consults them only for
-    * vertices outside core∪in∪out, where confinement provably drops no
-    * member (the forward set is forward-closed), so both sides agree on
-    * every consulted row.
+  /** Oracle: the same region algebra over THREE [[bitReachChain]]s —
+    * forward (`d`, edges), backward (`t`, transposed edges), weak (`s`,
+    * symmetrized). Mutual-reach SCCs from the forward chain; the core's
+    * forward/backward/weak sets are the bitmap of ONE representative
+    * (every member of an SCC has the identical closure), expanded back to
+    * rows with `get_bit` membership probes against `nodes`. The
+    * `fwdin`/`bwdout` sets are UNconfined (plain reachability); the CASE
+    * consults them only for vertices outside core∪in∪out, where
+    * confinement provably drops no member (the forward set is
+    * forward-closed), so both sides agree on every consulted row.
     */
   lazy val bowtieSql: String =
-    s"""WITH RECURSIVE $edgesSql,
-       |$distSql,
-       |scc AS MATERIALIZED (
-       |  SELECT d1.src AS id, min(d1.id) AS comp
-       |  FROM dist d1 JOIN dist d2 ON d2.src = d1.id AND d2.id = d1.src
-       |  GROUP BY d1.src
-       |),
+    s"""WITH $edgesSql,
+       |redges AS MATERIALIZED (SELECT dst AS src, src AS dst FROM edges),
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |${bitReachChain("edges", "d")},
+       |${bitReachChain("redges", "t")},
+       |${bitReachChain("sym", "s")},
+       |${bitSccSql("d")},
        |core AS MATERIALIZED (
        |  SELECT s.id FROM scc s JOIN (
        |    SELECT comp FROM (SELECT comp, count(*) AS c FROM scc GROUP BY comp
        |                      ORDER BY c DESC, comp ASC LIMIT 1) t
        |  ) l ON s.comp = l.comp
        |),
-       |fwd AS MATERIALIZED (SELECT DISTINCT d.id FROM dist d JOIN core c ON d.src = c.id),
-       |bwd AS MATERIALIZED (SELECT DISTINCT d.src AS id FROM dist d JOIN core c ON d.id = c.id),
-       |-- NOT EXISTS, not EXCEPT: DuckDB rejects any set operation other
-       |-- than UNION inside a WITH RECURSIVE CTE list.
+       |rep AS (SELECT min(id) AS id FROM core),
+       |fwd AS MATERIALIZED (
+       |  SELECT n.id FROM nodes n, dreach r, rep
+       |  WHERE r.src = rep.id AND get_bit(r.bs, CAST(n.id AS INTEGER)) = 1),
+       |bwd AS MATERIALIZED (
+       |  SELECT n.id FROM nodes n, treach r, rep
+       |  WHERE r.src = rep.id AND get_bit(r.bs, CAST(n.id AS INTEGER)) = 1),
        |inn AS MATERIALIZED (
        |  SELECT b.id FROM bwd b WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = b.id)),
        |outt AS MATERIALIZED (
        |  SELECT f.id FROM fwd f WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = f.id)),
-       |fwdin AS MATERIALIZED (SELECT DISTINCT d.id FROM dist d JOIN inn i ON d.src = i.id),
-       |bwdout AS MATERIALIZED (SELECT DISTINCT d.src AS id FROM dist d JOIN outt o ON d.id = o.id),
-       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
-       |wreach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.dst, wreach.r FROM wreach JOIN sym e ON e.src = wreach.id
-       |),
-       |wcc AS MATERIALIZED (SELECT id, min(r) AS comp FROM wreach GROUP BY id),
-       |mainc AS (SELECT min(w.comp) AS comp FROM wcc w JOIN core c ON w.id = c.id),
-       |mainwcc AS MATERIALIZED (SELECT w.id FROM wcc w JOIN mainc m ON w.comp = m.comp)
+       |fwdinbs AS (SELECT bit_or(r.bs) AS bs FROM dreach r JOIN inn i ON r.src = i.id),
+       |bwdoutbs AS (SELECT bit_or(r.bs) AS bs FROM treach r JOIN outt o ON r.src = o.id),
+       |fwdin AS MATERIALIZED (
+       |  SELECT n.id FROM nodes n, fwdinbs f
+       |  WHERE f.bs IS NOT NULL AND get_bit(f.bs, CAST(n.id AS INTEGER)) = 1),
+       |bwdout AS MATERIALIZED (
+       |  SELECT n.id FROM nodes n, bwdoutbs b
+       |  WHERE b.bs IS NOT NULL AND get_bit(b.bs, CAST(n.id AS INTEGER)) = 1),
+       |mainwcc AS MATERIALIZED (
+       |  SELECT n.id FROM nodes n, sreach r, rep
+       |  WHERE r.src = rep.id AND get_bit(r.bs, CAST(n.id AS INTEGER)) = 1)
        |SELECT n.id,
        |  CASE WHEN c.id IS NOT NULL THEN 'core'
        |       WHEN i.id IS NOT NULL THEN 'in'
@@ -1080,11 +1124,7 @@ object GraphQueries {
        |       WHEN fi.id IS NOT NULL THEN 'tendril_in'
        |       WHEN bo.id IS NOT NULL THEN 'tendril_out'
        |       ELSE 'tendril_other' END AS region
-       |-- DISTINCT: inside a WITH RECURSIVE list DuckDB 1.0 gives every
-       |-- UNION-bodied CTE (here `nodes`) UNION ALL semantics; sibling
-       |-- oracles survive that via downstream GROUP BYs, a per-vertex
-       |-- row list does not.
-       |FROM (SELECT DISTINCT id FROM nodes) n
+       |FROM nodes n
        |LEFT JOIN core c ON n.id = c.id
        |LEFT JOIN inn i ON n.id = i.id
        |LEFT JOIN outt o ON n.id = o.id
