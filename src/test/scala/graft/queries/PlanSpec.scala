@@ -158,6 +158,32 @@ class PlanSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("q_asof: merge-based — ONE key shuffle, no join node, no per-pair expansion") {
+    val df = RelationalQueries.asofOrders(spark, dir)
+    df.collect() // AQE finalizes the physical plan on execution
+    val plan = finalPlan(df)
+    // The scale contract (AsOfJoin scaladoc): both sides tag+union and
+    // shuffle ONCE on the merge key; a Join node anywhere would mean
+    // Spark planned the quadratic per-key range join instead.
+    assert(!plan.contains("MergeJoin") && !plan.contains("HashJoin")
+      && !plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of is joining instead of merging:\n$plan")
+    val shuffles = "hashpartitioning\\(__k".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 merge-key shuffle, got $shuffles:\n$plan")
+  }
+
+  test("q_range: bin-bucketed equi-join — hash join on the bin key, never a nested loop") {
+    val df = RelationalQueries.rangeEvents(spark, dir)
+    df.collect()
+    val plan = finalPlan(df)
+    // The bin trick exists to turn the interval predicate into an
+    // equi-join; a nested-loop/cartesian node means the rewrite regressed
+    // to comparing every (row, interval) pair.
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a per-pair plan:\n$plan")
+    assert(plan.contains("Join"), s"no join node at all (plan changed shape?):\n$plan")
+  }
+
   test("d_neardup_rep: representative selection never windows the corpus") {
     // The scale contract: rep ranking runs only on the tiny pair-graph
     // membership as a map-side-combined max_by; the corpus takes plain
