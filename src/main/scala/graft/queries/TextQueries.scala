@@ -45,6 +45,72 @@ object TextQueries {
        |                 / greatest(len(w), 1) END AS avg_token_len
        |FROM toks""".stripMargin
 
+  // --- per-language length percentiles --------------------------------
+
+  /** Exact interpolated length percentiles per language — the numbers a
+    * curation pipeline reads before setting min/max-length filters (a
+    * fixed global cutoff is wrong across scripts: 200 chars of Chinese is
+    * a document, 200 chars of English is a title). Spark's `percentile`
+    * and DuckDB's `quantile_cont` share the sort + linear-interpolation
+    * definition, so the oracle is exact. At 100 TB this is one partial
+    * aggregate per partition + a per-language merge — the same shuffle
+    * shape as any groupBy; for sketch-sized state swap in
+    * `percentile_approx` (t-digest) at identical plan shape.
+    */
+  def lenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(CAST(n_chars AS DOUBLE), array(0.1, 0.5, 0.9, 0.99))").as("p"))
+      .select(col("lang"), col("n"),
+        col("p").getItem(0).as("p10"), col("p").getItem(1).as("p50"),
+        col("p").getItem(2).as("p90"), col("p").getItem(3).as("p99"))
+
+  val lenPercentilesSql: String =
+    """SELECT lang, count(*) AS n,
+      |       quantile_cont(CAST(n_chars AS DOUBLE), 0.1) AS p10,
+      |       quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+      |       quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+      |       quantile_cont(CAST(n_chars AS DOUBLE), 0.99) AS p99
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // --- BPE merge-pair statistics ---------------------------------------
+
+  /** One round of BPE vocabulary induction: count adjacent character
+    * pairs inside words, keep the top 50 merge candidates (count desc,
+    * pair asc — the deterministic tie-break both engines share). This is
+    * THE inner statistic a tokenizer trainer computes over the corpus
+    * each merge round; everything is codegen'd expressions
+    * (split → explode → transform(sequence) bigrams → count), the
+    * aggregation map-side-combines on the tiny pair keyspace, and the
+    * global top-k plans as TakeOrdered (per-partition heaps, no full
+    * sort) — one shuffle over pair counts at any corpus size.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(50)
+
+  val bpePairsSql: String =
+    """WITH ww AS (
+      |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+      |  FROM documents
+      |),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |                               i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+      |  FROM ww WHERE length(w) >= 2
+      |)
+      |SELECT pair, count(*) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
+
   // --- tf-idf top terms ----------------------------------------------
 
   def tfIdf(spark: SparkSession, dir: String): DataFrame =
