@@ -127,6 +127,45 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("STREAM-STREAM join state is watermark-BOUNDED: buffered views evict once unmatchable") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-attrib-state").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, typ: String, minute: Long) =
+      (id, new java.sql.Timestamp(base + minute * 60000L), user, typ, 1.0, "")
+    // Batch A: 40 views + their purchases inside one lookback window.
+    val batchA = ((1L to 40L).map(u => ev(u, u, "view", u % 10)) ++
+      (1L to 40L).map(u => ev(100 + u, u, "purchase", 30))).toSeq
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    writePart(batchA, srcDir, "a")
+    val stream = spark.readStream.schema(batchA.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val drain = EventStream.startDrain(EventStream.attributionJoin(stream),
+      "ev_attrib_state", org.apache.spark.sql.streaming.OutputMode.Append())
+    drain.drain()
+    def stateRows: Long = drain.query.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val afterA = stateRows
+    assert(afterA >= 80, s"both sides of batch A should be buffered, state=$afterA")
+    // Batch B jumps event time 10 hours: the conversion watermark moves to
+    // ~hour 9, making every batch-A view (< watermark - 4h lookback)
+    // provably unmatchable. Batch C triggers the cleanup batch that runs
+    // WITH that advanced watermark (watermarks take effect one batch late).
+    writePart(((900L, 900L, "view", 600L) :: Nil).map(t => ev(t._1, t._2, t._3, t._4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), srcDir, "b")
+    drain.drain()
+    writePart(((901L, 901L, "purchase", 610L) :: Nil).map(t => ev(t._1, t._2, t._3, t._4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), srcDir, "c")
+    drain.drain()
+    val afterC = stateRows
+    assert(afterC < afterA / 4,
+      s"watermark did not evict batch-A join state: $afterA -> $afterC")
+    // The A-era pairs were still all emitted before eviction.
+    val out = drain.stop()
+    assert(out.filter(col("conv_id") <= 200).count() == 40)
+  }
+
   private def writePart(df: org.apache.spark.sql.DataFrame, srcDir: String, name: String): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("d").toString)
