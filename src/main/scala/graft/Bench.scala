@@ -237,7 +237,12 @@ object Bench {
       sections("scaling_efficiency") = f"$eff%.3f"
     }
     for (r <- 1 to math.max(repeats, 1)) {
-      val fits = r == 1 || remaining > 1.3 * pairCost + 2.0 * pairCost
+      // Even the MANDATORY first repeat is skipped when the budget is
+      // ALREADY blown: starting a multi-minute leg past the wall is how
+      // round 3 (and a round-4 rerun) died at rc=124 mid-leg instead of
+      // finishing with an honest "skipped" marker.
+      val fits = if (r == 1) remaining > 0
+                 else remaining > 1.3 * pairCost + 2.0 * pairCost
       if (fits) {
         val t0 = System.nanoTime()
         lows += runLeg(lowCores, cpus, pairPath, "fixed", scaleIters.toString)
@@ -254,7 +259,8 @@ object Bench {
     val fulls = scala.collection.mutable.ArrayBuffer[LegResult]()
     var fullCost = pairCost // prior estimate until measured
     for (r <- 1 to math.max(math.min(repeats, 2), 1)) {
-      val fits = r == 1 || remaining > 1.3 * fullCost + fullCost
+      val fits = if (r == 1) remaining > 0
+                 else remaining > 1.3 * fullCost + fullCost
       if (fits) {
         val t0 = System.nanoTime()
         fulls += runLeg(cpus, cpus, scalePath, "fixed", scaleIters.toString)
