@@ -138,7 +138,13 @@ object Bench {
     // a 4M-node graph keeps the repeated legs inside the bench budget.
     val pairNodes = sys.env.getOrElse("SPARK_GRAFT_PAIR_NODES", "4000000").toLong
     val convNodes = sys.env.getOrElse("SPARK_GRAFT_CONV_NODES", "2000000").toLong
-    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "11").toInt
+    // 9 fixed iterations = 8 steady-state samples after dropping the
+    // materialization superstep — enough for a robust median, and the two
+    // iterations shaved off every leg (~90 s across the pair on a
+    // steal-heavy box) are what let CONVERGENCE still fit the budget when
+    // the hypervisor is taking 3-4x (measured 2026-08-19: /proc/stat
+    // steal jiffies climbing, same code 12.8M -> 3.2M eps day-over-day).
+    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "9").toInt
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     val queryRepeats = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPEATS", "1").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
