@@ -140,6 +140,45 @@ object GraphQueries {
        |UNION ALL
        |SELECT 'in' AS side, bucket, count(*) AS vertices FROM ib GROUP BY bucket""".stripMargin
 
+  /** Successor-gap γ-code cost histogram — the BV-format compressibility
+    * signal the reference's graph storage is built on (webgraph BVGraph:
+    * per-node sorted successor lists, first successor zigzag-coded
+    * against the node id, later successors as gap−1; cost model = γ-code
+    * length 2⌊log2(n+1)⌋+1 bits). Locality-preserving orderings show up
+    * directly as mass shifting to small-bit buckets, so this is the
+    * query you run to decide whether a reordering pays before rewriting
+    * 10¹² edges. One adjacency-shaped aggregate (groupBy src →
+    * sorted-set successors) + a per-row expression transform — no joins,
+    * and the histogram keyspace is ~60 rows at any scale.
+    */
+  def gapBits(spark: SparkSession, dir: String): DataFrame =
+    edgesDf(spark, dir)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("dsts"))
+      .select(explode(expr(
+        """transform(dsts, (d, i) ->
+          |  CASE WHEN i = 0 THEN
+          |    CASE WHEN d >= src THEN 2 * (d - src) ELSE 2 * (src - d) - 1 END
+          |  ELSE d - element_at(dsts, i) - 1 END)""".stripMargin)).as("g"))
+      .select((lit(2) * floor(log2(col("g") + 1)) + 1).cast("long").as("bits"))
+      .groupBy(col("bits"))
+      .agg(count(lit(1)).as("n"))
+
+  val gapBitsSql: String =
+    s"""WITH $edgesSql,
+       |adj AS (
+       |  SELECT src, list_sort(list(DISTINCT dst)) AS dsts FROM edges GROUP BY src
+       |),
+       |g AS (
+       |  SELECT unnest(list_transform(range(1, len(dsts) + 1), i ->
+       |    CASE WHEN i = 1 THEN
+       |      CASE WHEN dsts[1] >= src THEN 2 * (dsts[1] - src) ELSE 2 * (src - dsts[1]) - 1 END
+       |    ELSE dsts[CAST(i AS INTEGER)] - dsts[CAST(i AS INTEGER) - 1] - 1 END)) AS gv
+       |  FROM adj
+       |)
+       |SELECT CAST(2 * floor(log2(gv + 1)) + 1 AS BIGINT) AS bits, count(*) AS n
+       |FROM g GROUP BY bits""".stripMargin
+
   /** Arc reciprocity — the share of non-loop arcs whose reverse arc also
     * exists (link exchanges vs one-way citation; ~0.25 on real web
     * graphs). One self-semi-join on the reversed key + two counts; the

@@ -184,6 +184,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), s"no join node at all (plan changed shape?):\n$plan")
   }
 
+  test("s_attrib batch face: equi-join on the user key with the range as residual — no per-pair plan") {
+    val df = RelationalQueries.attribution(spark, dir)
+    df.collect()
+    val plan = finalPlan(df)
+    // The interval predicate must ride as a residual condition on the
+    // user_id equi-join; a nested-loop/cartesian node would mean Spark is
+    // comparing every (view, purchase) pair — the quadratic shape the
+    // stream-stream state-store version never pays either.
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"attribution joined per-pair:\n$plan")
+    assert(plan.contains("Join"), s"no join node (plan changed shape?):\n$plan")
+  }
+
   test("d_neardup_rep: representative selection never windows the corpus") {
     // The scale contract: rep ranking runs only on the tiny pair-graph
     // membership as a map-side-combined max_by; the corpus takes plain
