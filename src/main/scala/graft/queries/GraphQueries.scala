@@ -140,6 +140,49 @@ object GraphQueries {
        |UNION ALL
        |SELECT 'in' AS side, bucket, count(*) AS vertices FROM ib GROUP BY bucket""".stripMargin
 
+  /** Average successor out-degree per vertex — the local assortativity
+    * signal (hubs linking to hubs vs hubs linking to leaves) behind the
+    * global g_assort coefficient. One degree aggregate + one equi-join
+    * back onto the arcs + one per-src mean; the mean is computed as
+    * exact-integer sum / count so both engines produce the identical
+    * IEEE division.
+    */
+  def avgNbrDeg(spark: SparkSession, dir: String): DataFrame = {
+    val e = edgesDf(spark, dir)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("src").as("dst"), col("d")), Seq("dst"), "left")
+      .groupBy(col("src").as("id"))
+      .agg((sum(coalesce(col("d"), lit(0L))) / count(lit(1))).as("avg_nbr_outdeg"))
+      .select(col("id"), col("avg_nbr_outdeg"))
+  }
+
+  val avgNbrDegSql: String =
+    s"""WITH $edgesSql,
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+       |SELECT e.src AS id,
+       |       CAST(sum(coalesce(deg.d, 0)) AS DOUBLE) / count(*) AS avg_nbr_outdeg
+       |FROM edges e LEFT JOIN deg ON deg.src = e.dst
+       |GROUP BY e.src""".stripMargin
+
+  /** Power-law exponent MLE over the out-degree tail (Clauset–Shalizi–
+    * Newman continuous approximation at dmin=1: α = 1 + n / Σ ln(d/0.5))
+    * — THE scale-free-ness scalar of a web graph, and the number that
+    * predicts how bad hub skew will be for any per-vertex operator. Two
+    * scalar aggregates, zero joins.
+    */
+  def powerlawAlpha(spark: SparkSession, dir: String): DataFrame =
+    edgesDf(spark, dir)
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_tail"),
+        (lit(1.0) + count(lit(1)) / sum(log(col("d") / 0.5))).as("alpha"))
+
+  val powerlawAlphaSql: String =
+    s"""WITH $edgesSql,
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+       |SELECT count(*) AS n_tail,
+       |       1.0 + count(*) / sum(ln(d / 0.5)) AS alpha
+       |FROM deg""".stripMargin
+
   /** Successor-gap γ-code cost histogram — the BV-format compressibility
     * signal the reference's graph storage is built on (webgraph BVGraph:
     * per-node sorted successor lists, first successor zigzag-coded

@@ -111,6 +111,65 @@ object TextQueries {
       |SELECT pair, count(*) AS n FROM p GROUP BY pair
       |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin
 
+  // --- bigram PMI collocations -----------------------------------------
+
+  /** Pointwise mutual information of adjacent word pairs seen ≥ 5 times —
+    * collocation extraction ("new york" vs chance co-occurrence), the
+    * statistic behind phrase-vocabulary induction and boilerplate
+    * detection. pmi = ln(c_ab·T² / (B·c_a·c_b)) with T total tokens and
+    * B total bigrams, rounded to 6 dp so the two engines' libm ulps
+    * can't show. Two counting shuffles (unigrams, bigrams) + two
+    * equi-joins of the surviving pairs against the unigram counts (a
+    * keyspace that only shrinks as the count floor rises with corpus
+    * size); the T/B scalars ride in as 1-row cross joins — nothing here
+    * depends on corpus order, so it parallelizes like any word count.
+    */
+  def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(filter(split(col("text"), "\\s+"), x => x =!= lit("")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+    val bi = toks
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""".stripMargin)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val uniCnt = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .join(uniCnt.select(col("t").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uniCnt.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(uni.agg(count(lit(1)).as("tt")))
+      .crossJoin(bi.agg(count(lit(1)).as("bb")))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log(col("n").cast("double") * col("tt") * col("tt")
+          / (col("bb").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
+  }
+
+  val pmiSql: String =
+    """WITH ww AS (
+      |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |uni AS (SELECT unnest(w) AS t FROM ww),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |           i -> [w[CAST(i AS INTEGER)], w[CAST(i AS INTEGER) + 1]])) AS p
+      |  FROM ww WHERE len(w) >= 2
+      |),
+      |uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+      |bc AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n FROM bi GROUP BY 1, 2
+      |       HAVING count(*) >= 5),
+      |tt AS (SELECT count(*) AS tt FROM uni),
+      |bb AS (SELECT count(*) AS bb FROM bi)
+      |SELECT bc.w1, bc.w2, bc.n,
+      |       round(ln(CAST(bc.n AS DOUBLE) * tt.tt * tt.tt
+      |                / (CAST(bb.bb AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+      |FROM bc
+      |JOIN uc u1 ON u1.t = bc.w1
+      |JOIN uc u2 ON u2.t = bc.w2
+      |CROSS JOIN tt CROSS JOIN bb""".stripMargin
+
   // --- tf-idf top terms ----------------------------------------------
 
   def tfIdf(spark: SparkSession, dir: String): DataFrame =
