@@ -81,6 +81,60 @@ object RelationalQueries {
       |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
       |ORDER BY key""".stripMargin
 
+  /** ROLLUP cube face: quantity/count at (returnflag, linestatus),
+    * per-returnflag subtotals, and the grand total in ONE pass — Spark
+    * plans grouping sets as a single Expand + aggregate, so the subtotal
+    * levels cost one extra shuffle row per input row, not one extra scan
+    * per level (the 100 TB difference between ROLLUP and a UNION of
+    * re-aggregations). NULL group markers are replaced with 'ALL'
+    * sentinels: both engines null out rolled-up keys, but a NULL group
+    * key would be indistinguishable from genuine null data in the
+    * compare.
+    */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+
+  val rollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** PIVOT face: hourly event matrix, one column per event type — the
+    * wide-format report shape. Deliberately spelled as conditional
+    * aggregation (`count(when(...))` per type) rather than
+    * `RelationalGroupedDataset.pivot`: with a KNOWN value list the two are
+    * semantically identical, but `.pivot` plans as TWO aggregates — a
+    * partial count shuffled on (hour, type), then a `pivotfirst` shuffled
+    * again on hour — while the conditional form is ONE map-side-combined
+    * aggregate with a single shuffle on hour. At 100 TB that halves the
+    * shuffle volume and drops the wider (hour, type) key space entirely.
+    * (An IMPLICIT `.pivot` would additionally pay a full distinct scan to
+    * discover the columns and yield a run-dependent schema.)
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) =
+      count(when(col("event_type") === t, 1)).as(t)
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"), cnt("error"))
+  }
+
+  val eventsPivotSql: String =
+    """SELECT date_trunc('hour', ts) AS hour,
+      |       count(*) FILTER (WHERE event_type = 'view') AS "view",
+      |       count(*) FILTER (WHERE event_type = 'click') AS click,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       count(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Tumbling 1-hour event aggregation — the batch face of the streaming
     * pipeline (graft.streaming.EventStream runs the identical aggregation
     * as a watermarked Structured Streaming query; the spec asserts

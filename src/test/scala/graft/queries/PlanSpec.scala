@@ -293,6 +293,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("q_rollup: grouping sets plan as ONE Expand pass, never a union of re-aggregations") {
+    val q = RelationalQueries.rollup(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(plan.contains("Expand"),
+      s"rollup lost its Expand (plan changed shape?):\n$plan")
+    assert(!plan.contains("Union"),
+      s"rollup degenerated into unioned re-aggregations:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
+  }
+
+  test("q_pivot: explicit value list keeps the pivot ONE scan + ONE aggregate, no join") {
+    val q = RelationalQueries.eventsPivot(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("Join"),
+      s"pivot self-joins per event type:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+  }
+
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
     val plan = g.adjacency.queryExecution.executedPlan.toString
