@@ -710,6 +710,81 @@ object TextQueries {
        |) t WHERE rank <= 5""".stripMargin
   }
 
+  /** Spherical k-means clustering face ([[graft.similarity.Ivf.kmeans]]):
+    * ONE Lloyd iteration from the deterministic seed quantizer, then hard
+    * assignment under the trained centroids — output = per-cluster size +
+    * mean member cosine. The oracle replays the full loop: seed (8
+    * smallest vec_ids), rounded-cosine argmax assignment, per-dimension
+    * mean of members' UNIT vectors, renormalize, FLOAT-truncate (the
+    * truncation is what makes the trained quantizer cross-engine stable:
+    * a ~1e-16 sum-reassociation difference between engines almost never
+    * moves a float), reassign, aggregate. Empty cells keep their seed
+    * center (FAISS behavior) — the oracle's UNION arm.
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = graft.similarity.Ivf.kmeans(e, nlist = 8, iters = 1)
+    graft.similarity.Ivf.assign(e, cents)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"), avg(col("sim")).as("mean_sim"))
+  }
+
+  val kmeansClustersSql: String = {
+    def cos(qe: String, ce: String, qn: String, cn: String) =
+      s"""round(list_sum(list_transform(range(1, len($qe) + 1), i -> $qe[i] * CAST($ce[i] AS DOUBLE)))
+         |      / greatest($qn * $cn, 1e-12), 6)""".stripMargin
+    s"""WITH $embPrelude,
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+       |         list_transform(e, x -> CAST(x AS FLOAT)) AS ce, nrm AS cnrm
+       |  FROM n ORDER BY vec_id ASC LIMIT 8
+       |),
+       |sc0 AS (
+       |  SELECT q.vec_id, c.cid, ${cos("q.e", "c.ce", "q.nrm", "c.cnrm")} AS csim
+       |  FROM n q CROSS JOIN cent0 c
+       |),
+       |assign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
+       |    FROM sc0
+       |  ) WHERE r = 1
+       |),
+       |comp AS (
+       |  SELECT cid, dim, avg(x) AS m FROM (
+       |    SELECT a.cid AS cid,
+       |           unnest(range(0, len(n.e))) AS dim,
+       |           unnest(list_transform(n.e, x -> x / greatest(n.nrm, 1e-12))) AS x
+       |    FROM n JOIN assign0 a USING (vec_id)
+       |  ) GROUP BY cid, dim
+       |),
+       |cnorm AS (SELECT cid, sqrt(sum(m * m)) AS cn FROM comp GROUP BY cid),
+       |cent1 AS (
+       |  SELECT comp.cid AS cid,
+       |         list(CAST(m / greatest(cn, 1e-12) AS FLOAT) ORDER BY dim) AS ce
+       |  FROM comp JOIN cnorm USING (cid) GROUP BY comp.cid, cn
+       |  UNION ALL
+       |  SELECT cid, ce FROM cent0
+       |  WHERE cid NOT IN (SELECT cid FROM assign0)
+       |),
+       |cent1n AS (
+       |  SELECT cid, ce,
+       |         sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * x))) AS cnrm
+       |  FROM cent1
+       |),
+       |sc1 AS (
+       |  SELECT q.vec_id, c.cid, ${cos("q.e", "c.ce", "q.nrm", "c.cnrm")} AS csim
+       |  FROM n q CROSS JOIN cent1n c
+       |),
+       |assign1 AS (
+       |  SELECT vec_id, cid, csim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
+       |    FROM sc1
+       |  ) WHERE r = 1
+       |)
+       |SELECT cid AS cell, count(*) AS n_members, avg(csim) AS mean_sim
+       |FROM assign1 GROUP BY cid""".stripMargin
+  }
+
   // --- BPE-ish sub-word token counting --------------------------------
 
   /** (doc_id, n_subtokens, n_distinct_subtokens) over the BPE-style

@@ -68,6 +68,21 @@ object Ivf {
     sort_array(array(scores: _*))
   }
 
+  /** Hard cluster assignment under a given quantizer: (vec_id, cell, sim)
+    * where cell is the rounded-cosine argmax centroid (ties → smallest
+    * cid, like the search path) and sim the rounded cosine to it. One
+    * pass, zero shuffle — the centroids ride the plan as literals.
+    */
+  def assign(emb: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    require(cents.nonEmpty, "assign needs at least one centroid")
+    emb.select(col("vec_id"), col("embedding"),
+        VectorSim.normCol(col("embedding")).as("nrm"))
+      .select(col("vec_id"), element_at(sortedCells(cents), 1).as("best"))
+      .select(col("vec_id"),
+        col("best").getField("cid").as("cell"),
+        (-col("best").getField("negSim")).as("sim"))
+  }
+
   /** IVF-flat cosine top-k. Output (vec_id, nbr_id, sim, rank), rank 1..k.
     *
     * `nlist` should grow with the corpus (√n is the classical choice) so

@@ -543,4 +543,38 @@ class IvfSpec extends AnyFunSuite {
     assert(c1.map(_.cid) == (0 until 5))
     assert(c1.zip(c2).forall { case (a, b) => a.vec.sameElements(b.vec) })
   }
+
+  test("assign: every vector exactly once, ties to smallest cid, sim matches a replay") {
+    import spark.implicits._
+    // Two identical unit centroids force a tie on every row → cid 0 wins;
+    // a third orthogonal centroid must capture its own axis.
+    val cents = Seq(
+      Ivf.Centroid(0, Array(1f, 0f, 0f)),
+      Ivf.Centroid(1, Array(1f, 0f, 0f)),
+      Ivf.Centroid(2, Array(0f, 1f, 0f)))
+    val vecs = Seq(
+      (1L, Array(2f, 0f, 0f)),   // exact tie between cid 0 and 1
+      (2L, Array(0f, 3f, 0f)),   // cid 2's axis
+      (3L, Array(1f, 1f, 0f)))   // cos ≈ 0.707107 to ALL three → rounded tie → cid 0
+    val got = Ivf.assign(vecs.toDF("vec_id", "embedding"), cents)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((0, 1.0)), s"tie must break to cid 0: ${got(1L)}")
+    assert(got(2L) == ((2, 1.0)), got(2L).toString)
+    assert(got(3L)._1 == 0 && math.abs(got(3L)._2 - 0.707107) < 1e-9, got(3L).toString)
+    assert(got.size == 3)
+  }
+
+  test("kmeans(iters=1) + assign: members sit no farther from their trained center than the seed one") {
+    val seed = Ivf.seedCentroids(embDf, 8)
+    val trained = Ivf.kmeans(embDf, nlist = 8, iters = 1)
+    assert(trained.map(_.cid) == (0 until 8), "cid set must be preserved")
+    val seedObj = Ivf.objective(embDf, seed)
+    val trainedObj = Ivf.objective(embDf, trained)
+    assert(trainedObj <= seedObj + 1e-9, s"one Lloyd step worsened: $seedObj -> $trainedObj")
+    // assignment totals: every vector lands in exactly one cell
+    val n = embDf.count()
+    val assigned = Ivf.assign(embDf, trained)
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+  }
 }
