@@ -77,6 +77,39 @@ object TriangleCount {
 
   def total(graph: Graph): Long = triangles(graph).count()
 
+  /** Per-edge triangle support — the number of triangles containing each
+    * canonical undirected edge (u < v), 0 for triangle-free edges. This
+    * is the k-truss peeling signal: k-truss = iterate (filter support <
+    * k−2, recount), and one support pass is the whole per-round cost.
+    * Same plan family as [[triangles]] (wedge equi-join + semi-join),
+    * plus ONE map-side-combined count shuffle keyed by the edge — each
+    * triangle (a, b, c) credits its three edges, so the shuffle carries
+    * 3·T rows partial-aggregated, never the wedge stream.
+    */
+  def edgeSupport(graph: Graph): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val und = graph.edges
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val o = orientCanonical(und)
+    val e1 = o.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = o.select(col("src").as("a"), col("dst").as("c"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+    val tri = wedges
+      .join(und, wedges("b") === und("u") && wedges("c") === und("v"), "left_semi")
+    // a is the (deg,id)-minimal apex, not id-minimal — canonicalize the
+    // two apex edges; (b, c) is already canonical (b < c by construction).
+    val sup = tri.select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+      .union(tri.select(least($"a", $"c").as("u"), greatest($"a", $"c").as("v")))
+      .union(tri.select($"b".as("u"), $"c".as("v")))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+    und.join(sup, Seq("u", "v"), "left")
+      .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
+  }
+
   /** (id, triangles) for every vertex (0 for triangle-free vertices). */
   def perVertex(graph: Graph): DataFrame = {
     val spark = graph.spark

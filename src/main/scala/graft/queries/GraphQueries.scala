@@ -719,6 +719,25 @@ object GraphQueries {
        |SELECT n.id, coalesce(pv.triangles, 0) AS triangles
        |FROM nodes n LEFT JOIN pv ON n.id = pv.id""".stripMargin
 
+  /** Per-edge triangle support over the undirected simple graph — the
+    * k-truss peeling signal ([[graft.operators.TriangleCount.edgeSupport]]).
+    */
+  def trussSupport(spark: SparkSession, dir: String): DataFrame =
+    TriangleCount.edgeSupport(graph(spark, dir))
+
+  val trussSupportSql: String =
+    s"""WITH $edgesSql,
+       |$orientSql,
+       |sup AS (
+       |  SELECT u, v, count(*) AS support FROM (
+       |    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+       |    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+       |    UNION ALL SELECT b, c FROM tri
+       |  ) t GROUP BY u, v
+       |)
+       |SELECT und.u, und.v, coalesce(sup.support, 0) AS support
+       |FROM und LEFT JOIN sup ON und.u = sup.u AND und.v = sup.v""".stripMargin
+
   /** Local clustering coefficient — c(v) = 2·T(v) / (d(v)·(d(v)−1)) over
     * the undirected simple graph (self-loops dropped), 0 when d < 2. The
     * coefficient is ONE IEEE division of exact integers (2·T and d·(d−1)

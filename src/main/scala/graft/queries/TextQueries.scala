@@ -201,6 +201,56 @@ object TextQueries {
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextOps.quality(docs(spark, dir))
 
+  /** Per-doc character Shannon entropy (bits/char) + distinct-char count
+    * — the classic gibberish/boilerplate signal (near-0 = one repeated
+    * char; ~4.2 = typical English; ~6+ = random bytes). Plan: explode to
+    * (doc_id, char) and aggregate TWICE — the first groupBy partial-
+    * aggregates map-side, so the shuffle carries only doc × alphabet
+    * histogram rows (≤ ~100/doc for ASCII text), never the character
+    * stream; the second is a per-doc rollup of those. Entropy terms are
+    * exact-int divisions and log2 in double; the sum's reassociation
+    * noise (~1e-15) sits far inside the gate's 1e-9 relative tolerance.
+    * Empty/null texts are excluded (entropy undefined); this corpus has
+    * none.
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOf(docs(spark, dir))
+
+  /** [[entropy]] over an arbitrary (doc_id, text, …) frame — split out so
+    * specs can run goldens on literal corpora.
+    */
+  def entropyOf(d: DataFrame): DataFrame = {
+    val chars = d
+      .filter(length(coalesce(col("text"), lit(""))) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), "")).as("ch"))
+    chars.groupBy(col("doc_id"), col("n_chars"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(
+        count(lit(1)).as("distinct_chars"),
+        (-sum((col("c").cast("double") / col("n_chars"))
+          * log2(col("c").cast("double") / col("n_chars")))).as("entropy"))
+  }
+
+  val entropySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+      |),
+      |ch AS (
+      |  SELECT doc_id, len(text) AS n_chars,
+      |         substring(text, CAST(i AS INT), 1) AS ch
+      |  FROM d, unnest(range(1, len(text) + 1)) AS t(i)
+      |  WHERE len(text) > 0
+      |),
+      |h AS (
+      |  SELECT doc_id, n_chars, ch, count(*) AS c
+      |  FROM ch GROUP BY doc_id, n_chars, ch
+      |)
+      |SELECT doc_id, n_chars, count(*) AS distinct_chars,
+      |       -sum((CAST(c AS DOUBLE) / n_chars) * log2(CAST(c AS DOUBLE) / n_chars)) AS entropy
+      |FROM h GROUP BY doc_id, n_chars""".stripMargin
+
   /** The SQL stopword literal and quality-score formula exist ONCE and
     * compose into [[qualitySql]] and [[corpusReportSql]] (mirroring the
     * Spark side's shared `TextOps.qualityScoreCol`); `p` prefixes the

@@ -217,6 +217,34 @@ class TriangleCountSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pv == (0L until 5L).map(_ -> 6L).toMap)
   }
+
+  test("edge support: clique5 edges all C(3,1)=3; triangle+tail splits 1/1/1/0") {
+    def sup(pairs: Seq[(Long, Long)]) =
+      TriangleCount.edgeSupport(Graph.fromPairs(spark, pairs))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k5 = sup(Fixtures.clique5)
+    assert(k5.size == 10 && k5.values.forall(_ == 3L), k5.toString)
+    // triangle 0-1-2 plus tail edge 1-3: the three triangle edges have
+    // support 1, the tail 0
+    val tt = sup(Fixtures.triangleTail)
+    assert(tt((0L, 1L)) == 1L && tt((0L, 2L)) == 1L && tt((1L, 2L)) == 1L)
+    assert(tt((1L, 3L)) == 0L)
+  }
+
+  test("edge support: per-vertex counts are recoverable (sum of incident supports = 2·T(v))") {
+    // Each triangle at v contributes to exactly 2 of v's incident edges,
+    // so Σ_{e ∋ v} support(e) = 2 · triangles(v) — a cross-operator
+    // consistency check on an ER graph.
+    val edges = Fixtures.erdosRenyi(30, 0.2, 5)
+    val g = Graph.fromPairs(spark, edges)
+    val sup = TriangleCount.edgeSupport(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val perV = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    sup.foreach { case ((u, v), s) => perV(u) += s; perV(v) += s }
+    val tri = TriangleCount.perVertex(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tri.foreach { case (id, t) => assert(perV(id) == 2 * t, s"vertex $id") }
+  }
 }
 
 class BfsSpec extends AnyFunSuite {

@@ -54,6 +54,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sh(0L).head == "the quick brown")
   }
 
+  test("entropy: closed-form goldens, empty/null excluded, sums to a Scala replay") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    val docs = Seq(
+      (0L, Some("aaaa")),        // 1 symbol  → 0 bits
+      (1L, Some("abab")),        // 2 equiprobable → 1 bit
+      (2L, Some("abcd")),        // 4 equiprobable → 2 bits
+      (3L, Some("aab")),         // 2/3,1/3 → ~0.9183 bits
+      (4L, Some("")),            // excluded
+      (5L, Option.empty[String]) // excluded
+    ).toDF("doc_id", "text")
+    val got = TextQueries.entropyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    assert(got(0L) == ((4L, 1L, -0.0)) || got(0L) == ((4L, 1L, 0.0)))
+    assert(got(1L)._3 == 1.0 && got(1L)._2 == 2L)
+    assert(got(2L)._3 == 2.0 && got(2L)._2 == 4L)
+    val h3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    assert(math.abs(got(3L)._3 - h3) < 1e-12, got(3L).toString)
+    // differential on a longer mixed string vs a per-char Scala replay
+    val s = "the quick brown fox jumps over the lazy dog, twice; the dog minds."
+    val one = TextQueries.entropyOf(Seq((9L, s)).toDF("doc_id", "text")).head()
+    val hist = s.groupBy(identity).view.mapValues(_.length.toDouble).values
+    val want = -hist.map(c => c / s.length * math.log(c / s.length)).sum / math.log(2)
+    assert(math.abs(one.getDouble(3) - want) < 1e-12)
+    assert(one.getLong(2) == s.distinct.length.toLong)
+  }
+
   test("fingerprint: whitespace/case-insensitive, content-sensitive") {
     import spark.implicits._
     val docs = Seq(
