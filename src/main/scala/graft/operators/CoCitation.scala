@@ -55,4 +55,43 @@ object CoCitation {
         round(sum(lit(1.0) / log(col("deg").cast("double"))), 6).as("aa"))
       .where(col("common") >= minSupport)
   }
+
+  /** Neighborhood Jaccard over the same co-cited pairs: for targets u, v
+    * with capped in-neighbor (citing-source) sets N(u), N(v),
+    * jac = |N(u)∩N(v)| / (|N(u)| + |N(v)| − |N(u)∩N(v)|) — the
+    * set-overlap normalization of co-citation, penalizing promiscuously
+    * cited targets the raw `common` count rewards. Membership counts only
+    * CAPPED sources (consistent with the pair counting, same hub
+    * rationale). The ratio is ONE IEEE division of exact integers —
+    * bit-identical cross-engine, no rounding needed.
+    *
+    * Scale shape: [[run]]'s pair plan plus one map-side-combined
+    * in-degree count over the capped edges and two equi-joins of the
+    * (already minSupport-filtered, so shrunken) pair table against it.
+    * Output (u, v, common, jaccard).
+    */
+  def jaccard(edges: DataFrame, maxOutDeg: Int = DefaultMaxOutDeg,
+              minSupport: Int = 2): DataFrame = {
+    require(maxOutDeg >= 2, s"maxOutDeg must be >= 2, got $maxOutDeg")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val capped = edges
+      .select(col("src"), col("dst"))
+      .distinct()
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .where(col("deg") <= maxOutDeg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = capped.select(col("src"), col("dst").as("u"))
+      .join(capped.select(col("src"), col("dst").as("v")), Seq("src"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minSupport)
+    val indeg = capped.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    pairs
+      .join(indeg.select(col("dst").as("u"), col("d").as("du")), Seq("u"))
+      .join(indeg.select(col("dst").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"),
+        (col("common").cast("double") / (col("du") + col("dv") - col("common")))
+          .as("jaccard"))
+  }
 }

@@ -94,6 +94,19 @@ object TriangleCount {
       .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    supportOfCanonical(und)
+  }
+
+  /** [[edgeSupport]] over an ALREADY-CANONICAL (u < v, simple, loop-free)
+    * undirected edge table — the per-round primitive of the [[KTruss]]
+    * peel, which hands in its (materialized, checkpoint-cut) surviving
+    * edge state each round. `und` is referenced three times (orientation,
+    * closing-edge semi-join, zero-support left join): callers must pass a
+    * persisted/materialized frame or pay the scan thrice.
+    */
+  def supportOfCanonical(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
     val o = orientCanonical(und)
     val e1 = o.select(col("src").as("a"), col("dst").as("b"))
     val e2 = o.select(col("src").as("a"), col("dst").as("c"))

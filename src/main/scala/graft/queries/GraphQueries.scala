@@ -1361,6 +1361,83 @@ object GraphQueries {
        |SELECT src AS id, count(*) AS deg FROM sym$KCoreRounds GROUP BY src""".stripMargin
   }
 
+  // --- k-truss ------------------------------------------------------------
+
+  /** Vertex-space modulus of the k-truss derived graph — DENSER than the
+    * k-core one (mod 1201 vs 8009): truss peeling is driven by per-edge
+    * TRIANGLE support, and the mod-8009 graph (avg simple degree ~15 at
+    * sf0.01) is nearly triangle-free, so every k ≥ 3 would cascade to
+    * empty at both gate scale factors. At mod 1201 the measured 4-truss
+    * keeps 56,015 of 60k edges in 3 synchronous rounds at sf0.01 and
+    * peels down to a 98-edge residue through a 6-round cascade at
+    * sf0.001 — both peel paths (bulk survival, deep cascade) are
+    * exercised.
+    */
+  val TrussN = 1201
+  val TrussK = 4
+
+  /** Unrolled oracle peel rounds: measured fixpoint depth ≤ 6 at the
+    * gate scale factors; the peel is monotone, so extra rounds are no-op
+    * support passes over the converged (shrunken) edge set — correctness
+    * headroom, like [[KCoreRounds]].
+    */
+  private val TrussRounds = 10
+
+  private def trussEdgesDf(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .selectExpr(
+        s"l_partkey % $TrussN AS src",
+        s"(l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $TrussN AS dst")
+      .distinct()
+
+  private def trussGraph(spark: SparkSession, dir: String): Graph =
+    memoized(spark, s"tgraph:$dir") { Graph.fromEdges(trussEdgesDf(spark, dir)) }
+
+  /** k-truss ([[KTruss.run]]): surviving edges with in-truss support. */
+  def ktruss(spark: SparkSession, dir: String): DataFrame =
+    KTruss.run(trussGraph(spark, dir), k = TrussK).truss
+
+  /** Oracle: the same synchronous peel, unrolled — each round counts
+    * every surviving edge's common neighbors over the symmetric closure
+    * of the surviving set and keeps support ≥ k−2 (an edge with ZERO
+    * common neighbors vanishes from the support aggregate, so the
+    * inner-join filter removes it — k−2 ≥ 1 at k=4). The final SELECT
+    * re-counts support over the fixpoint set, matching
+    * [[graft.operators.KTruss.Result.truss]].
+    */
+  lazy val ktrussSql: String = {
+    def supPass(src: String, out: String): String =
+      s"""${out}sym AS (SELECT u AS a, v AS b FROM $src UNION ALL SELECT v, u FROM $src),
+         |$out AS MATERIALIZED (
+         |  SELECT e.u, e.v, count(*) AS s
+         |  FROM $src e
+         |  JOIN ${out}sym s1 ON s1.a = e.u
+         |  JOIN ${out}sym s2 ON s2.a = e.v AND s2.b = s1.b
+         |  GROUP BY e.u, e.v)""".stripMargin
+    val rounds = (1 to TrussRounds).map { i =>
+      val p = s"t${i - 1}"
+      s"""${supPass(p, s"sup$i")},
+         |t$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $p e
+         |  JOIN sup$i s ON e.u = s.u AND e.v = s.v
+         |  WHERE s.s >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tedges AS MATERIALIZED (
+       |  SELECT DISTINCT (l_partkey % $TrussN) AS src,
+       |         ((l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $TrussN) AS dst
+       |  FROM lineitem
+       |),
+       |t0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM tedges WHERE src <> dst),
+       |$rounds,
+       |${supPass(s"t$TrussRounds", "supf")}
+       |SELECT e.u, e.v, coalesce(s.s, 0) AS support
+       |FROM t$TrussRounds e
+       |LEFT JOIN supf s ON e.u = s.u AND e.v = s.v""".stripMargin
+  }
+
   // --- modularity --------------------------------------------------------
 
   /** LP-3 labels on the sparse graph, computed once per (session, dir)

@@ -315,6 +315,30 @@ object IngestQueries {
        |FROM p GROUP BY u, v
        |HAVING count(*) >= 2""".stripMargin
 
+  /** Neighborhood Jaccard over the co-cited target pairs
+    * ([[graft.operators.CoCitation.jaccard]]) — co-citation's
+    * set-overlap normalization: common citing sources over the UNION of
+    * the two targets' capped citer sets, so promiscuously-cited targets
+    * (navigation pages) stop dominating the raw common count.
+    */
+  def nbrJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CoCitation
+      .jaccard(LinkExtract.links(pages(spark, dir))
+        .select(col("src_url").as("src"), col("dst_url").as("dst")))
+
+  val nbrJaccardSql: String =
+    s"""WITH $pagesLnkSql,
+       |${pairsSql("src_url", "dst_url")},
+       |td AS (SELECT dst AS t, count(*) AS d FROM cap GROUP BY dst),
+       |cj AS (
+       |  SELECT u, v, count(*) AS common FROM p GROUP BY u, v
+       |  HAVING count(*) >= 2)
+       |SELECT cj.u, cj.v, cj.common,
+       |       CAST(cj.common AS DOUBLE) / (tu.d + tv.d - cj.common) AS jaccard
+       |FROM cj
+       |JOIN td tu ON tu.t = cj.u
+       |JOIN td tv ON tv.t = cj.v""".stripMargin
+
   /** URL canonicalization + variant collapse ([[graft.ingest.UrlNorm]])
     * — the crawl-frontier dedup: each document's base URL plus a messy
     * fetch variant (case 0: uppercased scheme+host; 1: utm tracking

@@ -106,6 +106,35 @@ object RelationalQueries {
       |       sum(l_quantity) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE face: every grouping-set combination of (returnflag, ship
+    * year) — the full cross-tab report next to [[rollup]]'s hierarchy.
+    * Same single-Expand plan property: Spark emits 4 grouping-set rows
+    * per input row into ONE map-side-combined aggregate (one shuffle),
+    * vs 4 separate scans+aggregates for the UNION spelling. Ship year
+    * (an exact int both engines derive identically from the date) keeps
+    * the cube's second axis low-cardinality, the CUBE sweet spot.
+    */
+  def cube(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"),
+        col("l_quantity"), col("l_extendedprice"))
+      .cube(col("l_returnflag"), col("ship_year"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("ship_year").cast("long"), lit(-1L)).as("ship_year"),
+        col("sum_qty"), col("sum_price"), col("n"))
+
+  val cubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |       coalesce(CAST(year(l_shipdate) AS BIGINT), -1) AS ship_year,
+      |       sum(l_quantity) AS sum_qty,
+      |       sum(l_extendedprice) AS sum_price,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))""".stripMargin
+
   /** PIVOT face: hourly event matrix, one column per event type — the
     * wide-format report shape. Deliberately spelled as conditional
     * aggregation (`count(when(...))` per type) rather than

@@ -170,6 +170,55 @@ object TextQueries {
       |JOIN uc u2 ON u2.t = bc.w2
       |CROSS JOIN tt CROSS JOIN bb""".stripMargin
 
+  // --- unigram-LM cross-entropy quality filter --------------------------
+
+  /** Per-document cross-entropy (bits/token) against the corpus unigram
+    * LM — the CCNet-style language-model quality filter: documents whose
+    * token distribution diverges from the corpus (gibberish, boilerplate,
+    * wrong-language residue) score HIGH and get dropped/bucketed.
+    * xent(d) = −(1/|d|)·Σ_{w∈d} log2(c_w / T) with c_w the corpus count
+    * and T total tokens; every token has c_w ≥ 1, so no smoothing is
+    * needed. Zero-token documents are excluded (xent undefined).
+    *
+    * Scale shape: two counting shuffles (corpus vocabulary, per-doc term
+    * counts — both map-side combined, which absorbs Zipf head skew before
+    * the exchange) + ONE equi-join of the per-doc term table against the
+    * vocabulary (build side is |V|, not |corpus|) + the T scalar riding
+    * in as a 1-row cross join. Raw doubles, no rounding: per-doc sums
+    * are a few hundred terms, so cross-engine summation-order error
+    * stays orders of magnitude under the gate's 1e-9 relative tolerance
+    * (the [[entropyOf]] contract).
+    */
+  def xent(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("t"))
+    val uc = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("tt"))
+    toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+      .join(uc, Seq("t"))
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        (-sum(col("n") * log2(col("c").cast("double") / col("tt"))) / sum(col("n"))).as("xent"))
+  }
+
+  val xentSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+      |uc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      |tt AS (SELECT count(*) AS tt FROM tok),
+      |dt AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY doc_id, t)
+      |SELECT dt.doc_id, CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+      |       -sum(dt.n * log2(CAST(uc.c AS DOUBLE) / tt.tt)) / sum(dt.n) AS xent
+      |FROM dt JOIN uc ON dt.t = uc.t CROSS JOIN tt
+      |GROUP BY dt.doc_id""".stripMargin
+
   // --- tf-idf top terms ----------------------------------------------
 
   def tfIdf(spark: SparkSession, dir: String): DataFrame =
@@ -712,6 +761,55 @@ object TextQueries {
        |         round(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
        |               / greatest(q.nrm * c.nrm, 1e-12), 6) AS sim
        |  FROM probes q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |)
+       |SELECT vec_id, nbr_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank
+       |  FROM p
+       |) t WHERE rank <= 5""".stripMargin
+  }
+
+  /** Int8 scalar-quantized ANN top-k ([[VectorSim.sqTopK]]): sign-LSH
+    * candidates (bits=4/probe=1, the e_lsh_topk geometry) scored with
+    * int8-quantized dot products — the 4×-compressed production index
+    * shape. Every quantized value and dot is an exact small integer in
+    * double, so the oracle replays it bit-identically.
+    */
+  def sqTopK(spark: SparkSession, dir: String): DataFrame =
+    VectorSim.sqTopK(emb(spark, dir), k = 5, dims = 64, bits = 4, probe = 1)
+      .select(col("vec_id"), col("nbr_id"), col("sim"), col("rank").cast("long").as("rank"))
+
+  val sqTopKSql: String = {
+    val bucket = (0 until 4).map { b =>
+      val lo = b * 16 + 1
+      val hi = b * 16 + 16
+      s"(CASE WHEN list_sum(e[$lo:$hi]) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $embPrelude,
+       |am AS (
+       |  SELECT vec_id, e, $bucket AS bucket,
+       |         list_aggregate(list_transform(e, x -> abs(x)), 'max') AS amax
+       |  FROM v
+       |),
+       |qv AS (
+       |  SELECT vec_id, bucket,
+       |         list_transform(e, x ->
+       |           floor(x * (127.0 / greatest(amax, 1e-12)) + 0.5)) AS q
+       |  FROM am
+       |),
+       |qq AS (
+       |  SELECT vec_id, bucket, q,
+       |         sqrt(list_sum(list_transform(q, x -> x * x))) AS qn
+       |  FROM qv
+       |),
+       |probes AS (
+       |  SELECT vec_id, q, qn, xor(bucket, m) AS bucket
+       |  FROM qq, (SELECT unnest([0, 1, 2, 4, 8]) AS m) t
+       |),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, c.vec_id AS nbr_id,
+       |         round(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * c.q[i]))
+       |               / greatest(a.qn * c.qn, 1e-12), 6) AS sim
+       |  FROM probes a JOIN qq c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
        |)
        |SELECT vec_id, nbr_id, sim, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank

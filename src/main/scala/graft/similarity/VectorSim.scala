@@ -138,6 +138,7 @@ object VectorSim {
     * SimHash/sign-LSH dedup trade (cf. `d_simhash_pairs`, which makes
     * the same bargain pigeonhole-COMPLETE for Hamming distance instead).
     */
+
   def nearDupPairs(emb: DataFrame, threshold: Double, dims: Int = 64,
                    bits: Int = 0, probe: Int = 1): DataFrame = {
     require(probe >= 0 && probe <= 2, "probe radius 0..2 supported")
@@ -155,5 +156,70 @@ object VectorSim {
         round(dotCol(col("q.embedding"), col("c.embedding"))
           / greatest(col("q.nrm") * col("c.nrm"), lit(1e-12)), 6).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  /** Int8 scalar-quantized (SQ) vectors: per-vector symmetric max-abs
+    * scale s = 127 / max|xᵢ|, qᵢ = floor(xᵢ·s + 0.5) ∈ [−127, 127] —
+    * floor-based rounding, NOT `round()`, because floor(x + 0.5) is one
+    * IEEE add + one floor that every engine computes bit-identically,
+    * while round()'s half-even vs half-away tie rule differs across
+    * engines. The scale CANCELS in cosine (q ∝ x per vector), so
+    * quantized cosine = intdot(qa, qb) / (√intdot(qa,qa)·√intdot(qb,qb))
+    * needs no per-vector scale at query time, and every intermediate is
+    * an exact small integer in double (dims·127² ≪ 2⁵³) — the quantized
+    * similarity is bit-identical cross-engine before the final division.
+    *
+    * Output schema: (vec_id, q: array<double> of integer values, qn).
+    */
+  def quantize(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (m, y) => greatest(m, y)).as("amax"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * (lit(127.0) / greatest(col("amax"), lit(1e-12)))
+            + lit(0.5)).cast("double")).as("q"))
+      .select(col("vec_id"), col("q"), sqrt(dotCol(col("q"), col("q"))).as("qn"))
+
+  /** SQ-scored ANN top-k: candidates from the SAME multi-probe sign-LSH
+    * bucketing as [[lshTopK]] (computed on the float vectors), scores
+    * from the int8-quantized vectors — the production ANN shape, where
+    * the index holds 4×-compressed vectors (64 int8 bytes vs 256 float
+    * bytes per 64-dim vector; at 10¹⁰ embeddings that is 640 GB vs
+    * 2.5 TB of vector payload in the candidate join) and full-precision
+    * re-rank is an optional second pass. Quantization error on cosine is
+    * O(1/127) per coordinate pair — the spec measures top-k agreement
+    * against exact scoring of the same candidates.
+    */
+  def sqTopK(emb: DataFrame, k: Int = 5, dims: Int = 64, bits: Int = 0,
+             probe: Int = 1): DataFrame = {
+    require(probe >= 0 && probe <= 2, "probe radius 0..2 supported")
+    val effBits = if (bits > 0) bits else autoBits(emb.count(), dims)
+    // Quantization + bucketing in ONE scan over the embeddings (same
+    // per-row expressions as [[quantize]] — a join back would shuffle
+    // the whole vector payload for columns computable in place).
+    val v = emb
+      .select(col("vec_id"), col("embedding"),
+        bucketCol(col("embedding"), dims, effBits).as("bucket"),
+        aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (m, y) => greatest(m, y)).as("amax"))
+      .select(col("vec_id"), col("bucket"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * (lit(127.0) / greatest(col("amax"), lit(1e-12)))
+            + lit(0.5)).cast("double")).as("q"))
+      .select(col("vec_id"), col("bucket"), col("q"),
+        sqrt(dotCol(col("q"), col("q"))).as("qn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = v.select(col("vec_id"), col("q"), col("qn"),
+      explode(array(probeMasks(effBits, probe)
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val pairs = q.as("a").join(v.as("c"),
+        col("a.bucket") === col("c.bucket") && col("a.vec_id") =!= col("c.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
+        round(dotCol(col("a.q"), col("c.q"))
+          / greatest(col("a.qn") * col("c.qn"), lit(1e-12)), 6).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("nbr_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
