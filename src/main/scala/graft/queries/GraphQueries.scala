@@ -1361,6 +1361,44 @@ object GraphQueries {
        |SELECT src AS id, count(*) AS deg FROM sym$KCoreRounds GROUP BY src""".stripMargin
   }
 
+  // --- exact 2-hop neighborhood size --------------------------------------
+
+  /** Exact directed 2-hop ball size per vertex (|{u ≠ v : dist(v,u) ≤ 2}|)
+    * on the SPARSE graph — the supernode/link-farm detector and the
+    * calibration query for HyperBall's approximate balls (HyperBall gives
+    * every radius at once with bounded error; this is the exact r=2
+    * ground truth you spot-check it against).
+    *
+    * Scale shape: one arc self-join through the middle vertex (fan-out =
+    * Σ_m in(m)·out(m), the 2-path count — the quantity [[avgNbrDeg]]
+    * estimates first; run THAT before this to know the blow-up), then
+    * distinct + count partial-aggregate map-side. At web scale the exact
+    * form is reserved for suspect subsets after the HyperBall screen —
+    * which is precisely the pairing this query documents.
+    */
+  def ball2(spark: SparkSession, dir: String): DataFrame = {
+    val e = kcoreEdgesDf(spark, dir)
+    val two = e.as("x")
+      .join(e.select(col("src").as("mid"), col("dst").as("d")).as("y"),
+        col("x.dst") === col("y.mid"))
+      .select(col("x.src"), col("y.d"))
+    e.select(col("src"), col("dst").as("d"))
+      .union(two)
+      .where(col("src") =!= col("d"))
+      .distinct()
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("ball2"))
+  }
+
+  val ball2Sql: String =
+    s"""WITH $sparseEdgesSql,
+       |hop2 AS (
+       |  SELECT x.src, y.dst AS d FROM edges x JOIN edges y ON x.dst = y.src
+       |  UNION
+       |  SELECT src, dst AS d FROM edges)
+       |SELECT src, count(*) AS ball2 FROM hop2
+       |WHERE src <> d GROUP BY src""".stripMargin
+
   // --- k-truss ------------------------------------------------------------
 
   /** Vertex-space modulus of the k-truss derived graph — DENSER than the

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ingest.{LinkExtract, UrlNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver-contract query for the ingest pipeline (north-rule "pages →
@@ -338,6 +339,37 @@ object IngestQueries {
        |FROM cj
        |JOIN td tu ON tu.t = cj.u
        |JOIN td tv ON tv.t = cj.v""".stripMargin
+
+  /** Top-3 pages per host by inlink count — the per-site authority
+    * shortlist (seed URLs for recrawl priority, per-host quality probes).
+    * One map-side-combined inlink count over the link table (popular
+    * targets partial-aggregate before the shuffle), then a window
+    * partitioned by HOST — partitions are per-site page counts, never the
+    * corpus; ties break on URL so the shortlist is deterministic.
+    */
+  def topInlinks(spark: SparkSession, dir: String): DataFrame = {
+    val inl = LinkExtract.links(pages(spark, dir))
+      .groupBy(col("dst_url").as("url"))
+      .agg(count(lit(1)).as("inlinks"))
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(desc("inlinks"), asc("url"))
+    inl.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("host"), col("url"), col("inlinks"), col("rank"))
+  }
+
+  val topInlinksSql: String =
+    s"""WITH $pagesLnkSql,
+       |inl AS (
+       |  SELECT dst_url AS url, count(*) AS inlinks,
+       |         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS host
+       |  FROM lnk GROUP BY dst_url)
+       |SELECT host, url, inlinks, rank FROM (
+       |  SELECT host, url, inlinks,
+       |         row_number() OVER (PARTITION BY host ORDER BY inlinks DESC, url ASC) AS rank
+       |  FROM inl
+       |) t WHERE rank <= 3""".stripMargin
 
   /** URL canonicalization + variant collapse ([[graft.ingest.UrlNorm]])
     * — the crawl-frontier dedup: each document's base URL plus a messy

@@ -219,6 +219,61 @@ object TextQueries {
       |FROM dt JOIN uc ON dt.t = uc.t CROSS JOIN tt
       |GROUP BY dt.doc_id""".stripMargin
 
+  /** Per-source KL divergence (bits) of the source's unigram distribution
+    * from the corpus distribution — the corpus-drift / source-quality
+    * dashboard next to [[xent]]'s per-document score:
+    * KL(s ‖ corpus) = Σ_w p_s(w)·log2(p_s(w)/p_c(w)). Every source token
+    * appears in the corpus by construction (source ⊆ corpus), so no
+    * smoothing is needed and KL is finite; KL ≥ 0 with equality iff the
+    * source's mix matches the corpus — a spiking source is the one to
+    * audit before the next training mix.
+    *
+    * Scale shape: same as [[xent]] — two map-side-combined counting
+    * shuffles (corpus vocab, per-source terms) + one equi-join against
+    * the |V|-sized vocabulary; per-source totals ride the same groupBy
+    * (sum over the source's term rows), the corpus total as a 1-row
+    * cross join. Output one row per source: summation order differs
+    * cross-engine but per-source sums are ~vocab-sized with all-positive
+    * p_s weights, orders of magnitude inside the gate tolerance.
+    */
+  def klSource(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("t"))
+    val uc = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("tt"))
+    val sc = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
+    val stot = sc.groupBy(col("source")).agg(sum(col("n")).as("stot"))
+    sc.join(uc, Seq("t"))
+      .join(stot, Seq("source"))
+      .crossJoin(total)
+      .groupBy(col("source"))
+      .agg(
+        max(col("stot")).as("n_tokens"),
+        sum((col("n") / col("stot"))
+          * log2((col("n").cast("double") / col("stot"))
+            / (col("c").cast("double") / col("tt")))).as("kl"))
+  }
+
+  val klSourceSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |tok AS (SELECT source, unnest(w) AS t FROM d),
+      |uc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+      |tt AS (SELECT count(*) AS tt FROM tok),
+      |sc AS (SELECT source, t, count(*) AS n FROM tok GROUP BY source, t),
+      |stot AS (SELECT source, sum(n) AS stot FROM sc GROUP BY source)
+      |SELECT sc.source, CAST(max(stot.stot) AS BIGINT) AS n_tokens,
+      |       sum((CAST(sc.n AS DOUBLE) / stot.stot)
+      |           * log2((CAST(sc.n AS DOUBLE) / stot.stot)
+      |                  / (CAST(uc.c AS DOUBLE) / tt.tt))) AS kl
+      |FROM sc JOIN uc ON sc.t = uc.t JOIN stot ON stot.source = sc.source
+      |CROSS JOIN tt
+      |GROUP BY sc.source""".stripMargin
+
   // --- tf-idf top terms ----------------------------------------------
 
   def tfIdf(spark: SparkSession, dir: String): DataFrame =
@@ -617,11 +672,14 @@ object TextQueries {
   def minHashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(docs(spark, dir), threshold = 0.125)
 
-  /** Oracle replicates the exact LSH pipeline: 32 salted min-hashes →
-    * 8 bands of 4 → candidate pairs agreeing on ≥1 band → signature-
-    * estimated jaccard ≥ threshold.
+  /** Shared oracle WITH-body replicating the exact LSH pipeline:
+    * distinct 3-gram shingles (`sh`) → 32 salted min-hashes → 8 bands of
+    * 4 → candidate pairs agreeing on ≥1 band → `est` = every candidate
+    * with its signature-estimated jaccard (UNthresholded — each consumer
+    * applies its own filter). Composed (never textually sliced) by
+    * [[minHashLshSql]] and [[minHashAccuracySql]].
     */
-  val minHashLshSql: String = {
+  private val minHashBodySql: String = {
     val numHashes = 32
     val bands = 8
     val rows = numHashes / bands
@@ -633,7 +691,7 @@ object TextQueries {
     }.mkString("\n  UNION ALL\n  ")
     val matches = (0 until numHashes)
       .map(i => s"CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH ${shinglesSql(3)},
+    s"""${shinglesSql(3)},
        |dig AS (SELECT doc_id, md5(shingle) AS m FROM sh),
        |base AS (
        |  SELECT doc_id, CAST(('0x' || substring(m, 1, 15)) AS BIGINT) AS ha,
@@ -655,12 +713,41 @@ object TextQueries {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-       |)
-       |SELECT a, b, est AS estJaccard FROM (
-       |  SELECT a, b, round(($matches) / ${numHashes}.0, 6) AS est
+       |),
+       |est AS (
+       |  SELECT a, b, round(($matches) / ${numHashes}.0, 6) AS estJaccard
        |  FROM cand JOIN sig xa ON xa.doc_id = a JOIN sig xb ON xb.doc_id = b
-       |) t WHERE est >= 0.125""".stripMargin
+       |)""".stripMargin
   }
+
+  val minHashLshSql: String =
+    s"""WITH $minHashBodySql
+       |SELECT a, b, estJaccard FROM est WHERE estJaccard >= 0.125""".stripMargin
+
+  /** Sketch calibration ([[Dedup.minHashAccuracy]]): every LSH candidate
+    * pair with estimated AND exact shingle Jaccard.
+    */
+  def minHashAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashAccuracy(docs(spark, dir))
+
+  val minHashAccuracySql: String =
+    s"""WITH $minHashBodySql,
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |ix AS (
+       |  SELECT e.a, e.b, count(*) AS i
+       |  FROM est e
+       |  JOIN sh x ON x.doc_id = e.a
+       |  JOIN sh y ON y.doc_id = e.b AND y.shingle = x.shingle
+       |  GROUP BY e.a, e.b)
+       |SELECT e.a, e.b, e.estJaccard,
+       |       CAST(coalesce(ix.i, 0) AS DOUBLE)
+       |         / (za.sz + zb.sz - coalesce(ix.i, 0)) AS jaccard,
+       |       e.estJaccard - (CAST(coalesce(ix.i, 0) AS DOUBLE)
+       |         / (za.sz + zb.sz - coalesce(ix.i, 0))) AS err
+       |FROM est e
+       |LEFT JOIN ix ON ix.a = e.a AND ix.b = e.b
+       |JOIN sz za ON za.doc_id = e.a
+       |JOIN sz zb ON zb.doc_id = e.b""".stripMargin
 
   def simHash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHash(docs(spark, dir))

@@ -231,6 +231,48 @@ object Dedup {
     est.filter(col("estJaccard") >= threshold)
   }
 
+  /** Sketch-calibration face: every LSH candidate pair with BOTH its
+    * signature-estimated Jaccard and the exact shingle-set Jaccard —
+    * the evaluation every production dedup pipeline runs (on a sample)
+    * before picking `threshold`: the (est, exact) scatter is the
+    * estimator's error profile at the corpus's real similarity mix.
+    *
+    * Scale shape: the [[minHashLsh]] candidate plan (threshold 0 keeps
+    * every band collision), then the EXACT side is computed only for the
+    * candidate pairs — two equi-joins of the candidate table against the
+    * per-doc distinct-shingle table (never an all-pairs compare; the
+    * fan-out is Σ_pairs |shingles(a)|, linear in candidate volume). A
+    * band collision does not guarantee a shared shingle, so the
+    * intersection is LEFT-joined and zero-filled.
+    *
+    * Output (a, b, estJaccard, jaccard, err = estJaccard − jaccard):
+    * every term is either a 6-dp-rounded value, an exact-int IEEE
+    * division, or their difference — bit-identical cross-engine.
+    */
+  def minHashAccuracy(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3, hashMode: String = "md5"): DataFrame = {
+    val cand = minHashLsh(docs, numHashes, bands, shingleN, threshold = 0.0, hashMode)
+    val sh = docs.select(col("doc_id"),
+        explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand.select(col("a"), col("b"))
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+      .select(col("a"), col("b"), col("estJaccard"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+          .as("jaccard"))
+      .withColumn("err", col("estJaccard") - col("jaccard"))
+  }
+
   /** SimHash per document over word `shingleN`-gram features: bit j of
     * the hash = sign of Σ_features (bit j set ? +1 : −1). The feature
     * hash is the portable 60-bit md5 prefix (bits 60–63 are always 0 and

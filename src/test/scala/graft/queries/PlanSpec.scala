@@ -317,6 +317,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("q_cube: all grouping sets in ONE Expand pass, one scan, one shuffle") {
+    val q = RelationalQueries.cube(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(plan.contains("Expand"),
+      s"cube lost its Expand (plan changed shape?):\n$plan")
+    assert(!plan.contains("Union"),
+      s"cube degenerated into unioned re-aggregations:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 parquet scan, got $scans:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("e_sq_topk: bucket equi-join on quantized vectors — no per-pair plan, no UDF") {
+    val q = TextQueries.sqTopK(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    // The scale contract (VectorSim.sqTopK scaladoc): candidates come from
+    // the multi-probe LSH bucket equi-join; a nested-loop/cartesian node
+    // would mean the quantized corpus is compared all-pairs.
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"SQ top-k fell back to a per-pair plan:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF leaked into the quantized scoring path:\n$plan")
+    // Quantization + bucketing fuse into the one pass that builds the
+    // persisted index side (read back as InMemoryTableScan) — a join back
+    // to the raw embeddings to fetch q would show as a second parquet scan.
+    assert(plan.contains("InMemoryTableScan"),
+      s"quantized index side is not the persisted one-scan build:\n$plan")
+  }
+
   test("adjacency build is one exchange + in-partition sort (no object agg)") {
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
     val plan = g.adjacency.queryExecution.executedPlan.toString
