@@ -426,4 +426,52 @@ object IngestQueries {
        |SELECT ${graft.ingest.UrlNorm.canonicalizeSql("u")} AS canon_url,
        |       count(*) AS n_raw
        |FROM raw GROUP BY canon_url""".stripMargin
+
+  /** Redirect-chain resolution ([[graft.operators.PointerJump]]) — the
+    * crawl-ingest alias resolver: every fetched redirect record resolved
+    * to its chain terminal (the canonical landing URL) plus the hop
+    * count. Chains are synthesized deterministically: doc d contributes
+    * L = d mod 4 redirect hops redirN.test/pd → redir(N−1).test/pd → …
+    * → the real page URL, so chain lengths 0–3 and terminal fan-in are
+    * both exercised.
+    *
+    * Scale shape: pointer DOUBLING — ceil(log2 L)+1 self-equi-joins of
+    * the 24 B/row (src, ptr, hops) state, never O(L) one-hop walks; the
+    * oracle replays the walk as a recursive CTE (fine at gate depth 3,
+    * exactly the linear shape the operator exists to avoid at crawl
+    * scale).
+    */
+  def redirects(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    def rurl(k: Column): Column =
+      concat(lit("http://redir"), k, lit(".test/p"), col("doc_id"))
+    val mapping = d
+      .select(col("doc_id"), explode(sequence(lit(1L), lit(3L))).as("k"))
+      .where(col("k") <= col("doc_id") % 4)
+      .select(rurl(col("k")).as("src"),
+        when(col("k") === 1, urlOf(col("doc_id")))
+          .otherwise(rurl(col("k") - 1)).as("next"))
+    graft.operators.PointerJump.resolve(mapping)
+      .select(col("src"), col("final").as("final_url"), col("hops"),
+        col("resolved"))
+  }
+
+  val redirectsSql: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT 'http://redir' || k || '.test/p' || doc_id AS src,
+      |         CASE WHEN k = 1
+      |              THEN 'http://site' || (doc_id % 40) || '.test/p' || doc_id
+      |              ELSE 'http://redir' || (k - 1) || '.test/p' || doc_id
+      |         END AS next
+      |  FROM documents, (SELECT unnest([1, 2, 3]) AS k) t
+      |  WHERE k <= doc_id % 4
+      |),
+      |r AS (
+      |  SELECT src, next AS cur, 1 AS hops FROM m
+      |  UNION ALL
+      |  SELECT r.src, m.next, r.hops + 1 FROM r JOIN m ON m.src = r.cur
+      |)
+      |SELECT src, cur AS final_url, CAST(hops AS BIGINT) AS hops,
+      |       true AS resolved
+      |FROM r WHERE cur NOT IN (SELECT src FROM m)""".stripMargin
 }

@@ -81,6 +81,46 @@ object RelationalQueries {
       |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
       |ORDER BY key""".stripMargin
 
+  /** EXISTS / NOT EXISTS face: per-market-segment counts of customers
+    * WITH at least one high-value order (totalprice > 450000 — ~2/3 of
+    * customers at the gate SFs, so BOTH branches carry rows; every
+    * customer has *some* order, which would leave a bare NOT EXISTS
+    * empty and unverified) and WITHOUT one — the has-activity split
+    * every retention report starts from. Spelled as ONE pass: customer
+    * left-joins the distinct qualifying custkeys and the match-null
+    * becomes the status — both EXISTS branches from one scan of each
+    * table, where the literal semi-join + anti-join spelling scans
+    * customer twice. The filter pushes to the orders scan; the distinct
+    * custkey side partial-aggregates map-side and broadcasts when small;
+    * the status derivation is a pure projection.
+    */
+  def existsSplit(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val od = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_totalprice") > 450000.0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .withColumn("has", lit(1))
+    c.join(od, Seq("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"),
+        when(col("has").isNotNull, "has_big_order").otherwise("no_big_order")
+          .as("status"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  val existsSplitSql: String =
+    """SELECT c_mktsegment, 'has_big_order' AS status, count(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, 'no_big_order' AS status, count(*) AS n_cust
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** ROLLUP cube face: quantity/count at (returnflag, linestatus),
     * per-returnflag subtotals, and the grand total in ONE pass — Spark
     * plans grouping sets as a single Expand + aggregate, so the subtotal

@@ -274,6 +274,70 @@ object TextQueries {
       |CROSS JOIN tt
       |GROUP BY sc.source""".stripMargin
 
+  // --- BM25 scoring ----------------------------------------------------
+
+  /** BM25 relevance scores for a fixed query ("spark join window") over
+    * the corpus — the retrieval face of the index-side stats ([[tfIdf]]
+    * builds per-doc term vectors; this RANKS docs for a query):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)), k1 = 1.2, b = 0.75 (the
+    * Robertson et al. constants). One row per doc containing ≥1 query
+    * term.
+    *
+    * Scale shape: the corpus-wide work is ONE token pass for per-doc
+    * lengths (map-side combined); the tf table is filtered to the query
+    * terms BEFORE aggregating, so everything downstream is
+    * |docs-with-hits|-sized; df (3 rows) broadcasts, N and avgdl ride as
+    * 1-row cross joins. Production top-k over the scored table is an
+    * `orderBy(...).limit(k)` — Spark plans it as TakeOrdered per-
+    * partition heaps; the gate face keeps every scored row so the
+    * compare never depends on cross-engine float-ordering at the k
+    * boundary.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("t"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val nd = docs(spark, dir).agg(count(lit(1)).as("nd"))
+    val tf = toks.where(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(nd).crossJoin(avgdl)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))), 6)
+        .as("score"))
+  }
+
+  val bm25Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |st AS (SELECT avg(dl) AS avgdl FROM dl),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |tf AS (
+      |  SELECT doc_id, t, count(*) AS tf FROM tok
+      |  WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id, t),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+      |SELECT tf.doc_id,
+      |       round(sum(ln(1 + (nd.nd - df.df + 0.5) / (df.df + 0.5))
+      |                 * (tf.tf * 2.2)
+      |                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+      |FROM tf JOIN df ON tf.t = df.t JOIN dl ON dl.doc_id = tf.doc_id
+      |CROSS JOIN nd CROSS JOIN st
+      |GROUP BY tf.doc_id""".stripMargin
+
   // --- tf-idf top terms ----------------------------------------------
 
   def tfIdf(spark: SparkSession, dir: String): DataFrame =
