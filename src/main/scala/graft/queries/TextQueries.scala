@@ -189,10 +189,30 @@ object TextQueries {
     * stays orders of magnitude under the gate's 1e-9 relative tolerance
     * (the [[entropyOf]] contract).
     */
-  def xent(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"),
+  /** Shared whitespace tokenizer for the LM-statistics family
+    * ([[xent]], [[klSource]], [[bm25]]): one row per (key, token),
+    * empty-after-split tokens dropped, null text yielding no rows. Any
+    * tokenizer change lands HERE and in [[wsTokSql]] — its oracle twin —
+    * or the three oracles silently diverge.
+    */
+  private def wsToks(spark: SparkSession, dir: String, key: String): DataFrame =
+    docs(spark, dir)
+      .select(col(key),
         explode(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("t"))
+
+  /** DuckDB twin of [[wsToks]]: the `d`/`tok` CTE pair keyed by `key`
+    * (null-safe text, the same drop-empties filter).
+    */
+  private def wsTokSql(key: String): String =
+    """d AS (
+      |  SELECT KEY,
+      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
+      |  FROM documents
+      |),
+      |tok AS (SELECT KEY, unnest(w) AS t FROM d)""".stripMargin.replace("KEY", key)
+
+  def xent(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsToks(spark, dir, "doc_id")
     val uc = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("tt"))
     toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
@@ -205,12 +225,7 @@ object TextQueries {
   }
 
   val xentSql: String =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
-      |  FROM documents
-      |),
-      |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+    s"""WITH ${wsTokSql("doc_id")},
       |uc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
       |tt AS (SELECT count(*) AS tt FROM tok),
       |dt AS (SELECT doc_id, t, count(*) AS n FROM tok GROUP BY doc_id, t)
@@ -237,9 +252,7 @@ object TextQueries {
     * p_s weights, orders of magnitude inside the gate tolerance.
     */
   def klSource(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("source"),
-        explode(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("t"))
+    val toks = wsToks(spark, dir, "source")
     val uc = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("tt"))
     val sc = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
@@ -256,12 +269,7 @@ object TextQueries {
   }
 
   val klSourceSql: String =
-    """WITH d AS (
-      |  SELECT source,
-      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
-      |  FROM documents
-      |),
-      |tok AS (SELECT source, unnest(w) AS t FROM d),
+    s"""WITH ${wsTokSql("source")},
       |uc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
       |tt AS (SELECT count(*) AS tt FROM tok),
       |sc AS (SELECT source, t, count(*) AS n FROM tok GROUP BY source, t),
@@ -296,9 +304,7 @@ object TextQueries {
     */
   def bm25(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
-    val toks = docs(spark, dir)
-      .select(col("doc_id"),
-        explode(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("t"))
+    val toks = wsToks(spark, dir, "doc_id")
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
     val nd = docs(spark, dir).agg(count(lit(1)).as("nd"))
@@ -317,12 +323,7 @@ object TextQueries {
   }
 
   val bm25Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |         list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS w
-      |  FROM documents
-      |),
-      |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+    s"""WITH ${wsTokSql("doc_id")},
       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
       |st AS (SELECT avg(dl) AS avgdl FROM dl),
       |nd AS (SELECT count(*) AS nd FROM documents),

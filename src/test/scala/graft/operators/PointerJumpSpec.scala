@@ -57,10 +57,15 @@ class PointerJumpSpec extends AnyFunSuite {
   test("maxRounds honesty: the same chain at maxRounds=3 reports partial rows unresolved") {
     val chain = (0 until 100).map(i => s"n$i" -> s"n${i + 1}")
     val got = resolve(chain, maxRounds = 3)
-    // 2^3 = 8 jumps cannot finish the deep prefixes...
+    // 3 doubling rounds cannot finish the deep prefixes...
     assert(!got("n0")._3)
-    // ...but shallow suffix rows (within 8 hops of the terminal) are done.
+    // ...but the shallow suffix is: rows within 2^3 − 1 = 7 hops of the
+    // terminal resolve (n92 at distance 8 has already JUMPED to the
+    // terminal with exact hops, but its terminal-detection round never
+    // runs, so it still reports unresolved — resolution lags the jump by
+    // one detection round).
     assert(got("n99") == (("n100", 1L, true)))
     assert(got("n93")._3)
+    assert(!got("n92")._3)
   }
 }
