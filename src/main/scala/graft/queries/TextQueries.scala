@@ -723,9 +723,9 @@ object TextQueries {
     s"CAST(('0x' || substring(md5($expr), 1, 15)) AS BIGINT)"
 
   /** Shared SQL prelude: distinct word n-gram shingles per doc. */
-  private def shinglesSql(n: Int): String = {
+  private def shinglesSql(n: Int, tbl: String = "documents"): String = {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
-    s"""$toksSql,
+    s"""${toksSql.replace("FROM documents", "FROM " + tbl)},
        |sh AS (
        |  SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, greatest(len(w) - ${n - 1}, 0) + 1),
@@ -744,7 +744,7 @@ object TextQueries {
     * applies its own filter). Composed (never textually sliced) by
     * [[minHashLshSql]] and [[minHashAccuracySql]].
     */
-  private val minHashBodySql: String = {
+  private def minHashBodySql(tbl: String = "documents"): String = {
     val numHashes = 32
     val bands = 8
     val rows = numHashes / bands
@@ -756,7 +756,7 @@ object TextQueries {
     }.mkString("\n  UNION ALL\n  ")
     val matches = (0 until numHashes)
       .map(i => s"CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""${shinglesSql(3)},
+    s"""${shinglesSql(3, tbl)},
        |dig AS (SELECT doc_id, md5(shingle) AS m FROM sh),
        |base AS (
        |  SELECT doc_id, CAST(('0x' || substring(m, 1, 15)) AS BIGINT) AS ha,
@@ -786,17 +786,23 @@ object TextQueries {
   }
 
   val minHashLshSql: String =
-    s"""WITH $minHashBodySql
+    s"""WITH ${minHashBodySql()}
        |SELECT a, b, estJaccard FROM est WHERE estJaccard >= 0.125""".stripMargin
 
-  /** Sketch calibration ([[Dedup.minHashAccuracy]]): every LSH candidate
-    * pair with estimated AND exact shingle Jaccard.
+  /** Sketch calibration ([[Dedup.minHashAccuracy]]) on the deterministic
+    * half-sample (doc_id even) — the production calibration shape: the
+    * (est, exact) error profile is measured on a sample, the chosen
+    * threshold then applies corpus-wide. The sample also bounds the
+    * unthresholded candidate volume (pairs scale ~quadratically inside
+    * buckets, so half the docs is ~quarter the exact-Jaccard join work —
+    * this was the heaviest query in the bench list before sampling).
     */
   def minHashAccuracy(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashAccuracy(docs(spark, dir))
+    Dedup.minHashAccuracy(docs(spark, dir).where(col("doc_id") % 2 === 0))
 
   val minHashAccuracySql: String =
-    s"""WITH $minHashBodySql,
+    s"""WITH docsample AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |${minHashBodySql("docsample")},
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |ix AS (
        |  SELECT e.a, e.b, count(*) AS i
