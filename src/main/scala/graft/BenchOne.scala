@@ -34,7 +34,13 @@ object BenchOne {
       val medianMs =
         if (steady.isEmpty) res.history.map(_.wallMs).max.toDouble
         else steady(steady.length / 2).toDouble
-      println(f"""BENCHONE {"edges":${g.numEdges},"secPerIter":${medianMs / 1000.0}%.3f,"totalSec":$totalSec%.2f,"iters":${res.iterations},"converged":${res.converged}}""")
+      // Lower envelope: hypervisor steal / co-tenant contention only ever
+      // ADD wall time, so the fastest steady iteration is the
+      // interference-robust per-iteration estimate (the median is
+      // corrupted wholesale when a steal wave spans most of a short leg).
+      val minMs =
+        if (steady.isEmpty) medianMs else steady.head.toDouble
+      println(f"""BENCHONE {"edges":${g.numEdges},"secPerIter":${medianMs / 1000.0}%.3f,"secPerIterMin":${minMs / 1000.0}%.3f,"totalSec":$totalSec%.2f,"iters":${res.iterations},"converged":${res.converged}}""")
     } finally spark.stop()
   }
 }

@@ -1476,6 +1476,60 @@ object GraphQueries {
        |LEFT JOIN supf s ON e.u = s.u AND e.v = s.v""".stripMargin
   }
 
+  // --- maximal independent set --------------------------------------------
+
+  /** Unrolled oracle rounds: measured fixpoint depth 2 (sf0.001) / 4
+    * (sf0.01) — high-degree graphs break symmetry fast; extra rounds are
+    * no-ops over empty live sets, correctness headroom like
+    * [[KCoreRounds]].
+    */
+  private val MisRounds = 8
+
+  /** Maximal independent set ([[graft.operators.Mis]]) on the sparse
+    * graph — the greedy-permutation MIS under the salted hash order,
+    * a deterministic function of (graph, salt).
+    */
+  def mis(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Mis.run(sparseGraph(spark, dir), salt = "mis").mis
+
+  /** Oracle: the same synchronous local-minima rounds, unrolled — a
+    * vertex wins round i iff no LIVE neighbor has a smaller (hash, id)
+    * key; winners and their neighbors leave the live sets. The hash is
+    * the md5-prefix portableHash60 of "id:mis", replayed literally.
+    */
+  lazy val misSql: String = {
+    def h(x: String): String =
+      s"CAST(('0x' || substring(md5(CAST($x AS VARCHAR) || ':mis'), 1, 15)) AS BIGINT)"
+    val rounds = (1 to MisRounds).map { i =>
+      val lv = s"lv${i - 1}"
+      val le = s"le${i - 1}"
+      s"""bad$i AS (
+         |  SELECT DISTINCT src AS id FROM $le
+         |  WHERE (${h("dst")}, dst) < (${h("src")}, src)),
+         |w$i AS MATERIALIZED (
+         |  SELECT id FROM $lv WHERE id NOT IN (SELECT id FROM bad$i)),
+         |rm$i AS (
+         |  SELECT id FROM w$i
+         |  UNION SELECT e.dst FROM $le e JOIN w$i ON e.src = w$i.id),
+         |lv$i AS MATERIALIZED (
+         |  SELECT id FROM $lv WHERE id NOT IN (SELECT id FROM rm$i)),
+         |le$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $le e
+         |  WHERE e.src IN (SELECT id FROM lv$i)
+         |    AND e.dst IN (SELECT id FROM lv$i))""".stripMargin
+    }.mkString(",\n")
+    val winners = (1 to MisRounds).map(i => s"SELECT id FROM w$i").mkString(" UNION ")
+    s"""WITH $sparseEdgesSql,
+       |le0 AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE src <> dst
+       |  UNION SELECT dst, src FROM edges WHERE src <> dst),
+       |lv0 AS MATERIALIZED (SELECT id FROM nodes),
+       |$rounds,
+       |mis AS ($winners)
+       |SELECT n.id, n.id IN (SELECT id FROM mis) AS in_mis
+       |FROM nodes n""".stripMargin
+  }
+
   // --- modularity --------------------------------------------------------
 
   /** LP-3 labels on the sparse graph, computed once per (session, dir)
