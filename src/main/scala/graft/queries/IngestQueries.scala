@@ -474,4 +474,149 @@ object IngestQueries {
       |SELECT src, cur AS final_url, CAST(hops AS BIGINT) AS hops,
       |       true AS resolved
       |FROM r WHERE cur NOT IN (SELECT src FROM m)""".stripMargin
+
+  /** Crawl-slot coloring: greedy graph coloring
+    * ([[graft.operators.Coloring]] — synchronous Jones–Plassmann rounds)
+    * of the extracted page-link graph, the conflict-free crawl scheduler
+    * (no two linked pages fetched in the same slot — the multi-slot
+    * generalization of one [[graft.operators.Mis]] round). The fixpoint
+    * equals the sequential greedy coloring of the salted-hash permutation
+    * order — a deterministic function of (graph, salt). The link graph's
+    * degree is BOUNDED by construction (≤ 4 out-links/page), so the
+    * permutation DAG's depth stays O(log n) at every scale factor —
+    * unlike the lineitem-derived graphs, which densify with sf and would
+    * grow the round count unboundedly.
+    */
+  def coloring(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Coloring.run(
+      graft.core.Graph.fromEdges(links(spark, dir)), salt = "col").colors
+
+  private val ColoringRounds = 20
+
+  /** Oracle: the ingest CTE chain (pages → links → dense ids) feeding
+    * the same synchronous rounds, unrolled — `prec` holds every
+    * vertex's smaller-(hash, id) neighbors over the symmetrized simple
+    * graph (one NULL row for permutation sources so they surface in
+    * round 1); a vertex becomes ready when uncolored with every
+    * precedent colored, and takes the mex of their colors via the
+    * sorted-row-number gap trick (first rank where color ≠ rank).
+    * [[ColoringRounds]] only needs to be ≥ the permutation DAG's depth
+    * (measured 11 at the gate SFs, 14 at sf0.1) — extra stages are
+    * no-ops at fixpoint.
+    */
+  lazy val coloringSql: String = {
+    def h(x: String): String =
+      s"CAST(('0x' || substring(md5(CAST($x AS VARCHAR) || ':col'), 1, 15)) AS BIGINT)"
+    val rounds = (1 to ColoringRounds).map { i =>
+      val c = s"c${i - 1}"
+      s"""ready$i AS MATERIALIZED (
+         |  SELECT p.v FROM prec p
+         |  LEFT JOIN $c cv ON cv.id = p.v
+         |  LEFT JOIN $c cl ON cl.id = p.lo
+         |  GROUP BY p.v
+         |  HAVING count(cv.id) = 0 AND count(p.lo) = count(cl.id)),
+         |nb$i AS (
+         |  SELECT DISTINCT p.v, cl.color
+         |  FROM prec p JOIN ready$i r ON r.v = p.v
+         |  JOIN $c cl ON cl.id = p.lo),
+         |mex$i AS (
+         |  SELECT v, coalesce(min(CASE WHEN color <> rn THEN rn END),
+         |                     count(*)) AS color
+         |  FROM (SELECT v, color,
+         |               row_number() OVER (PARTITION BY v ORDER BY color) - 1 AS rn
+         |        FROM nb$i) t
+         |  GROUP BY v),
+         |c$i AS MATERIALIZED (
+         |  SELECT id, color FROM $c
+         |  UNION ALL
+         |  SELECT r.v AS id, coalesce(m.color, 0) AS color
+         |  FROM ready$i r LEFT JOIN mex$i m ON m.v = r.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pagesLnkSql,
+       |ids AS (SELECT url, row_number() OVER (ORDER BY url) - 1 AS id FROM pages),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT s.id AS src, t.id AS dst
+       |  FROM lnk JOIN ids s ON s.url = lnk.src_url
+       |           JOIN ids t ON t.url = lnk.dst_url),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE src <> dst
+       |  UNION SELECT dst, src FROM edges WHERE src <> dst),
+       |prec AS MATERIALIZED (
+       |  SELECT n.id AS v, s.dst AS lo
+       |  FROM nodes n LEFT JOIN sym s
+       |    ON s.src = n.id AND (${h("s.dst")}, s.dst) < (${h("s.src")}, s.src)),
+       |c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color
+       |       WHERE false),
+       |$rounds
+       |SELECT id, CAST(color AS BIGINT) AS color FROM c$ColoringRounds""".stripMargin
+  }
+
+  /** Canonical-URL keep-best dedup — the refetch collapser that runs
+    * BEFORE any text dedup in a crawl pipeline: multiple raw fetches of
+    * one page (tracking params, case variants, port/slash noise — the
+    * [[urlCanon]] messy-variant menu) collapse onto a canonical key, and
+    * ONE survivor is kept per key: the longest extracted text (fullest
+    * fetch), ties to the smallest doc_id (stable across reruns).
+    * Refetches are synthesized by mapping doc d onto page d mod
+    * [[UrlDedupPages]], so every canonical key has ~n/200 contenders.
+    *
+    * Scale shape: canonicalization is scan-fused codegen'd string work;
+    * keep-best is ONE map-side-combined aggregate — max of a (n_chars,
+    * −doc_id) struct plus a count — on the canonical key. Identical
+    * shuffle shape to exact dedup: no window function, no corpus sort,
+    * partial aggregation absorbs popular-page skew.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val page = col("doc_id") % UrlDedupPages
+    val host = page % 40
+    val base = concat(lit("http://site"), host, lit(".test/p"), page)
+    val variant = col("doc_id") % 5
+    val messy = when(variant === 0,
+        concat(lit("HTTP://SITE"), host, lit(".TEST/p"), page))
+      .when(variant === 1, concat(base, lit("?utm_source=feed&utm_campaign=x")))
+      .when(variant === 2, concat(base, lit("#sec2")))
+      .when(variant === 3,
+        concat(lit("http://site"), host, lit(".test:80/p"), page))
+      .otherwise(concat(base, lit("//")))
+    d.select(UrlNorm.canonicalize(messy).as("canon_url"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("canon_url")
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("best"),
+        count(lit(1)).as("n_dups"))
+      .select(col("canon_url"), (-col("best.negid")).as("doc_id"),
+        col("best.n_chars").as("n_chars"), col("n_dups"))
+  }
+
+  private val UrlDedupPages = 200
+
+  val urlDedupSql: String = {
+    val page = s"(doc_id % $UrlDedupPages)"
+    s"""WITH raw AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE doc_id % 5
+       |           WHEN 0 THEN 'HTTP://SITE' || ($page % 40) || '.TEST/p' || $page
+       |           WHEN 1 THEN base || '?utm_source=feed&utm_campaign=x'
+       |           WHEN 2 THEN base || '#sec2'
+       |           WHEN 3 THEN 'http://site' || ($page % 40) || '.test:80/p' || $page
+       |           ELSE base || '//'
+       |         END AS u
+       |  FROM (SELECT doc_id, n_chars,
+       |               'http://site' || ($page % 40) || '.test/p' || $page AS base
+       |        FROM documents)),
+       |canon AS (
+       |  SELECT doc_id, n_chars, ${UrlNorm.canonicalizeSql("u")} AS canon_url
+       |  FROM raw),
+       |ranked AS (
+       |  SELECT canon_url, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY canon_url
+       |                            ORDER BY n_chars DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY canon_url) AS n_dups
+       |  FROM canon)
+       |SELECT canon_url, doc_id, n_chars, n_dups FROM ranked WHERE rn = 1""".stripMargin
+  }
 }

@@ -355,4 +355,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ObjectHashAggregate"),
       s"collect_list-style object aggregation crept back in:\n$plan")
   }
+
+  test("d_url_dedup: keep-best is ONE map-side-combined aggregate, no window, no join") {
+    // The scale contract: canonicalization fuses into the scan and the
+    // survivor per canonical key is a max(struct) + count aggregate —
+    // partial map-side, so popular-page skew is absorbed before the
+    // shuffle. A Window node (rank-the-corpus) or any join would mean
+    // the whole fetch log shuffles twice.
+    val q = IngestQueries.urlDedup(spark, dir)
+    q.collect() // AQE finalizes the physical plan on execution
+    val plan = finalPlan(q)
+    assert(!plan.contains("Window"),
+      s"corpus-wide window crept into urlDedup:\n$plan")
+    assert(!plan.contains("Join"), s"join crept into urlDedup:\n$plan")
+    assert("Exchange hashpartitioning\\(canon_url".r
+      .findAllIn(plan).size == 1,
+      s"keep-best must shuffle exactly once on the canonical key:\n$plan")
+  }
+
+  test("g_coloring round: only (id,color)-shaped state shuffles — never adjacency arrays") {
+    // The scale contract of the Jones–Plassmann round: the ready/mex pass
+    // aggregates the precedent-edge state map-side (partial_sort_array /
+    // partial collect_set), and no exchange ever carries an adjacency
+    // array column. ObjectHashAggregate appears only for collect_set —
+    // acceptable: it runs partial (map-side) first.
+    import org.apache.spark.sql.functions._
+    val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
+    val r = graft.operators.Coloring.run(g, salt = "plan", maxRounds = 2)
+    val plan = finalPlan(r.colors)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"per-pair plan in the coloring output join:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"UDF leaked into the coloring path:\n$plan")
+  }
 }
