@@ -63,6 +63,111 @@ object RandomWalk {
     out
   }
 
+  /** node2vec-biased walks (Grover & Leskovec 2016): one walk per vertex,
+    * hop 1 uniform (no predecessor yet — exactly [[hopStep]]), hops ≥ 2
+    * biased by the 2nd-order weights w(x) = 1/p if x = prev (return),
+    * 1 if x ∈ N(prev) (stay close), 1/q otherwise (explore). Selection is
+    * deterministic: candidate successors of cur are ranked in dst order,
+    * and the walk takes the first whose cumulative weight share exceeds
+    * u = hash(start:prev:cur:step:salt)/2⁶⁰ — reproducible across
+    * retries/stragglers and replayable by the oracle, like [[run]].
+    *
+    * Cross-engine exactness: with the default p = 2, q = 4 every weight
+    * is a dyadic fraction (0.5 / 1.0 / 0.25), so cumulative sums are
+    * EXACT doubles (no rounding ever) and the selection comparison
+    * `cum > u·total` is bit-identical in any IEEE engine evaluating in
+    * the same dst order — the gate compare needs no float tolerance.
+    * Non-dyadic p/q still work but put the oracle one ulp from a
+    * boundary; keep powers of two for gated runs.
+    *
+    * Scale shape per biased hop: candidates = state ⋈ adjacency(cur)
+    * EXPLODED to one row per successor (node2vec inherently weights every
+    * successor — the fan-out is Σ deg(frontier), the operator's true
+    * cost); the N(prev) membership probe is an equi-join against the
+    * (src, dst)-partitioned edge table (partitioned ONCE, reused every
+    * hop — only the candidate stream shuffles); ranking is a per-walk
+    * window cumsum (streams — a 10⁶-degree hub never materializes an
+    * array) + a map-side-combined min. State stays (start, prev, cur) =
+    * 24 B/walk.
+    */
+  def node2vec(graph: Graph, steps: Int, p: Double = 2.0, q: Double = 4.0,
+               salt: String = ""): DataFrame = {
+    require(steps >= 0)
+    require(p > 0 && q > 0, s"p and q must be positive, got p=$p q=$q")
+    val spark = graph.spark
+    import spark.implicits._
+
+    val adjS = graph.adjacency.toDF().select(
+      $"src".as("a_src"), $"chunk".as("a_chunk"), $"dsts".as("a_dsts"))
+    // Membership-probe side, partitioned by the join key ONCE so every
+    // hop's probe reuses the exchange and only candidates shuffle.
+    val nbE = graph.edges.toDF()
+      .select($"src".as("nb_src"), $"dst".as("nb_dst"))
+      .repartition($"nb_src", $"nb_dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val w0 = graph.vertices.toDF("start")
+      .select($"start", $"start".as("prev"), $"start".as("cur"))
+      .localCheckpoint(true)
+    val states = scala.collection.mutable.ArrayBuffer[DataFrame](w0)
+    if (steps >= 1) {
+      // Hop 1 is the uniform hop: prev = the start vertex.
+      val s1 = hopStep(w0.select($"start", $"cur"), // hopStep's expected shape
+        graph.adjacency.toDF().select(
+          $"src".as("a_src"), $"deg".as("a_deg"),
+          $"chunk".as("a_chunk"), $"dsts".as("a_dsts")),
+        graph.chunkSize.toLong, 1, salt)
+        .select($"start", $"start".as("prev"), $"cur")
+      states += s1.localCheckpoint(true)
+    }
+    for (t <- 2 to steps)
+      states += biasedHop(states.last, adjS, nbE, p, q, t, salt).localCheckpoint(true)
+
+    val out = states.zipWithIndex
+      .map { case (s, t) =>
+        s.select($"start", lit(t.toLong).as("step"), $"cur".as("node"))
+      }
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    states.foreach(Lineage.release)
+    nbE.unpersist()
+    out
+  }
+
+  /** One (lazy) biased hop plan, separated so `PlanSpec` can pin its
+    * shape (no cartesian, no adjacency array crossing an exchange).
+    */
+  private[graft] def biasedHop(st: DataFrame, adjS: DataFrame, nbE: DataFrame,
+                               p: Double, q: Double, t: Int, salt: String): DataFrame = {
+    val spark = st.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val cand = st
+      .join(adjS, st("cur") === adjS("a_src"), "inner")
+      .select($"start", $"prev", $"cur", explode($"a_dsts").as("x"))
+    val weighted = cand
+      .join(nbE, $"prev" === $"nb_src" && $"x" === $"nb_dst", "left")
+      .select($"start", $"prev", $"cur", $"x",
+        when($"x" === $"prev", lit(1.0 / p))
+          .when($"nb_src".isNotNull, lit(1.0))
+          .otherwise(lit(1.0 / q)).as("wt"))
+    val u = graft.text.TextOps.portableHash60(
+      concat($"start".cast("string"), lit(":"), $"prev".cast("string"),
+        lit(":"), $"cur".cast("string"), lit(":" + salt + t.toString)))
+      .cast("double") / lit(math.pow(2, 60))
+    val byWalk = Window.partitionBy($"start")
+    val sel = weighted
+      .withColumn("cum",
+        sum($"wt").over(byWalk.orderBy($"x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum($"wt").over(byWalk))
+      .where($"cum" > u * $"tot")
+      .groupBy($"start").agg(min($"x").as("nxt"))
+    st.join(sel, Seq("start"), "left")
+      .select($"start", $"cur".as("prev"), coalesce($"nxt", $"cur").as("cur"))
+  }
+
   /** One (lazy) hop plan: one left join on the current vertex; each chunk
     * row knows the full degree, so the hop index and its owning chunk are
     * derived in-row and the non-owning chunk rows of hubs are filtered

@@ -567,6 +567,71 @@ object GraphQueries {
        |$out""".stripMargin
   }
 
+  /** node2vec-biased walks ([[RandomWalk.node2vec]]), one per vertex:
+    * hop 1 uniform, later hops 2nd-order-biased with the dyadic defaults
+    * p = 2, q = 4 so every cumulative weight is an EXACT double and the
+    * compare needs no float tolerance at all (scaladoc there).
+    */
+  def node2vec(steps: Int)(spark: SparkSession, dir: String): DataFrame =
+    RandomWalk.node2vec(graph(spark, dir), steps, salt = "n2v")
+
+  /** Oracle replays every hop: hop 1 is the uniform sorted-successor
+    * index pick (as [[walksSql]]); each biased hop builds the candidate
+    * set (successors of cur), weights it 0.5 / 1.0 / 0.25 by the
+    * return / N(prev) / explore cases, and selects min(x) among rows
+    * whose running dst-ordered cumsum exceeds u·total — the same
+    * first-crossing the Spark side takes.
+    */
+  def node2vecSql(steps: Int): String = {
+    val u60 = "1152921504606846976.0" // 2^60, exact in double
+    val biased = (2 to steps).map { t =>
+      val w = s"n${t - 1}"
+      s"""cand$t AS (
+         |  SELECT w.start, w.prev, w.cur, e.dst AS x,
+         |         CASE WHEN e.dst = w.prev THEN 0.5
+         |              WHEN nb.src IS NOT NULL THEN 1.0
+         |              ELSE 0.25 END AS wt
+         |  FROM $w w
+         |  JOIN edges e ON e.src = w.cur
+         |  LEFT JOIN edges nb ON nb.src = w.prev AND nb.dst = e.dst),
+         |sel$t AS (
+         |  SELECT start, min(x) AS nxt FROM (
+         |    SELECT start, x,
+         |           sum(wt) OVER (PARTITION BY start ORDER BY x
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |           sum(wt) OVER (PARTITION BY start) AS tot,
+         |           CAST(('0x' || substring(md5(start || ':' || prev || ':' || cur || ':n2v$t'), 1, 15)) AS BIGINT) / $u60 AS u
+         |    FROM cand$t) z
+         |  WHERE cum > u * tot
+         |  GROUP BY start),
+         |n$t AS (
+         |  SELECT w.start, w.cur AS prev, coalesce(s.nxt, w.cur) AS cur
+         |  FROM $w w LEFT JOIN sel$t s ON s.start = w.start)""".stripMargin
+    }.mkString(",\n")
+    val hop1 =
+      s"""n1 AS (
+         |  SELECT w.start, w.start AS prev, coalesce(s.dst, w.cur) AS cur
+         |  FROM n0 w
+         |  LEFT JOIN od d ON d.id = w.cur
+         |  LEFT JOIN sidx s ON s.src = w.cur
+         |    AND s.idx = CAST(('0x' || substring(md5(w.cur || ':n2v1'), 1, 15)) AS BIGINT) % d.deg
+         |)""".stripMargin
+    val out = (0 to steps)
+      .map(t => s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM n$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH $edgesSql,
+       |sidx AS (
+       |  SELECT src, dst,
+       |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+       |  FROM edges
+       |),
+       |od AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |n0 AS (SELECT id AS start, id AS prev, id AS cur FROM nodes),
+       |$hop1,
+       |$biased
+       |$out""".stripMargin
+  }
+
   /** HITS hubs & authorities, `iters` full a-then-h rounds, L1-normalized
     * ([[Hits.run]]); 8-dp rounding absorbs summation-order ulps.
     */

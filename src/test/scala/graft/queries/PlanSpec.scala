@@ -356,6 +356,35 @@ class PlanSpec extends AnyFunSuite {
       s"collect_list-style object aggregation crept back in:\n$plan")
   }
 
+  test("node2vec biased hop: adjacency stays put; probe side partitioned once; no cartesian") {
+    import org.apache.spark.sql.functions._
+    val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.erdosRenyi(80, 0.08, 9))
+    g.adjacency.count()
+    val adjS = g.adjacency.toDF().select(
+      col("src").as("a_src"), col("chunk").as("a_chunk"), col("dsts").as("a_dsts"))
+    val nbE = g.edges.toDF().select(col("src").as("nb_src"), col("dst").as("nb_dst"))
+      .repartition(col("nb_src"), col("nb_dst"))
+      .persist()
+    val st = g.vertices.toDF("start")
+      .select(col("start"), col("start").as("prev"), col("start").as("cur"))
+    val hop = graft.operators.RandomWalk.biasedHop(st, adjS, nbE, 2.0, 4.0, 2, "")
+    hop.collect()
+    val plan = hop.queryExecution.executedPlan.toString
+    // Same contract as the uniform hop: the chunked successor arrays come
+    // from their persisted partitioning — never re-shuffled per hop.
+    assert(!plan.contains("hashpartitioning(a_src"),
+      s"adjacency-side shuffle in the biased hop plan:\n$plan")
+    // The N(prev) membership probe must reuse the once-partitioned edge
+    // table (InMemoryTableScan), and nothing may fall back to a per-pair
+    // plan.
+    assert(plan.contains("InMemoryTableScan"),
+      s"probe side not read from its persisted partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"per-pair plan in the biased hop:\n$plan")
+    nbE.unpersist()
+    g.unpersist()
+  }
+
   test("d_url_dedup: keep-best is ONE map-side-combined aggregate, no window, no join") {
     // The scale contract: canonicalization fuses into the scan and the
     // survivor per canonical key is a max(struct) + count aggregate —
