@@ -37,6 +37,18 @@ object Bfs {
           allowed: Option[DataFrame] = None): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
+    runFrom(graph, roots.distinct.sorted.toDF("id"), maxDepth, allowed)
+  }
+
+  /** [[run]] with the root set as a DataFrame (an `id` column): the seed
+    * set stays distributed, so callers seeding one root PER COMPONENT of
+    * a 10⁸-component crawl (e.g. [[Reorder.bfsOrder]]) never collect it
+    * on the driver. Semantics identical to [[run]].
+    */
+  def runFrom(graph: Graph, roots: DataFrame, maxDepth: Int = Int.MaxValue,
+              allowed: Option[DataFrame] = None): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
 
     val adj = graph.adjacency
     // Lineage is cut every level (localCheckpoint): the visited set is
@@ -45,7 +57,7 @@ object Bfs {
     // `allowed` gates the ROOTS too, not just expansion: the reference's
     // filtered visit applies its predicate to every visited node
     // including the seeds — an out-of-set root must produce nothing.
-    var roots0 = roots.distinct.sorted.toDF("id")
+    var roots0 = roots.select($"id").distinct()
     allowed.foreach(a => roots0 = roots0.join(a.select($"id"), Seq("id"), "left_semi"))
     var visited = roots0
       .select($"id", lit(0).as("dist"), $"id".as("pred"))

@@ -222,6 +222,94 @@ object GraphQueries {
        |SELECT CAST(2 * floor(log2(gv + 1)) + 1 AS BIGINT) AS bits, count(*) AS n
        |FROM g GROUP BY bits""".stripMargin
 
+  /** Total γ-gap cost under the natural vs the BFS-layered ordering
+    * ([[Reorder.bfsOrder]]) — `g_gap_bits`' decision twin: it answers
+    * "would a locality-preserving renumber of these 10¹² arcs pay for
+    * itself?" before anyone pays for the renumber + rewrite. Two rows
+    * (ordering ∈ {natural, bfs}, bits); every value an exact integer.
+    * γ gaps stream per source via a window lag over (src ORDER BY dst)
+    * — no successor arrays, so a 10⁶-degree hub never materializes.
+    * On the gate's derived graph the gain is honestly ~0 (mod-601
+    * pseudo-random arcs have no locality to recover — the signal
+    * correctly says "don't pay for the reorder"); `ReorderSpec` pins the
+    * positive gain on scrambled web topology, where it exists.
+    */
+  def bfsOrderGain(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val mapping = Reorder.bfsOrder(symGraph(spark, dir), ccShared(spark, dir))
+    val edges = g.adjacency.toDF().select(col("src"), explode(col("dsts")).as("dst"))
+    val remapped = edges
+      .join(mapping.select(col("id").as("src"), col("new_id").as("nsrc")), Seq("src"))
+      .join(mapping.select(col("id").as("dst"), col("new_id").as("ndst")), Seq("dst"))
+      .select(col("nsrc").as("src"), col("ndst").as("dst"))
+    gammaTotal(edges, "natural").unionByName(gammaTotal(remapped, "bfs"))
+  }
+
+  /** Σ γ-code bits over sorted successor gaps (same zigzag-first-gap
+    * convention as [[gapBits]]), as one labeled row.
+    */
+  private def gammaTotal(edges: DataFrame, label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    edges
+      .withColumn("prev", lag(col("dst"), 1).over(w))
+      .select(when(col("prev").isNull,
+          when(col("dst") >= col("src"), lit(2L) * (col("dst") - col("src")))
+            .otherwise(lit(2L) * (col("src") - col("dst")) - 1))
+        .otherwise(col("dst") - col("prev") - 1).as("g"))
+      .select((lit(2) * floor(log2(col("g") + 1)) + 1).cast("long").as("b"))
+      .agg(coalesce(sum(col("b")), lit(0L)).as("bits"))
+      .select(lit(label).as("ordering"), col("bits"))
+  }
+
+  /** Oracle recomputes the ordering from first principles: components =
+    * the symmetric bitstring closure (comp = min member), levels = the
+    * first chain round whose bitmap from the component root covers the
+    * vertex (the sb0..sb10 prefix tables ARE reachable-within-k, so
+    * dist(v) = min k — no new iteration), rank = row_number over
+    * (comp, dist, id), then the identical streamed γ-gap sum over the
+    * natural and remapped arc tables.
+    */
+  lazy val bfsOrderGainSql: String = {
+    val lvUnion = (0 to 10).map(k => s"SELECT $k AS k, src, bs FROM sb$k")
+      .mkString("\n  UNION ALL ")
+    def gamma(rel: String, label: String) =
+      s"""SELECT '$label' AS ordering,
+         |       CAST(coalesce(sum(CAST(2 * floor(log2(g + 1)) + 1 AS BIGINT)), 0) AS BIGINT) AS bits
+         |FROM (
+         |  SELECT CASE WHEN prev IS NULL THEN
+         |           CASE WHEN dst >= src THEN 2 * (dst - src) ELSE 2 * (src - dst) - 1 END
+         |         ELSE dst - prev - 1 END AS g
+         |  FROM (SELECT src, dst, lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev FROM $rel) z
+         |) zz""".stripMargin
+    s"""WITH $edgesSql,
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |${bitReachChain("sym", "s")},
+       |cc AS (
+       |  SELECT r.src AS id, min(n.id) AS comp
+       |  FROM sreach r JOIN nodes n ON get_bit(r.bs, CAST(n.id AS INTEGER)) = 1
+       |  GROUP BY r.src
+       |),
+       |lv AS (
+       |  $lvUnion
+       |),
+       |lev AS (
+       |  SELECT cc.id, cc.comp, min(l.k) AS dist
+       |  FROM cc JOIN lv l ON l.src = cc.comp AND get_bit(l.bs, CAST(cc.id AS INTEGER)) = 1
+       |  GROUP BY cc.id, cc.comp
+       |),
+       |ord AS (
+       |  SELECT id, row_number() OVER (ORDER BY comp, dist, id) - 1 AS nid FROM lev
+       |),
+       |re AS (
+       |  SELECT o1.nid AS src, o2.nid AS dst
+       |  FROM edges e JOIN ord o1 ON o1.id = e.src JOIN ord o2 ON o2.id = e.dst
+       |)
+       |${gamma("edges", "natural")}
+       |UNION ALL
+       |${gamma("re", "bfs")}""".stripMargin
+  }
+
   /** Arc reciprocity — the share of non-loop arcs whose reverse arc also
     * exists (link exchanges vs one-way citation; ~0.25 on real web
     * graphs). One self-semi-join on the reversed key + two counts; the

@@ -356,6 +356,31 @@ class PlanSpec extends AnyFunSuite {
       s"collect_list-style object aggregation crept back in:\n$plan")
   }
 
+  test("bfsOrder rank: vertex window layer-partitioned; single-partition stage only for layer offsets") {
+    import org.apache.spark.sql.functions._
+    val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.erdosRenyi(80, 0.06, 11))
+    val comps = graft.operators.ConnectedComponents.run(g).components
+    val keyed = comps.join(
+      graft.operators.Bfs.runFrom(g.symmetrize, comps.where(col("id") === col("comp")).select(col("id")))
+        .select(col("id"), col("dist")), Seq("id"))
+      .localCheckpoint(true)
+    val ranked = graft.operators.Reorder.rankPlan(keyed)
+    ranked.collect()
+    // AQE's toString repeats the pre-adaptive plan under "== Initial
+    // Plan ==" — pin the FINAL plan only.
+    val plan = ranked.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The full-vertex row_number window must be partitioned by layer —
+    // never a global single-partition sort of the vertex table.
+    assert(plan.contains("hashpartitioning(comp"),
+      s"vertex ranking window lost its layer partitioning:\n$plan")
+    // Exactly one SinglePartition exchange: the layer-offset running sum
+    // over the (comp, dist) size table (|layers| ≪ |V|).
+    assert("SinglePartition".r.findAllIn(plan).size <= 1,
+      s"more than one single-partition stage in the rank plan:\n$plan")
+    g.unpersist()
+  }
+
   test("node2vec biased hop: adjacency stays put; probe side partitioned once; no cartesian") {
     import org.apache.spark.sql.functions._
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.erdosRenyi(80, 0.08, 9))
