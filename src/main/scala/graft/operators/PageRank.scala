@@ -47,7 +47,18 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 100,
       checkpoint: Option[CheckpointConfig] = None,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      /** Warm start: previous ranks (id, rank) to seed the iteration —
+        * the recurring-crawl refresh path (yesterday's converged ranks on
+        * today's slightly-changed graph converge in a fraction of the
+        * iterations; power iteration's fixpoint is init-independent, so
+        * the ANSWER is unchanged — only the iteration count drops).
+        * Vertices absent from `init` (newly discovered pages) seed at
+        * 1/n; the seeded vector is renormalized to total mass 1 (one
+        * aggregate), so a stale or partial rank table can never break
+        * the Σrank = 1 invariant the dangling-mass algebra assumes.
+        */
+      init: Option[DataFrame] = None
   ): Result = {
     val spark = graph.spark
     import spark.implicits._
@@ -63,7 +74,20 @@ object PageRank {
     val ctx = new IterationContext("pagerank", checkpoint, verbose = verbose)
     val resumed = ctx.resume(spark)
     var state = resumed.map(_._1).getOrElse {
-      ctx.init(verts.select($"id", lit(1.0 / n).as("rank"), $"deg"))
+      init match {
+        case Some(r0) =>
+          val seeded = verts
+            .join(r0.select($"id", $"rank".cast("double").as("r0")), Seq("id"), "left")
+            .select($"id", coalesce($"r0", lit(1.0 / n)).as("r"), $"deg")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val tot = seeded.agg(sum($"r")).head().getDouble(0)
+          require(tot > 0, "init ranks must have positive total mass")
+          val out = ctx.init(seeded.select($"id", ($"r" / tot).as("rank"), $"deg"))
+          seeded.unpersist()
+          out
+        case None =>
+          ctx.init(verts.select($"id", lit(1.0 / n).as("rank"), $"deg"))
+      }
     }
     var iter = resumed.map(_._2).getOrElse(0)
     // Dangling mass of the CURRENT state; for iteration>0 resumes this is

@@ -125,6 +125,46 @@ class PageRankSpec extends AnyFunSuite {
     assert(deltas.sliding(2).forall(w => w.last <= w.head * 1.01))
   }
 
+  test("warm start: converged ranks reconverge in 1 iteration; fewer on a perturbed graph") {
+    import spark.implicits._
+    val edges = Fixtures.erdosRenyi(120, 0.04, 13)
+    val g = Graph.fromPairs(spark, edges)
+    val cold = PageRank.run(g, tol = 1e-8, maxIter = 200)
+    assert(cold.converged)
+    // exact fixpoint in → one checking step out (delta ≤ α·lastDelta < tol)
+    val re = PageRank.run(g, tol = 1e-8, maxIter = 200, init = Some(cold.ranks))
+    assert(re.converged && re.iterations == 1, s"got ${re.iterations} iterations")
+
+    // yesterday's ranks on today's slightly-changed graph: same fixpoint,
+    // materially fewer iterations
+    val g2 = Graph.fromPairs(spark, edges ++ Seq(0L -> 119L, 119L -> 57L, 3L -> 88L))
+    val cold2 = PageRank.run(g2, tol = 1e-8, maxIter = 200)
+    val warm2 = PageRank.run(g2, tol = 1e-8, maxIter = 200, init = Some(cold.ranks))
+    assert(cold2.converged && warm2.converged)
+    assert(warm2.iterations < cold2.iterations,
+      s"warm ${warm2.iterations} !< cold ${cold2.iterations}")
+    val a = cold2.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = warm2.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { case (v, r) => assert(math.abs(r - b(v)) < 1e-6, s"vertex $v") }
+  }
+
+  test("warm start renormalizes: unnormalized/partial init behaves and conserves mass") {
+    import spark.implicits._
+    val g = Graph.fromPairs(spark, Fixtures.bucket9)
+    // ranks scaled ×40 and missing half the vertices: the seed must be
+    // renormalized to mass 1 and missing ids seeded, not break the algebra
+    val skewed = PageRank.runFixed(g, 5)
+      .where($"id" % 2 === 0).select($"id", ($"rank" * 40).as("rank"))
+    val res = PageRank.run(g, tol = 1e-8, maxIter = 200, init = Some(skewed))
+    assert(res.converged)
+    val ranks = res.ranks.collect().map(_.getDouble(1))
+    assert(math.abs(ranks.sum - 1.0) < 1e-9)
+    val plain = PageRank.run(g, tol = 1e-8, maxIter = 200)
+    val want = plain.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    res.ranks.collect().foreach(r =>
+      assert(math.abs(r.getDouble(1) - want(r.getLong(0))) < 1e-6))
+  }
+
   /** Sequential strongly-preferential PPR oracle. */
   private def seqPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
                      alpha: Double, iters: Int): Map[Long, Double] = {
