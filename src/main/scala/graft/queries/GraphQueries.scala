@@ -310,6 +310,44 @@ object GraphQueries {
        |${gamma("re", "bfs")}""".stripMargin
   }
 
+  /** Landmark distance sketch ([[Landmarks]]): undirected distances from
+    * the top-3 total-degree vertices (ties to smaller id) to every
+    * vertex in their component — the precomputed side of
+    * triangle-inequality distance estimation (the only way to answer
+    * pair-distance queries on a 10¹²-vertex graph). One source-tagged
+    * multi-root BFS; k visits share every superstep's shuffle.
+    */
+  def landmarkSketch(spark: SparkSession, dir: String): DataFrame = {
+    val lm = Landmarks.pick(graph(spark, dir), 3)
+    Landmarks.sketch(symGraph(spark, dir), lm)
+  }
+
+  /** Oracle: the same top-3 degree pick, then dist = the first bitmap
+    * chain round covering the vertex (the sb0..sb10 prefixes ARE
+    * reachable-within-k — shared with [[bfsOrderGainSql]]'s trick).
+    */
+  lazy val landmarkSketchSql: String = {
+    val lvUnion = (0 to 10).map(k => s"SELECT $k AS k, src, bs FROM sb$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |idg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst),
+       |lm AS (
+       |  SELECT id FROM (
+       |    SELECT n.id, coalesce(od.c, 0) + coalesce(idg.c, 0) AS tdeg
+       |    FROM nodes n LEFT JOIN od ON od.id = n.id LEFT JOIN idg ON idg.id = n.id) z
+       |  ORDER BY tdeg DESC, id ASC LIMIT 3),
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+       |${bitReachChain("sym", "s")},
+       |lv AS (
+       |  $lvUnion
+       |)
+       |SELECT lm.id AS landmark, n.id, CAST(min(l.k) AS BIGINT) AS dist
+       |FROM lm JOIN lv l ON l.src = lm.id
+       |JOIN nodes n ON get_bit(l.bs, CAST(n.id AS INTEGER)) = 1
+       |GROUP BY lm.id, n.id""".stripMargin
+  }
+
   /** Arc reciprocity — the share of non-loop arcs whose reverse arc also
     * exists (link exchanges vs one-way citation; ~0.25 on real web
     * graphs). One self-semi-join on the reversed key + two counts; the
