@@ -1656,4 +1656,64 @@ object TextQueries {
        |       md5($redacted) AS redacted_md5
        |FROM pt""".stripMargin
   }
+
+  // --- sequence packing ------------------------------------------------
+
+  /** Sequence-packing statistics — the LM-training step after curation:
+    * docs are concatenated into fixed-capacity token windows ("packing",
+    * the trick that keeps padding waste near zero), and this query
+    * reports the resulting bins BEFORE anyone pays for the token-level
+    * rewrite: per (source shard, bin) doc count, token count, and how
+    * many docs straddle a bin boundary (each straddle = one truncation
+    * or one cross-doc attention leak, depending on the packer's policy).
+    *
+    * Packing rule (deterministic, exact integer math cross-engine):
+    * within a source shard, docs in doc_id order form one contiguous
+    * token stream; a doc starting at token offset `start` belongs to bin
+    * `start div capacity`. The window cumsum is PARTITIONED by source —
+    * packing is a per-shard operation in any real pipeline, so no global
+    * single-partition pass exists at any scale.
+    */
+  def packStats(capacity: Long)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(capacity > 0)
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select($"doc_id", $"source",
+        size(TextOps.tokensCol($"text")).cast("long").as("tok"))
+      .withColumn("start", coalesce(sum($"tok").over(w), lit(0L)))
+      .select($"source", expr(s"start div $capacity").as("bin"), $"tok", $"start")
+      .groupBy($"source", $"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"tok").as("n_tokens"),
+        // tok > 0 guard: keeps (start - 1) out of the division, where
+        // Spark's div (truncate) and DuckDB's // (floor) disagree on
+        // negatives; an empty doc can't straddle anyway.
+        sum(when($"tok" > 0 &&
+            expr(s"(start + tok - 1) div $capacity") > expr(s"start div $capacity"),
+          1L).otherwise(0L)).as("n_straddle"))
+  }
+
+  def packStatsSql(capacity: Long): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS tok
+       |  FROM documents
+       |),
+       |s AS (
+       |  SELECT source, doc_id, tok,
+       |         CAST(coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM d
+       |)
+       |SELECT source, start // $capacity AS bin,
+       |       count(*) AS n_docs,
+       |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN tok > 0
+       |                      AND (start + tok - 1) // $capacity > start // $capacity
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+       |FROM s GROUP BY source, bin""".stripMargin
 }
