@@ -348,6 +348,49 @@ object GraphQueries {
        |GROUP BY lm.id, n.id""".stripMargin
   }
 
+  /** Crawl-over-crawl delta report — the churn audit run BEFORE a
+    * recurring pipeline refreshes its derived structures (warm-start
+    * PageRank, adjacency rebuild, re-dedup): how much actually changed?
+    * Two deterministic snapshots of the derived edge table ("yesterday"
+    * drops the (31·src+dst) mod 10 = 0 arc class, "today" drops class 9)
+    * are diffed with anti/semi-joins on the (src, dst) key — exact set
+    * ops that shuffle each snapshot ONCE at any scale; vertex churn from
+    * the distinct endpoint sets. Output: 6 (metric, n) rows, exact ints.
+    */
+  def crawlDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graph(spark, dir).edges.toDF() // memoized, deduped arcs
+    val cls = (pmod(col("src") * 31 + col("dst"), lit(10L)))
+    val a = e.where(cls =!= 0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = e.where(cls =!= 9).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def verts(df: DataFrame) =
+      df.select($"src".as("id")).union(df.select($"dst".as("id"))).distinct()
+    def cnt(label: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(label).as("metric"), $"n")
+    val out = cnt("arcs_added", b.join(a, Seq("src", "dst"), "left_anti"))
+      .unionByName(cnt("arcs_removed", a.join(b, Seq("src", "dst"), "left_anti")))
+      .unionByName(cnt("arcs_retained", b.join(a, Seq("src", "dst"), "left_semi")))
+      .unionByName(cnt("verts_new", verts(b).join(verts(a), Seq("id"), "left_anti")))
+      .unionByName(cnt("verts_gone", verts(a).join(verts(b), Seq("id"), "left_anti")))
+      .unionByName(cnt("verts_retained", verts(b).join(verts(a), Seq("id"), "left_semi")))
+      .localCheckpoint(true)
+    a.unpersist(); b.unpersist()
+    out
+  }
+
+  lazy val crawlDeltaSql: String =
+    s"""WITH $edgesSql,
+       |a AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 <> 0),
+       |b AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 <> 9),
+       |va AS (SELECT src AS id FROM a UNION SELECT dst FROM a),
+       |vb AS (SELECT src AS id FROM b UNION SELECT dst FROM b)
+       |SELECT 'arcs_added' AS metric, count(*) AS n FROM (SELECT * FROM b EXCEPT SELECT * FROM a) z
+       |UNION ALL SELECT 'arcs_removed', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) z
+       |UNION ALL SELECT 'arcs_retained', count(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM a) z
+       |UNION ALL SELECT 'verts_new', count(*) FROM (SELECT * FROM vb EXCEPT SELECT * FROM va) z
+       |UNION ALL SELECT 'verts_gone', count(*) FROM (SELECT * FROM va EXCEPT SELECT * FROM vb) z
+       |UNION ALL SELECT 'verts_retained', count(*) FROM (SELECT * FROM vb INTERSECT SELECT * FROM va) z""".stripMargin
+
   /** Arc reciprocity — the share of non-loop arcs whose reverse arc also
     * exists (link exchanges vs one-way citation; ~0.25 on real web
     * graphs). One self-semi-join on the reversed key + two counts; the
