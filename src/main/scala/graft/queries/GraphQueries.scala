@@ -391,6 +391,80 @@ object GraphQueries {
        |UNION ALL SELECT 'verts_gone', count(*) FROM (SELECT * FROM va EXCEPT SELECT * FROM vb) z
        |UNION ALL SELECT 'verts_retained', count(*) FROM (SELECT * FROM vb INTERSECT SELECT * FROM va) z""".stripMargin
 
+  /** Degree^0.75 negative-sampling table — the word2vec/node2vec
+    * training-prep step that pairs the walk corpus (`g_walks4` /
+    * `g_node2vec3`): draw negatives ∝ deg^(3/4) (Mikolov's unigram^0.75,
+    * applied to vertex degree as the frequency). The alias-table-free
+    * distributed form:
+    *
+    *  1. weights w(v) = floor(sqrt(deg·sqrt(deg)) · 256) — x^(3/4) spelled
+    *     as two IEEE-correctly-rounded sqrts, so the INTEGER weight is
+    *     bit-identical cross-engine (libm `pow` is not correctly rounded
+    *     and could flip a floor at an ulp boundary; sqrt is);
+    *  2. the cumulative weight table in id order via a TWO-LEVEL prefix
+    *     sum (in-block window cumsum + block-offset running sum over the
+    *     tiny block table — never a global single-partition pass over a
+    *     10⁹-vertex vocabulary);
+    *  3. draws u_j = portableHash60("neg:"+j) mod ΣW — hash-deterministic
+    *     (retry-safe, replayable) like the walks;
+    *  4. lookup = the bin-bucketed interval join ([[RangeJoin]]): each
+    *     draw lands in one bin, each cum interval covers ≤ 2 bins — at
+    *     10⁹ draws × 10⁷ vocab rows this is two shuffles, no broadcast
+    *     of the vocabulary and no per-draw binary search structure.
+    */
+  def negSample(s: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val g = graph(spark, dir)
+    val deg = g.outDegrees.withColumnRenamed("deg", "od")
+      .join(g.inDegrees.withColumnRenamed("deg", "indeg"), Seq("id"), "left")
+      .select($"id", ($"od" + coalesce($"indeg", lit(0L))).as("deg"))
+    val wt = deg.select($"id",
+      floor(sqrt($"deg" * sqrt($"deg")) * 256).cast("long").as("w"))
+    val blocked = wt.withColumn("blk", expr("id div 64"))
+    val ib = coalesce(sum($"w").over(Window.partitionBy($"blk").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val blkOff = blocked.groupBy($"blk").agg(sum($"w").as("bw"))
+      .select($"blk", coalesce(sum($"bw").over(Window.orderBy($"blk")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("boff"))
+    val cum = blocked.withColumn("ib", ib)
+      .join(blkOff, Seq("blk"))
+      .select($"id", ($"boff" + $"ib").as("lo"), $"w")
+    val tot = wt.agg(sum($"w").as("tw"))
+    val pts = spark.range(s).select($"id".as("j"))
+      .crossJoin(broadcast(tot))
+      .select($"j",
+        (graft.text.TextOps.portableHash60(concat(lit("neg:"), $"j".cast("string"))) % $"tw").as("u"))
+    RangeJoin.pointInInterval(
+      cum.select(lit(0L).as("gk"), $"id", $"lo", ($"lo" + $"w" - 1).as("hi")),
+      pts.select(lit(0L).as("gk"), $"j", $"u"),
+      "gk", "gk", "lo", "hi", "u", binWidth = 65536L)
+      .select($"j", $"id".as("neg"))
+  }
+
+  /** Oracle: same integer weights, one window cumsum, same md5 draws,
+    * plain BETWEEN containment.
+    */
+  def negSampleSql(s: Int): String =
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |idg AS (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst),
+       |dg AS (
+       |  SELECT n.id, coalesce(od.c, 0) + coalesce(idg.c, 0) AS deg
+       |  FROM nodes n LEFT JOIN od ON od.id = n.id LEFT JOIN idg ON idg.id = n.id),
+       |wt AS (SELECT id, CAST(floor(sqrt(deg * sqrt(deg)) * 256) AS BIGINT) AS w FROM dg),
+       |cum AS (
+       |  SELECT id, w,
+       |         CAST(coalesce(sum(w) OVER (ORDER BY id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lo
+       |  FROM wt),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wt),
+       |pts AS (
+       |  SELECT r.j, CAST(('0x' || substring(md5('neg:' || r.j), 1, 15)) AS BIGINT) % t.tw AS u
+       |  FROM range($s) r(j) CROSS JOIN tot t)
+       |SELECT p.j, c.id AS neg
+       |FROM pts p JOIN cum c ON p.u >= c.lo AND p.u < c.lo + c.w""".stripMargin
+
   /** Arc reciprocity — the share of non-loop arcs whose reverse arc also
     * exists (link exchanges vs one-way citation; ~0.25 on real web
     * graphs). One self-semi-join on the reversed key + two counts; the
