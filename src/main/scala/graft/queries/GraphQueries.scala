@@ -773,6 +773,71 @@ object GraphQueries {
        |SELECT id, round(rank, 8) AS rank FROM ppr$iters""".stripMargin
   }
 
+  /** Spam-mass estimation (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004
+    * — TrustRank): smass(v) = (PR(v) − TR(v)) / PR(v), where TR is
+    * PageRank personalized to a trusted seed set (here: the top-5
+    * out-degree vertices, ties to the smaller id — the deterministic
+    * stand-in for a hand-vetted whitelist). Pages whose rank comes
+    * mostly from outside the trust neighborhood (smass → 1) are the
+    * link-spam candidates. Pure composition: two existing superstep
+    * operators + one join + one division — PR > 0 always (the (1−α)/n
+    * base), so the ratio is total; round(6) absorbs summation-order
+    * ulps exactly as the PR/PPR gate faces do.
+    */
+  def spamMass(iters: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = graph(spark, dir)
+    val seeds = g.outDegrees.orderBy($"deg".desc, $"id".asc).limit(5).select($"id")
+    val pr = PageRank.runFixed(g, iters).withColumnRenamed("rank", "pr")
+    val tr = PageRank.runPersonalized(g, seeds, iterations = iters)
+      .withColumnRenamed("rank", "tr")
+    pr.join(tr, Seq("id"))
+      .select($"id", round(($"pr" - $"tr") / $"pr", 6).as("spam_mass"))
+  }
+
+  /** Oracle: the [[pagerankSql]] stage chain and a trust-seeded
+    * [[pprSql]]-shaped chain composed in one WITH list, ratio on the
+    * RAW (unrounded) final stages.
+    */
+  def spamMassSql(iters: Int): String = {
+    val a = "CAST(0.85 AS DOUBLE)"
+    val trStages = (1 to iters).map { k =>
+      val p = s"tr${k - 1}"
+      s"""tr$k AS (
+         |  SELECT t.id,
+         |         (CAST(1.0 AS DOUBLE) - $a) * t.tele
+         |           + $a * (coalesce(c.contrib, 0) + d.dang * t.tele) AS rank,
+         |         t.deg, t.tele
+         |  FROM tele t
+         |  CROSS JOIN (SELECT coalesce(sum(rank), 0) AS dang FROM $p WHERE deg = 0) d
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.rank / p.deg) AS contrib
+         |    FROM $p p JOIN edges e ON e.src = p.id
+         |    WHERE p.deg > 0
+         |    GROUP BY e.dst
+         |  ) c ON c.id = t.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |ndeg AS (SELECT n.id, coalesce(od.c, 0) AS deg FROM nodes n LEFT JOIN od ON n.id = od.id),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT id, 1.0 / cnt.n AS rank, deg FROM ndeg CROSS JOIN cnt),
+       |${prStagesSql(iters, "edges", "ndeg", "cnt", "pr")},
+       |srcs AS (SELECT id FROM ndeg ORDER BY deg DESC, id ASC LIMIT 5),
+       |cs AS (SELECT count(*) AS c FROM srcs),
+       |tele AS (
+       |  SELECT n.id, n.deg,
+       |         CASE WHEN s.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) / cs.c
+       |              ELSE CAST(0.0 AS DOUBLE) END AS tele
+       |  FROM ndeg n LEFT JOIN srcs s ON n.id = s.id CROSS JOIN cs
+       |),
+       |tr0 AS (SELECT id, tele AS rank, deg, tele FROM tele),
+       |$trStages
+       |SELECT p.id, round((p.rank - t.rank) / p.rank, 6) AS spam_mass
+       |FROM pr$iters p JOIN tr$iters t ON t.id = p.id""".stripMargin
+  }
+
   /** Deterministic random walks, one per vertex, `steps` hops
     * ([[RandomWalk.run]]) — long-form (start, step, node).
     */
