@@ -848,7 +848,12 @@ object GraphQueries {
     * row_number, hop choice = md5-prefix hash of "cur:step" mod outdeg,
     * dead ends absorb.
     */
-  def walksSql(steps: Int): String = {
+  /** The walk-replay CTE prelude (everything up to the final select) and
+    * the long-form output select, factored so [[walksSql]] and
+    * [[skipgramSql]] COMPOSE the chain instead of substring-slicing one
+    * SQL string out of the other (the effDiameterSql indexOf lesson).
+    */
+  private def walkChainSql(steps: Int): (String, String) = {
     val stages = (1 to steps).map { t =>
       val p = s"w${t - 1}"
       s"""w$t AS (
@@ -863,16 +868,55 @@ object GraphQueries {
     val out = (0 to steps)
       .map(t => s"SELECT start, CAST($t AS BIGINT) AS step, cur AS node FROM w$t")
       .mkString("\nUNION ALL ")
-    s"""WITH $edgesSql,
-       |sidx AS (
-       |  SELECT src, dst,
-       |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
-       |  FROM edges
-       |),
-       |od AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
-       |w0 AS (SELECT id AS start, id AS cur FROM nodes),
-       |$stages
-       |$out""".stripMargin
+    val prelude =
+      s"""WITH $edgesSql,
+         |sidx AS (
+         |  SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |  FROM edges
+         |),
+         |od AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |w0 AS (SELECT id AS start, id AS cur FROM nodes),
+         |$stages""".stripMargin
+    (prelude, out)
+  }
+
+  def walksSql(steps: Int): String = {
+    val (prelude, out) = walkChainSql(steps)
+    s"$prelude\n$out"
+  }
+
+  /** Skip-gram training pairs from the walk corpus — the step between
+    * `g_walks4` and the embedding trainer (with `g_negsample512`
+    * supplying the negatives, the data prep for DeepWalk/node2vec
+    * embeddings is complete end-to-end): (center, context) for every
+    * step pair within `window` hops of the same walk. One self-join of
+    * the walk table on its walk id with a band predicate — the walk
+    * table is tiny relative to the graph (walks × steps rows), and the
+    * join key is the walk id, so pairs never touch the adjacency.
+    */
+  def skipgram(steps: Int, window: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = walks(steps)(spark, dir)
+    val l = w.select($"start", $"step".as("s1"), $"node".as("center"))
+    val r = w.select($"start", $"step".as("s2"), $"node".as("context"))
+    l.join(r, Seq("start"))
+      .where($"s1" =!= $"s2" && abs($"s1" - $"s2") <= window)
+      .groupBy($"center", $"context")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle: the [[walkChainSql]] hop chain + the same banded self-join. */
+  def skipgramSql(steps: Int, window: Int): String = {
+    val (prelude, out) = walkChainSql(steps)
+    s"""$prelude,
+       |wk AS (
+       |$out
+       |)
+       |SELECT l.node AS center, r.node AS context, count(*) AS n
+       |FROM wk l JOIN wk r ON r.start = l.start
+       |WHERE l.step <> r.step AND abs(l.step - r.step) <= $window
+       |GROUP BY l.node, r.node""".stripMargin
   }
 
   /** node2vec-biased walks ([[RandomWalk.node2vec]]), one per vertex:
