@@ -127,6 +127,157 @@ object ConnectedComponents {
     parent.keys.map(v => v -> find(v)).toMap
   }
 
+  final case class IncrementalResult(
+      /** (id: Long, comp: Long) — comp = min vertex id, identical
+        * contract to [[Result.components]] on the new snapshot.
+        */
+      components: DataFrame,
+      /** Arcs of the contracted repair graph that actually iterated —
+        * the honesty number: at low churn this is O(delta), orders of
+        * magnitude below the corpus arc count.
+        */
+      repairEdges: Long,
+      /** Supersteps the repair CC took (0 when the repair graph fit the
+        * driver union-find budget).
+        */
+      repairIterations: Int,
+      dirtyComponents: Long
+  )
+
+  /** Incremental connected components — refresh yesterday's labels after
+    * a crawl delta WITHOUT re-iterating the corpus. The recurring-crawl
+    * sibling of [[PageRank.runFixed]]'s warm `init` and
+    * [[graft.queries.GraphQueries.crawlDelta]]'s churn audit: at 10¹²
+    * edges and 0.1% daily churn a from-scratch CC pays O(diameter)
+    * supersteps over everything; this pays them only over the changed
+    * structure.
+    *
+    * Deletion-safe by dirty-component contraction:
+    *
+    *  1. `removed`/`added` = symmetric non-loop arc diffs (two anti-joins
+    *     — each snapshot shuffles once on the (src,dst) key).
+    *  2. A component is DIRTY iff it lost an arc (deletions can only
+    *     split dirty components; additions never dirty anything).
+    *  3. Repair graph = added arcs + retained arcs with a dirty endpoint,
+    *     with every CLEAN endpoint contracted to its old label. Clean
+    *     components collapse to one node each; the corpus never iterates.
+    *  4. CC on the repair graph. Because the canonical label IS the min
+    *     member id, a contracted node's id is already the min of its
+    *     members, so the repair min-label is exactly the final min-label.
+    *  5. Compose: dirty/new vertices read the repair label (default: own
+    *     id — isolated after deletions); clean vertices keep their old
+    *     label unless their contracted node was merged into something
+    *     smaller. Vertices whose every arc vanished leave the output,
+    *     exactly as a from-scratch run over the new snapshot would drop
+    *     them (the one non-loop-arc-free survivor shape — a self-loop-only
+    *     singleton — is kept via the new snapshot's endpoint set).
+    *
+    * Exactness contract (spec-verified by differential): equals
+    * [[run]] on the new snapshot for ANY delta, including splits, merges
+    * of clean components, vanished vertices, and new vertices. `oldLabels`
+    * must be a canonical min-id labeling of `oldEdges` (the output of
+    * [[run]] or of a previous `incremental`).
+    */
+  def incremental(
+      oldLabels: DataFrame,
+      oldEdges: DataFrame,
+      newEdges: DataFrame,
+      localFinishEdges: Long = 0L
+  ): IncrementalResult = {
+    val spark = oldLabels.sparkSession
+    import spark.implicits._
+
+    def symNoLoop(e: DataFrame): DataFrame = {
+      val d = e.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      d.union(d.select($"dst".as("src"), $"src".as("dst")))
+        .where($"src" =!= $"dst")
+        .distinct()
+    }
+    val symOld = symNoLoop(oldEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    val symNew = symNoLoop(newEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    // Every endpoint of the new snapshot, self-loops included — the
+    // vertex universe of the from-scratch run we must match.
+    val newVerts = newEdges
+      .select(col("src").cast("long").as("id"))
+      .union(newEdges.select(col("dst").cast("long").as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val removed = symOld.join(symNew, Seq("src", "dst"), "left_anti")
+    val added = symNew.join(symOld, Seq("src", "dst"), "left_anti")
+
+    // Components that lost an arc. Small at low churn — the join back
+    // into oldLabels broadcasts (AQE picks it up from the runtime size).
+    val dirtyComps = removed
+      .select($"src".as("id")).union(removed.select($"dst".as("id")))
+      .distinct()
+      .join(oldLabels, Seq("id"))
+      .select($"comp").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDirty = dirtyComps.count()
+
+    // Clean old vertices -> their (still-valid-or-mergeable) old label.
+    val cleanMap = oldLabels
+      .join(dirtyComps, Seq("comp"), "left_anti")
+      .select($"id", $"comp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Repair arcs: everything added, plus retained arcs touching a
+    // non-clean (dirty or new) endpoint.
+    val retained = symNew.join(symOld, Seq("src", "dst"), "left_semi")
+    val retainedDirty = retained
+      .join(cleanMap.select($"id".as("src")), Seq("src"), "left_anti")
+      .unionByName(
+        retained.join(cleanMap.select($"id".as("dst")), Seq("dst"), "left_anti")
+          .select($"src", $"dst"))
+      .distinct()
+    val repairRaw = added.unionByName(retainedDirty).distinct()
+
+    // Contract clean endpoints to their component label. A retained
+    // clean–clean arc never reaches here, so no self-loop flood; mixed
+    // arcs keep the dirty endpoint as-is.
+    val repairEdgesDf = repairRaw
+      .join(cleanMap.select($"id".as("src"), $"comp".as("scomp")), Seq("src"), "left")
+      .join(cleanMap.select($"id".as("dst"), $"comp".as("dcomp")), Seq("dst"), "left")
+      .select(
+        coalesce($"scomp", $"src").as("src"),
+        coalesce($"dcomp", $"dst").as("dst"))
+      .where($"src" =!= $"dst")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRepair = repairEdgesDf.count()
+
+    val (repairLabels, repairIters) =
+      if (nRepair == 0) (spark.emptyDataset[(Long, Long)].toDF("id", "comp"), 0)
+      else {
+        val r = run(
+          Graph.fromEdges(repairEdgesDf),
+          localFinishEdges = localFinishEdges)
+        (r.components, r.iterations)
+      }
+    val rep = repairLabels.persist(StorageLevel.MEMORY_AND_DISK)
+    rep.count()
+
+    // Dirty/new vertices read their repair label; isolated ones (every
+    // non-loop arc gone) keep their own id.
+    val dirtyOrNew = newVerts.join(cleanMap, Seq("id"), "left_anti")
+    val dirtyFinal = dirtyOrNew
+      .join(rep, Seq("id"), "left")
+      .select($"id", coalesce($"comp", $"id").as("comp"))
+    // Clean vertices still present: old label, unless the contracted node
+    // was merged below it. (Presence filter: a clean component never loses
+    // an arc, so its members survive — except self-loop-only singletons.)
+    val cleanFinal = cleanMap
+      .join(newVerts, Seq("id"), "left_semi")
+      .join(rep.select($"id".as("comp"), $"comp".as("rcomp")), Seq("comp"), "left")
+      .select($"id", coalesce($"rcomp", $"comp").as("comp"))
+
+    val out = dirtyFinal.unionByName(cleanFinal).localCheckpoint(true)
+    Seq(symOld, symNew, newVerts, dirtyComps, cleanMap, repairEdgesDf, rep)
+      .foreach(_.unpersist())
+    IncrementalResult(out, nRepair, repairIters, nDirty)
+  }
+
   /** Component sizes plus size-ranked renumbering, reproducing the
     * reference's `sort_by_size` postprocessing exactly: components
     * renumbered by decreasing size, ties broken by the canonical (min-id)

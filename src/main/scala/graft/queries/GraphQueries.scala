@@ -391,6 +391,35 @@ object GraphQueries {
        |UNION ALL SELECT 'verts_gone', count(*) FROM (SELECT * FROM va EXCEPT SELECT * FROM vb) z
        |UNION ALL SELECT 'verts_retained', count(*) FROM (SELECT * FROM vb INTERSECT SELECT * FROM va) z""".stripMargin
 
+  /** Incremental CC over the crawl-delta snapshot pair: yesterday's
+    * labels ([[ConnectedComponents.run]] on snapshot `a`) refreshed to
+    * today's snapshot `b` by [[ConnectedComponents.incremental]] — only
+    * the churned structure iterates; the oracle recomputes components of
+    * `b` from scratch, so the compare proves the refresh is EXACT under
+    * both the deletions (class-0 arcs return) and additions (class-9
+    * arcs leave) in the pair.
+    */
+  def ccIncr(spark: SparkSession, dir: String): DataFrame = {
+    val e = graph(spark, dir).edges.toDF()
+    val cls = pmod(col("src") * 31 + col("dst"), lit(10L))
+    val a = e.where(cls =!= 0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = e.where(cls =!= 9)
+    val old = ConnectedComponents.run(Graph.fromEdges(a)).components
+    val out = ConnectedComponents.incremental(old, a, b).components
+    a.unpersist()
+    out
+  }
+
+  lazy val ccIncrSql: String =
+    s"""WITH $edgesSql,
+       |bsnap AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 <> 9),
+       |bnodes AS MATERIALIZED (SELECT src AS id FROM bsnap UNION SELECT dst FROM bsnap),
+       |bsym AS MATERIALIZED (SELECT src, dst FROM bsnap UNION SELECT dst AS src, src AS dst FROM bsnap),
+       |${bitReachChain("bsym", "ib", nodesRel = "bnodes")}
+       |SELECT r.src AS id, min(n.id) AS comp
+       |FROM ibreach r JOIN bnodes n ON get_bit(r.bs, CAST(n.id AS INTEGER)) = 1
+       |GROUP BY r.src""".stripMargin
+
   /** Degree^0.75 negative-sampling table — the word2vec/node2vec
     * training-prep step that pairs the walk corpus (`g_walks4` /
     * `g_node2vec3`): draw negatives ∝ deg^(3/4) (Mikolov's unigram^0.75,
@@ -1242,7 +1271,8 @@ object GraphQueries {
     * WITH-RECURSIVE quirk that turns sibling UNIONs into UNION ALL
     * (see [[bowtieSql]] history) no longer applies.
     */
-  private def bitReachChain(rel: String, p: String, cap: Int = 10): String = {
+  private def bitReachChain(rel: String, p: String, cap: Int = 10,
+                            nodesRel: String = "nodes"): String = {
     val rounds = (1 to cap).map { k =>
       s"""${p}n$k AS (
          |  SELECT e.src, bit_or(r.bs) AS nbs
@@ -1254,7 +1284,7 @@ object GraphQueries {
     }.mkString(",\n")
     s"""${p}b0 AS MATERIALIZED (
        |  SELECT id AS src, bitstring_agg(id, 0, ${N - 1}) AS bs
-       |  FROM nodes GROUP BY id
+       |  FROM $nodesRel GROUP BY id
        |),
        |$rounds,
        |${p}reach AS MATERIALIZED (SELECT src, bs FROM ${p}b$cap)""".stripMargin

@@ -338,3 +338,76 @@ class BfsSpec extends AnyFunSuite {
     assert(got == Map(2L -> 0, 1L -> 1, 3L -> 1, 4L -> 1, 5L -> 1))
   }
 }
+
+class IncrementalCcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def df(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  /** incremental(cc(old), old, new) must equal the from-scratch labeling
+    * of `new` — SeqOracles.cc is the truth on both sides.
+    */
+  private def check(oldE: Seq[(Long, Long)], newE: Seq[(Long, Long)]): ConnectedComponents.IncrementalResult = {
+    import spark.implicits._
+    val oldLabels = SeqOracles.cc(oldE).toSeq.toDF("id", "comp")
+    val r = ConnectedComponents.incremental(oldLabels, df(oldE), df(newE))
+    val got = r.components.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == SeqOracles.cc(newE))
+    r
+  }
+
+  test("pure addition merges two clean components through contracted nodes") {
+    val twoCliques = Fixtures.clique5 ++ Fixtures.clique5.map { case (u, v) => (u + 10, v + 10) }
+    val r = check(twoCliques, twoCliques ++ Seq((3L, 12L)))
+    assert(r.dirtyComponents == 0L)
+    // the bridge contracts to (0,10)+(10,0): the cliques never iterate
+    assert(r.repairEdges == 2L)
+  }
+
+  test("deletion splits a dirty component") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    check(path, Seq((0L, 1L), (2L, 3L)))
+  }
+
+  test("vertex vanishing when its every arc is removed leaves the output") {
+    val r = check(Seq((0L, 1L), (1L, 2L)), Seq((0L, 1L)))
+    assert(r.components.collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
+
+  test("self-loop-only vertices: retained singleton kept, removed one dropped, new one added") {
+    check(Seq((5L, 5L), (6L, 6L), (0L, 1L)), Seq((5L, 5L), (7L, 7L), (0L, 1L)))
+  }
+
+  test("mixed churn differential on ER snapshots (3 seeds)") {
+    for (seed <- Seq(7L, 19L, 42L)) {
+      val oldE = Fixtures.erdosRenyi(40, 0.05, seed)
+      // deterministic churn: drop one arc class, add a shifted arc set
+      val newE = oldE.filterNot { case (u, v) => (u * 31 + v) % 7 == 0 } ++
+        Fixtures.erdosRenyi(45, 0.02, seed + 100)
+      check(oldE, newE)
+    }
+  }
+
+  test("low churn iterates only the delta, never the corpus") {
+    // 30 disjoint 4-cycles (120 arcs); delta touches exactly one of them
+    val comps = (0 until 30).flatMap { c =>
+      val b = c * 4L
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b + 3), (b + 3, b))
+    }
+    val newE = comps.filterNot(_ == (2L, 3L)) :+ (0L, 119L)
+    val r = check(comps, newE)
+    assert(r.dirtyComponents == 1L)
+    // repair graph: the dirtied 4-cycle's surviving arcs (symmetrized)
+    // plus the contracted new bridge — bounded by the delta, not the corpus
+    assert(r.repairEdges <= 10L)
+  }
+
+  test("idempotent refresh: zero delta touches nothing") {
+    val edges = Fixtures.bucket9
+    val r = check(edges, edges)
+    assert(r.dirtyComponents == 0L && r.repairEdges == 0L)
+  }
+}
