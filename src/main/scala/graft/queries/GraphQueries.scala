@@ -2131,4 +2131,32 @@ object GraphQueries {
        |  SELECT id, sum(delta) AS bc FROM alld WHERE id <> s GROUP BY id
        |) b ON b.id = n.id""".stripMargin
   }
+
+  /** Katz centrality, `iters` exact stages ([[Katz.runFixed]]);
+    * α = 0.05, β = 1, rounded to 8 dp (same ulps policy as PageRank).
+    */
+  def katz(iters: Int)(spark: SparkSession, dir: String): DataFrame =
+    Katz.runFixed(graph(spark, dir), iterations = iters)
+      .select(col("id"), round(col("x"), 8).as("katz"))
+
+  /** Unrolled Katz oracle: identical algebra per stage —
+    * x ← 1 + 0.05·Σ_{in-edges} x (no degree division; contrast PageRank).
+    */
+  def katzSql(iters: Int): String = {
+    val a = "CAST(0.05 AS DOUBLE)"
+    val stages = (1 to iters).map { k =>
+      s"""kz$k AS (
+         |  SELECT n.id, CAST(1.0 AS DOUBLE) + $a * coalesce(c.s, 0) AS x
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.x) AS s
+         |    FROM kz${k - 1} p JOIN edges e ON e.src = p.id
+         |    GROUP BY e.dst
+         |  ) c ON c.id = n.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |kz0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM nodes),
+       |$stages
+       |SELECT id, round(x, 8) AS katz FROM kz$iters""".stripMargin
+  }
 }

@@ -527,4 +527,55 @@ object RelationalQueries {
       |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
       |FROM events e ASOF LEFT JOIN rr
       |  ON e.user_id = rr.o_custkey AND e.ts >= rr.o_orderdate""".stripMargin
+
+  /** Price threshold for the bloom-pruned semi-join: selects ~10% of
+    * orders, so the bloom prunes ~90% of lineitem before any shuffle.
+    */
+  private val BloomPriceCut = 450000.0
+
+  /** Bloom-pruned exact semi-join (the explicit runtime-row-filter
+    * pattern): revenue rollup of lineitem rows whose order is
+    * high-value. The small side (filtered order keys) builds a Bloom
+    * filter ONCE (distributed partial build, driver merge — the same
+    * treeAggregate Spark's own `runtime.bloomFilter` rewrite uses); the
+    * fact side is pruned MAP-SIDE inside whole-stage codegen by
+    * [[graft.functions.SketchExpressions.bloomMightContain]] before the
+    * exact semi-join removes the (≤ fpp) false positives. At 100 TB the
+    * semi-join's shuffle moves ~|match|·(1+fpp) rows instead of |fact| —
+    * the bloom is the difference between shuffling 100 TB and shuffling
+    * the 10% that survives. Result is EXACT (bloom has no false
+    * negatives), which is what the plain-IN oracle checks.
+    */
+  def bloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val hot = o.filter(col("o_totalprice") > BloomPriceCut)
+      .select(col("o_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHot = hot.count()
+    val bloom = hot.stat.bloomFilter("o_orderkey", math.max(nHot, 1L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pruned = li.filter(
+      graft.functions.SketchExpressions.bloomMightContain(col("l_orderkey"), bytes))
+    val out = pruned
+      .join(hot, pruned("l_orderkey") === hot("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    hot.unpersist()
+    out
+  }
+
+  val bloomSemiSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                     WHERE o_totalprice > $BloomPriceCut)
+       |GROUP BY l_returnflag""".stripMargin
 }

@@ -1716,4 +1716,49 @@ object TextQueries {
        |                      AND (start + tok - 1) // $capacity > start // $capacity
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
        |FROM s GROUP BY source, bin""".stripMargin
+
+  /** Heavy-hitter count floor for [[cmsHeavy]]. */
+  private val CmsThreshold = 500L
+
+  /** Count–Min heavy hitters with exact verification: tokens occurring
+    * ≥ [[CmsThreshold]] times in the corpus, with their EXACT counts.
+    *
+    * Two passes: (1) one distributed aggregate builds a CMS over the
+    * token stream (`stat.countMinSketch` — partial sketches per
+    * partition, driver merge; the sketch is KBs regardless of corpus
+    * size); (2) a map-side codegen'd probe
+    * ([[graft.functions.SketchExpressions.cmsEstimate]]) drops every
+    * token whose estimate is already < T BEFORE the groupBy, and the
+    * exact count then removes the CMS false positives (CMS only
+    * over-counts, so the candidate set is a guaranteed superset — the
+    * final answer is exact, which the plain HAVING oracle checks).
+    * At 100 TB the aggregation state shrinks from |vocabulary| (billions
+    * of shingles/tokens) to |heavy tail| · (1 + ε·N/T) — the shuffle
+    * carries only rows the sketch could not rule out.
+    */
+  def cmsHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+    // eps = 1e-4 → width 2/eps ≈ 20k counters; over-estimate ≤ eps·N with
+    // prob ≥ confidence, far below the T=500 floor at gate scale.
+    val cms = toks.stat.countMinSketch("tok", 1e-4, 0.99, 42)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    toks
+      .filter(graft.functions.SketchExpressions.cmsEstimate(col("tok"), bytes) >= CmsThreshold)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= CmsThreshold)
+  }
+
+  val cmsHeavySql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents
+       |)
+       |SELECT tok, count(*) AS cnt
+       |FROM toks GROUP BY tok HAVING count(*) >= $CmsThreshold""".stripMargin
 }
