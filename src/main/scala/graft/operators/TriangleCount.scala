@@ -123,6 +123,45 @@ object TriangleCount {
       .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
   }
 
+  /** DOULION sampled triangle estimate (Tsourakakis et al., KDD 2009):
+    * keep each canonical undirected edge with probability p = 1/invP,
+    * count triangles EXACTLY on the sampled subgraph, scale by invP³ —
+    * an unbiased estimator whose variance vanishes on large graphs. At
+    * 100 TB this is the knob that shrinks the wedge self-join (the whole
+    * cost of exact counting) by p²: sampling runs map-side in the scan,
+    * everything downstream sees a p-fraction graph.
+    *
+    * Sampling is a deterministic portable hash of the canonical edge
+    * (md5-prefix — the same family the dedup operators use), NOT an RNG:
+    * retries, partitioning, and the DuckDB oracle all see the identical
+    * sample, so the gate compares exact numbers.
+    *
+    * Returns one row: (kept_edges, tri_sample, tri_est = tri_sample·invP³).
+    */
+  def doulion(graph: Graph, invP: Int = 4, salt: String = "doulion"): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    require(invP >= 1, s"invP must be >= 1, got $invP")
+    val kept = graph.edges
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+      .distinct()
+      .filter(
+        graft.text.TextOps.portableHash60(
+          concat($"u".cast("string"), lit(":"), $"v".cast("string"), lit(s":$salt"))) % invP === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val o = orientCanonical(kept)
+    val e1 = o.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = o.select(col("src").as("a"), col("dst").as("c"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+    val tri = wedges
+      .join(kept, wedges("b") === kept("u") && wedges("c") === kept("v"), "left_semi")
+    val scale = invP.toLong * invP * invP
+    tri.agg(count(lit(1)).as("tri_sample"))
+      .crossJoin(kept.agg(count(lit(1)).as("kept_edges")))
+      .select($"kept_edges", $"tri_sample", ($"tri_sample" * lit(scale)).as("tri_est"))
+  }
+
   /** (id, triangles) for every vertex (0 for triangle-free vertices). */
   def perVertex(graph: Graph): DataFrame = {
     val spark = graph.spark

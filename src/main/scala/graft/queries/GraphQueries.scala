@@ -2159,4 +2159,102 @@ object GraphQueries {
        |$stages
        |SELECT id, round(x, 8) AS katz FROM kz$iters""".stripMargin
   }
+
+  /** DOULION sampled triangle estimate ([[TriangleCount.doulion]]) at
+    * p = 1/4 — the sampling knob that shrinks the wedge join by p².
+    * Deterministic hash sampling makes the whole row exact-comparable.
+    */
+  def triDoulion(spark: SparkSession, dir: String): DataFrame =
+    TriangleCount.doulion(graph(spark, dir), invP = 4)
+
+  val triDoulionSql: String =
+    s"""WITH $edgesSql,
+       |allund AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges WHERE src <> dst
+       |),
+       |kept AS MATERIALIZED (
+       |  SELECT u, v FROM allund
+       |  WHERE CAST(('0x' || substring(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':doulion'), 1, 15)) AS BIGINT) % 4 = 0
+       |),
+       |deg AS (
+       |  SELECT id, count(*) AS deg
+       |  FROM (SELECT u AS id FROM kept UNION ALL SELECT v AS id FROM kept) t
+       |  GROUP BY id
+       |),
+       |o AS (
+       |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS src,
+       |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS dst
+       |  FROM kept JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
+       |),
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  JOIN kept e3 ON e3.u = e1.dst AND e3.v = e2.dst
+       |)
+       |SELECT (SELECT count(*) FROM kept) AS kept_edges,
+       |       count(*) AS tri_sample,
+       |       count(*) * 64 AS tri_est
+       |FROM tri""".stripMargin
+
+  /** Row filter for the condensation face's subgraph: the shared N=601
+    * graph is near-complete (one giant SCC → empty condensation), so the
+    * face keeps a deterministic ~1/29 of the derived arcs — at the gate
+    * SF that graph has ~42 SCCs and a 51-arc condensation (non-degenerate
+    * in BOTH directions: multi-vertex components AND cross-component
+    * arcs).
+    */
+  private val CondMod = 29
+
+  private def condEdgesDf(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(s"$dir/lineitem.parquet")
+      .filter(s"(l_partkey + l_suppkey * 3 + l_linenumber) % $CondMod = 0")
+      .selectExpr(
+        s"l_partkey % $N AS src",
+        s"(l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $N AS dst")
+      .distinct()
+
+  /** SCC condensation DAG: the distinct component-level arcs — the graph
+    * the reference's ExactSumSweep condensation DP walks
+    * (`exact_sum_sweep/scc_graph.rs`), exposed as a query face. Pure
+    * composition: SCC labels + one edge-table join against the label map
+    * on each endpoint + DISTINCT. At web scale the result is the
+    * 10⁸-component DAG a reachability index is built over, computed
+    * without ever re-iterating the graph.
+    */
+  def condense(spark: SparkSession, dir: String): DataFrame = {
+    val e = condEdgesDf(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = Scc.run(Graph.fromEdges(e))
+    val out = e
+      .join(labels.select(col("id").as("src"), col("comp").as("comp_src")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("comp").as("comp_dst")), Seq("dst"))
+      .filter(col("comp_src") =!= col("comp_dst"))
+      .select(col("comp_src"), col("comp_dst"))
+      .distinct()
+    out
+  }
+
+  /** Oracle: capped bitstring closure (cap 20 ≥ the subgraph's measured
+    * reach depth 12 at the gate SF; the chain is a monotone fixpoint, so
+    * extra rounds are no-ops) → mutual-reachability labels → distinct
+    * cross-component arcs.
+    */
+  lazy val condenseSql: String =
+    s"""WITH cedges AS MATERIALIZED (
+       |  SELECT DISTINCT (l_partkey % $N) AS src,
+       |         ((l_partkey * 37 + l_suppkey * 11 + l_linenumber) % $N) AS dst
+       |  FROM lineitem
+       |  WHERE (l_partkey + l_suppkey * 3 + l_linenumber) % $CondMod = 0
+       |), cnodes AS MATERIALIZED (
+       |  SELECT src AS id FROM cedges UNION SELECT dst AS id FROM cedges
+       |),
+       |${bitReachChain("cedges", "d", cap = 20, nodesRel = "cnodes")},
+       |${bitSccSql("d")}
+       |SELECT DISTINCT cs.comp AS comp_src, cd.comp AS comp_dst
+       |FROM cedges e
+       |JOIN scc cs ON cs.id = e.src
+       |JOIN scc cd ON cd.id = e.dst
+       |WHERE cs.comp <> cd.comp""".stripMargin
 }
