@@ -2236,6 +2236,97 @@ object GraphQueries {
     out
   }
 
+  /** Eigenvector centrality, `iters` normalized power stages
+    * ([[Eigenvector.runFixed]]), round(8) — PageRank's un-damped sibling
+    * on the shared graph.
+    */
+  def eigen(iters: Int)(spark: SparkSession, dir: String): DataFrame =
+    Eigenvector.runFixed(graph(spark, dir), iterations = iters)
+      .select(col("id"), round(col("x"), 8).as("eigen"))
+
+  /** Unrolled oracle: per stage, the in-neighbor sum then an L2
+    * normalization (CROSS JOIN of the 1-row norm) — identical algebra;
+    * round(8) absorbs summation-order ulps in the norm.
+    */
+  def eigenSql(iters: Int): String = {
+    val stages = (1 to iters).map { k =>
+      s"""ev${k}r AS (
+         |  SELECT n.id, CAST(coalesce(c.s, 0) AS DOUBLE) AS y
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.x) AS s
+         |    FROM ev${k - 1} p JOIN edges e ON e.src = p.id
+         |    GROUP BY e.dst
+         |  ) c ON c.id = n.id
+         |),
+         |ev${k}n AS (SELECT sqrt(sum(y * y)) AS nrm FROM ev${k}r),
+         |ev$k AS (
+         |  SELECT id, CASE WHEN nrm > 0 THEN y / nrm ELSE CAST(0 AS DOUBLE) END AS x
+         |  FROM ev${k}r CROSS JOIN ev${k}n
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |ev0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM nodes),
+       |$stages
+       |SELECT id, round(x, 8) AS eigen FROM ev$iters""".stripMargin
+  }
+
+  /** Coreness cap for the gate face (documented engine cap; the sparse
+    * graph's true max coreness at the gate SF is 11, so levels 9+ report
+    * as 8 — the SAME cap on both sides).
+    */
+  private val CorenessCap = 8
+  /** Synchronous peel rounds unrolled per level in the oracle — measured
+    * depth ≤ 1 for every level ≤ 8 at the gate SF; 6 is the no-op-safe
+    * margin (the peel is a monotone fixpoint).
+    */
+  private val CorenessRounds = 6
+
+  /** Core numbers ([[KCore.coreness]]) on the sparse graph, capped at
+    * [[CorenessCap]] — the density profile next to `g_kcore`'s single
+    * level.
+    */
+  def coreness(spark: SparkSession, dir: String): DataFrame =
+    KCore.coreness(sparseGraph(spark, dir), kMax = CorenessCap)
+
+  /** Oracle: incremental peel — level k continues from level k−1's
+    * surviving edges (exactly the engine's structure), [[CorenessRounds]]
+    * synchronous rounds per level; core(v) = max surviving level, 0 for
+    * never-surviving (isolated / self-loop-only) vertices.
+    */
+  lazy val corenessSql: String = {
+    def lvl(k: Int): String = {
+      val prev = if (k == 1) "usym" else s"e${k - 1}_$CorenessRounds"
+      val rounds = (1 to CorenessRounds).map { r =>
+        s"""e${k}_$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst
+           |  FROM e${k}_${r - 1} e
+           |  JOIN (SELECT src FROM e${k}_${r - 1} GROUP BY src HAVING count(*) >= $k) ks ON ks.src = e.src
+           |  JOIN (SELECT src FROM e${k}_${r - 1} GROUP BY src HAVING count(*) >= $k) kd ON kd.src = e.dst
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""e${k}_0 AS MATERIALIZED (SELECT src, dst FROM $prev),
+         |$rounds,
+         |sv$k AS (SELECT DISTINCT src AS id FROM e${k}_$CorenessRounds)""".stripMargin
+    }
+    val levels = (1 to CorenessCap).map(lvl).mkString(",\n")
+    val surv = (1 to CorenessCap)
+      .map(k => s"SELECT id, $k AS lvl FROM sv$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sparseEdgesSql,
+       |usym AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE src <> dst
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+       |),
+       |$levels,
+       |allsurv AS (
+       |  $surv
+       |)
+       |SELECT n.id, CAST(coalesce(max(s.lvl), 0) AS BIGINT) AS core
+       |FROM nodes n LEFT JOIN allsurv s ON s.id = n.id
+       |GROUP BY n.id""".stripMargin
+  }
+
   /** Oracle: capped bitstring closure (cap 20 ≥ the subgraph's measured
     * reach depth 12 at the gate SF; the chain is a monotone fixpoint, so
     * extra rounds are no-ops) → mutual-reachability labels → distinct
