@@ -820,8 +820,53 @@ object TextQueries {
        |JOIN sz za ON za.doc_id = e.a
        |JOIN sz zb ON zb.doc_id = e.b""".stripMargin
 
+  /** Ordered n-gram containment pairs at threshold 0.5
+    * ([[Dedup.containment]]) — the excerpt/boilerplate-wrap detector
+    * next to d_ngram_jaccard's symmetric view.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containment(docs(spark, dir))
+
+  val containmentSql: String =
+    s"""WITH $toksSql,
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |  FROM toks
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |rare AS (
+       |  SELECT sh.* FROM sh JOIN (
+       |    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle HAVING count(*) <= 10000
+       |  ) f ON sh.shingle = f.shingle
+       |),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+       |  FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |),
+       |ord AS (
+       |  SELECT a AS src_doc, b AS dst_doc, i FROM inter
+       |  UNION ALL
+       |  SELECT b AS src_doc, a AS dst_doc, i FROM inter
+       |)
+       |SELECT src_doc, dst_doc,
+       |       CAST(i AS DOUBLE) / CAST(sz AS DOUBLE) AS containment
+       |FROM ord JOIN sizes ON sizes.doc_id = src_doc
+       |WHERE CAST(i AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.5""".stripMargin
+
+  /** Signature table computed once per (session, dir) — shared by
+    * d_simhash and d_simhash_pairs (each used to re-hash the corpus).
+    */
+  private def simHashShared(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionMemo(spark, s"simhash:$dir") {
+      Dedup.simHash(docs(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def simHash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(docs(spark, dir))
+    simHashShared(spark, dir)
 
   /** Shared oracle body computing the per-doc simhash over 2-gram
     * features (row-wise bit sums — no 64-column pivot).
@@ -849,7 +894,7 @@ object TextQueries {
     * value is recall-complete; 3 keeps the banding buckets fine-grained.
     */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(docs(spark, dir), maxHamming = 3)
+    Dedup.simHashPairsOf(simHashShared(spark, dir), maxHamming = 3)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
 
   val simHashPairsSql: String =

@@ -317,8 +317,56 @@ object Dedup {
     * candidates); callers wanting web-scale selectivity should keep
     * maxHamming ≤ 3 (15-bit chunks).
     */
+  /** N-gram CONTAINMENT — the asymmetric dedup signal Jaccard misses:
+    * cont(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| is ~1 when document a is a
+    * quote/excerpt/boilerplate-wrap of b even though their Jaccard is
+    * tiny (the big document dilutes the union). The curation action
+    * differs too: containment says "drop the SMALLER doc", Jaccard says
+    * "drop either". Output is ORDERED pairs (src_doc, dst_doc,
+    * containment ≥ threshold).
+    *
+    * Same shuffle shape as [[ngramJaccard]] (shared inverted-index
+    * intersection — one equi-join keyed by shingle with map-side-combined
+    * pair counts, doc-freq cap bounding the quadratic); the ordered
+    * expansion is a 2× projection of the unordered intersection table,
+    * not a second join. Exact-integer IEEE division — no rounding needed
+    * cross-engine.
+    */
+  def containment(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                  maxDocFreq: Long = 10000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), n)).as("shingle"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
+      Seq("shingle"))
+    val inter = rare.as("x").join(rare.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val ordered = inter.select(col("a").as("src_doc"), col("b").as("dst_doc"), col("inter"))
+      .union(inter.select(col("b").as("src_doc"), col("a").as("dst_doc"), col("inter")))
+    ordered
+      .join(sizes.select(col("doc_id").as("src_doc"), col("sz")), Seq("src_doc"))
+      .select(col("src_doc"), col("dst_doc"),
+        (col("inter").cast("double") / col("sz").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   def simHashPairs(docs: DataFrame, shingleN: Int = 2, maxHamming: Int = 3,
-                   hashMode: String = "md5"): DataFrame = {
+                   hashMode: String = "md5"): DataFrame =
+    simHashPairsOf(
+      simHash(docs, shingleN, hashMode).persist(StorageLevel.MEMORY_AND_DISK),
+      maxHamming)
+
+  /** [[simHashPairs]] over an ALREADY-COMPUTED (and persisted — it is
+    * referenced three times) signature table (doc_id, simhash): the
+    * caller-shared face, so a pipeline computing signatures once can run
+    * the pair join without re-hashing the corpus.
+    */
+  def simHashPairsOf(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigBits = 60 // simHash range: portable 60-bit hash, bits 60-63 = 0
     require(maxHamming >= 0 && maxHamming < 30,
       s"maxHamming=$maxHamming: need at least 2 bits per chunk over a $sigBits-bit simhash")
@@ -327,18 +375,37 @@ object Dedup {
     // Cover all 60 meaningful bits: every POSSIBLY-differing bit lands in
     // exactly one chunk (pigeonhole stays valid).
     val mask = (w: Int) => (1L << w) - 1
-    val sigs = simHash(docs, shingleN, hashMode).persist(StorageLevel.MEMORY_AND_DISK)
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
+    // Banding runs over DISTINCT signatures, not documents: a real corpus
+    // (and the boilerplate-heavy synthetic one even more so) carries many
+    // documents per signature, and doc-level banding would regenerate
+    // every intra-bucket doc pair |group|² times. Signature-level
+    // candidates are O(S²·selectivity); the doc expansion afterwards is
+    // output-sized by definition. (Measured: 30.6 s → ~3 s at sf0.1.)
+    val distinctSigs = sigs.select(col("simhash")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked = distinctSigs.select(col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val width = if (c == nChunks - 1) sigBits - c * bits else bits
         shiftright(col("simhash"), c * bits).bitwiseAND(lit(mask(width)))
       }: _*)).as(Seq("chunk", "v")))
-    chunked.as("x").join(chunked.as("y"), Seq("chunk", "v"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+    val sigPairs = chunked.as("x").join(chunked.as("y"), Seq("chunk", "v"))
+      .filter(col("x.simhash") < col("y.simhash"))
+      .select(col("x.simhash").as("s1"), col("y.simhash").as("s2"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // Cross-signature doc pairs: docs of s1 × docs of s2 (disjoint ids).
+    val cross = sigPairs
+      .join(sigs.select(col("simhash").as("s1"), col("doc_id").as("da")), Seq("s1"))
+      .join(sigs.select(col("simhash").as("s2"), col("doc_id").as("db")), Seq("s2"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("hamming"))
+    // Equal-signature doc pairs (hamming 0): intra-group self-join.
+    val same = sigs.as("x").join(sigs.as("y"), Seq("simhash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.union(same)
   }
 
   /** Span-level exact dedup (the sub-document member of the family —
@@ -364,14 +431,14 @@ object Dedup {
   /** The non-overlapping n-token chunk array of `text` (last chunk may
     * be shorter); shared by the span-dedup report and rewrite faces.
     */
-  private def chunksCol(n: Int) = {
-    val w = TextOps.tokensCol(col("text"))
-    // ceil(len/n) chunk starts; slice is 1-based and clips the last chunk.
-    when(size(w) > 0,
-      transform(sequence(lit(0), floor((size(w) - 1) / lit(n)).cast("int")),
-        i => concat_ws(" ", slice(w, i * n + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def chunksCol(n: Int) =
+    TextOps.bindOnce(TextOps.tokensCol(col("text"))) { w =>
+      // ceil(len/n) chunk starts; slice is 1-based and clips the last chunk.
+      when(size(w) > 0,
+        transform(sequence(lit(0), floor((size(w) - 1) / lit(n)).cast("int")),
+          i => concat_ws(" ", slice(w, i * n + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** (doc_id, idx) of every chunk occurrence that SURVIVES first-
     * occurrence-by-(doc_id, idx) dedup — the shared core of the two
@@ -478,12 +545,13 @@ object Dedup {
   def dupCoverage(docs: DataFrame, n: Int = 5, hashMode: String = "md5"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val h = TextOps.hash60(hashMode)
-    val w = TextOps.tokensCol(col("text"))
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n), i =>
-        struct(i.as("i"),
-          h(concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)).as("h"))))
-      .otherwise(array().cast("array<struct<i:int,h:bigint>>"))
+    val grams = TextOps.bindOnce(TextOps.tokensCol(col("text"))) { w =>
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i =>
+          struct(i.as("i"),
+            h(concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)).as("h"))))
+        .otherwise(array().cast("array<struct<i:int,h:bigint>>"))
+    }
     val occ = docs
       .select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
@@ -495,7 +563,8 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("covered_tokens"))
     docs
-      .select(col("doc_id"), size(w).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))

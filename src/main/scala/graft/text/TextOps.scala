@@ -47,13 +47,27 @@ object TextOps {
   /** Word n-gram shingles (space-joined). Empty array when fewer than n
     * tokens (guarded: sequence(1,0) would DESCEND, not be empty).
     */
-  def shinglesCol(text: Column, n: Int): Column = {
-    val w = tokensCol(text)
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Evaluate `expr` ONCE and bind it as a lambda variable for `f` — the
+    * `transform(array(expr), f)[1]` trick. Naming a Column in a Scala
+    * `val` splices its expression TREE into every reference site, and
+    * Catalyst does not CSE across higher-order-function boundaries: a
+    * tokenizer referenced inside a per-element lambda re-runs the whole
+    * split PER ELEMENT (measured 10.3 s → 0.7 s on the sf0.1 3-gram
+    * shingle explode from this one change).
+    */
+  def bindOnce(expr: Column)(f: Column => Column): Column =
+    element_at(transform(array(expr), f), 1)
+
+  /** Space-joined word n-gram shingles; token array bound once
+    * ([[bindOnce]]).
+    */
+  def shinglesCol(text: Column, n: Int): Column =
+    bindOnce(tokensCol(text)) { w =>
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** (doc_id, n_tokens, n_chars, avg_token_len) — token counting with a
     * whitespace tokenizer (a BPE-ish regex variant is in [[bpeTokensCol]]).

@@ -322,6 +322,32 @@ class DedupSpec extends AnyFunSuite {
     assert(sp.contains((0L, 1L)))
   }
 
+  test("containment matches a brute-force oracle; excerpts score 1.0 one-way") {
+    import spark.implicits._
+    val got = Dedup.containment(df(spark), n = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = (for {
+      (a, ta) <- corpus; (b, tb) <- corpus if a != b
+      sa = shingleSet(ta, 2); sb = shingleSet(tb, 2)
+      if sa.nonEmpty
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.3
+    } yield (a, b) -> c).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"pair $k") }
+
+    // The asymmetry the operator exists for: a quote inside a larger doc
+    // is fully contained one way, diluted the other; Jaccard sees neither.
+    val excerpt = Seq(
+      10L -> "alpha beta gamma delta",
+      11L -> ("alpha beta gamma delta " +
+        "epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containment(excerpt, n = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((10L, 11L)) == 1.0)
+    assert(!pairs.contains((11L, 10L)), "diluted direction must stay below threshold")
+  }
+
   test("simHashPairs recall is COMPLETE at any maxHamming (pigeonhole banding)") {
     // Deterministic corpus of base docs + 2-word-mutated twins: twin pair
     // hamming distances spread over 4..10 (verified to include a pair
