@@ -2160,6 +2160,23 @@ object GraphQueries {
        |SELECT id, round(x, 8) AS katz FROM kz$iters""".stripMargin
   }
 
+  /** Warm-start PageRank gate face: seed [[PageRank.run]] with the
+    * 2-iteration ranks, run 3 more fixed iterations. Because the warm
+    * path renormalizes the seed (a ÷ Σrank ≈ 1 no-op here, absorbed by
+    * round(8)) and then applies the IDENTICAL superstep algebra, the
+    * result must equal plain 5-iteration PageRank — so the face
+    * driver-verifies the recurring-crawl warm path against the SAME
+    * oracle as `g_pagerank5`, catching any drift between the seeded and
+    * cold init paths.
+    */
+  def pagerankWarm(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val seed = PageRank.runFixed(g, iterations = 2)
+    PageRank.run(g, tol = 0.0, maxIter = 3, init = Some(seed))
+      .ranks
+      .select(col("id"), round(col("rank"), 8).as("rank"))
+  }
+
   /** DOULION sampled triangle estimate ([[TriangleCount.doulion]]) at
     * p = 1/4 — the sampling knob that shrinks the wedge join by p².
     * Deterministic hash sampling makes the whole row exact-comparable.

@@ -1061,6 +1061,107 @@ object TextQueries {
        |) t WHERE rank <= 5""".stripMargin
   }
 
+  /** IVF-PQ top-k ([[graft.similarity.Pq.ivfPqTopK]]): coarse seed cells
+    * for candidates, 4×8 seed product codebooks + ADC lookup table for
+    * scoring — the 64×-compressed scale path of the ANN family.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pq.ivfPqTopK(emb(spark, dir), k = 5, nlist = 16, nprobe = 4)
+      .select(col("vec_id"), col("nbr_id"), col("sim"), col("rank").cast("long").as("rank"))
+
+  /** Oracle: the ivf coarse CTEs + seed codebooks (unit vectors of the 8
+    * smallest vec_ids, FLOAT-truncated like the k-means face), rounded
+    * per-subspace argmin encoding, and the same Σ_j subspace-dot ADC the
+    * engine reads from its literal LUT.
+    */
+  val ivfPqTopKSql: String = {
+    def cos(qe: String, ce: String, qn: String, cn: String) =
+      s"""round(list_sum(list_transform(range(1, len($qe) + 1), i -> $qe[i] * $ce[i]))
+         |      / greatest($qn * $cn, 1e-12), 6)""".stripMargin
+    val encJoins = (0 until 4).map(j =>
+      s"JOIN cbq q$j ON q$j.j = $j AND q$j.code = e.c$j").mkString("\n       |  ")
+    val lutJoins = (0 until 4).map(j =>
+      s"JOIN lut l$j ON l$j.j = $j AND l$j.ca = q.c$j AND l$j.cb2 = c.c$j").mkString("\n       |  ")
+    s"""WITH $embPrelude,
+       |u AS (
+       |  SELECT vec_id, list_transform(e, x -> x / greatest(nrm, 1e-12)) AS ue
+       |  FROM n
+       |),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) AS cid, e AS ce, nrm AS cnrm
+       |  FROM n ORDER BY vec_id ASC LIMIT 16
+       |),
+       |sc AS (
+       |  SELECT q.vec_id, c.cid, ${cos("q.e", "c.ce", "q.nrm", "c.cnrm")} AS csim
+       |  FROM n q CROSS JOIN cent c
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS r
+       |  FROM sc
+       |),
+       |assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+       |probes AS (SELECT vec_id, cid FROM ranked WHERE r <= 4),
+       |cb AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS code,
+       |         list_transform(ue, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+       |  FROM u ORDER BY vec_id ASC LIMIT 8
+       |),
+       |cbq AS (
+       |  SELECT code, j, cv[j*16+1 : j*16+16] AS cs,
+       |         list_sum(list_transform(cv[j*16+1 : j*16+16], x -> x * x)) AS csq
+       |  FROM cb, range(4) t(j)
+       |),
+       |vs AS (
+       |  SELECT vec_id, j, ue[j*16+1 : j*16+16] AS us
+       |  FROM u, range(4) t(j)
+       |),
+       |sc2 AS (
+       |  SELECT v.vec_id, v.j, s.code,
+       |         round(list_sum(list_transform(range(1, 17), i -> v.us[i] * s.cs[i]))
+       |               - 0.5 * s.csq, 6) AS score
+       |  FROM vs v JOIN cbq s ON v.j = s.j
+       |),
+       |enc1 AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY score DESC, code ASC) AS rr
+       |    FROM sc2
+       |  ) WHERE rr = 1
+       |),
+       |encp AS (
+       |  SELECT vec_id,
+       |         max(CASE WHEN j = 0 THEN code END) AS c0,
+       |         max(CASE WHEN j = 1 THEN code END) AS c1,
+       |         max(CASE WHEN j = 2 THEN code END) AS c2,
+       |         max(CASE WHEN j = 3 THEN code END) AS c3
+       |  FROM enc1 GROUP BY vec_id
+       |),
+       |encn AS (
+       |  SELECT e.vec_id, e.c0, e.c1, e.c2, e.c3,
+       |         sqrt(q0.csq + q1.csq + q2.csq + q3.csq) AS rq
+       |  FROM encp e
+       |  $encJoins
+       |),
+       |lut AS (
+       |  SELECT a.j, a.code AS ca, b.code AS cb2,
+       |         list_sum(list_transform(range(1, 17), i -> a.cs[i] * b.cs[i])) AS d
+       |  FROM cbq a JOIN cbq b ON a.j = b.j
+       |),
+       |p AS (
+       |  SELECT pr.vec_id AS vec_id, a2.vec_id AS nbr_id,
+       |         round((l0.d + l1.d + l2.d + l3.d)
+       |               / greatest(q.rq * c.rq, 1e-12), 6) AS sim
+       |  FROM probes pr
+       |  JOIN assign a2 ON a2.cid = pr.cid AND a2.vec_id <> pr.vec_id
+       |  JOIN encn q ON q.vec_id = pr.vec_id
+       |  JOIN encn c ON c.vec_id = a2.vec_id
+       |  $lutJoins
+       |)
+       |SELECT vec_id, nbr_id, sim, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS rank
+       |  FROM p
+       |) t WHERE rank <= 5""".stripMargin
+  }
+
   /** Spherical k-means clustering face ([[graft.similarity.Ivf.kmeans]]):
     * ONE Lloyd iteration from the deterministic seed quantizer, then hard
     * assignment under the trained centroids — output = per-cluster size +

@@ -83,6 +83,20 @@ object Ivf {
         (-col("best").getField("negSim")).as("sim"))
   }
 
+  /** Coarse assignment plus the probe list in ONE pass: (vec_id, cell,
+    * probeCells array of the `nprobe` nearest cids) — the shared front
+    * half of [[ivfTopK]] and [[Pq.ivfPqTopK]], still zero-shuffle.
+    */
+  def assignWithProbes(emb: DataFrame, cents: Seq[Centroid], nprobe: Int): DataFrame = {
+    require(cents.nonEmpty, "assignWithProbes needs at least one centroid")
+    emb.select(col("vec_id"), col("embedding"),
+        VectorSim.normCol(col("embedding")).as("nrm"))
+      .withColumn("cells", sortedCells(cents))
+      .select(col("vec_id"),
+        element_at(col("cells"), 1).getField("cid").as("cell"),
+        transform(slice(col("cells"), 1, nprobe), s => s.getField("cid")).as("probeCells"))
+  }
+
   /** IVF-flat cosine top-k. Output (vec_id, nbr_id, sim, rank), rank 1..k.
     *
     * `nlist` should grow with the corpus (√n is the classical choice) so
