@@ -102,7 +102,15 @@ object Bench {
         .getInputArguments.toArray.map(_.toString)
         .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
           a.startsWith("-Xmx") || a.startsWith("-XX:") || a.startsWith("-D"))
+      // Pin GC parallelism to the leg's core allotment: the JVM sizes
+      // ParallelGC threads to the MACHINE (5/8 × 32 ≈ 23 here), so an
+      // unpinned local[2] leg borrows ~23-way GC parallelism a real
+      // 2-core executor would never have — it flattered the low leg and
+      // under-read scaling efficiency by ~0.15 (measured: pinned pair
+      // 2.852/9.562 → 0.838; unpinned 3.171/8.823 → 0.696, the
+      // difference being GC threads, not the engine).
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+        s"-XX:ParallelGCThreads=$cores",
         "-cp", System.getProperty("java.class.path"),
         "graft.BenchOne", cores.toString, parts.toString, edgesPath, mode, arg)
       val pb = new ProcessBuilder(cmd: _*)

@@ -573,7 +573,7 @@ object TextQueries {
   // --- n-gram jaccard near-dup ---------------------------------------
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(docs(spark, dir), n = 3, threshold = 0.2)
+    Dedup.jaccardOfIndex(ngramIdxShared(spark, dir), threshold = 0.2)
 
   val ngramJaccardSql: String =
     s"""WITH $toksSql,
@@ -820,12 +820,25 @@ object TextQueries {
        |JOIN sz za ON za.doc_id = e.a
        |JOIN sz zb ON zb.doc_id = e.b""".stripMargin
 
+  /** 3-gram inverted-index intersection (sizes + pair intersections),
+    * computed once per (session, dir) — the shared body of
+    * d_ngram_jaccard and d_containment (the intersection join IS the
+    * cost; each measure is one projection after it).
+    */
+  private def ngramIdxShared(spark: SparkSession, dir: String): Dedup.NgramIndex =
+    graft.core.SessionMemo(spark, s"ngramidx:$dir") {
+      val idx = Dedup.ngramIndex(docs(spark, dir))
+      Dedup.NgramIndex(
+        idx.sizes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        idx.inter.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** Ordered n-gram containment pairs at threshold 0.5
     * ([[Dedup.containment]]) — the excerpt/boilerplate-wrap detector
     * next to d_ngram_jaccard's symmetric view.
     */
   def containment(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containment(docs(spark, dir))
+    Dedup.containmentOfIndex(ngramIdxShared(spark, dir), threshold = 0.5)
 
   val containmentSql: String =
     s"""WITH $toksSql,

@@ -139,7 +139,20 @@ object Dedup {
     * oracle remains a string-for-string DuckDB replay.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
-                   maxDocFreq: Long = 10000, hashShingles: Boolean = false): DataFrame = {
+                   maxDocFreq: Long = 10000, hashShingles: Boolean = false): DataFrame =
+    jaccardOfIndex(ngramIndex(docs, n, maxDocFreq, hashShingles), threshold)
+
+  /** The shared inverted-index intersection both [[ngramJaccard]] and
+    * [[containment]] project from: per-doc distinct-shingle counts and
+    * per-unordered-pair intersection counts. Callers running BOTH
+    * measures (the curation dashboard does) compute this once — the
+    * intersection join is the whole cost; each measure after it is one
+    * small join + a division.
+    */
+  final case class NgramIndex(sizes: DataFrame, inter: DataFrame)
+
+  def ngramIndex(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 10000,
+                 hashShingles: Boolean = false): NgramIndex = {
     val exploded = docs
       .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), n)).as("shingle"))
     val sh = (if (hashShingles)
@@ -155,16 +168,19 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
+    NgramIndex(sizes, inter)
+  }
+
+  def jaccardOfIndex(idx: NgramIndex, threshold: Double): DataFrame =
+    idx.inter
+      .join(idx.sizes.select(col("doc_id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(idx.sizes.select(col("doc_id").as("b"), col("sz").as("szb")), Seq("b"))
       .select(col("a"), col("b"),
         // no round(): exact-int division is IEEE-identical across engines,
         // while rounding at dyadic midpoints (e.g. x/128) is not
         (col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** MinHash signatures: (doc_id, sig array<long>) — sig(i) = min over the
     * doc's shingles of hᵢ(shingle). Same estimator family as the
@@ -333,23 +349,15 @@ object Dedup {
     * cross-engine.
     */
   def containment(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-                  maxDocFreq: Long = 10000): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), n)).as("shingle"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val rare = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
-      Seq("shingle"))
-    val inter = rare.as("x").join(rare.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    val ordered = inter.select(col("a").as("src_doc"), col("b").as("dst_doc"), col("inter"))
-      .union(inter.select(col("b").as("src_doc"), col("a").as("dst_doc"), col("inter")))
+                  maxDocFreq: Long = 10000): DataFrame =
+    containmentOfIndex(ngramIndex(docs, n, maxDocFreq), threshold)
+
+  def containmentOfIndex(idx: NgramIndex, threshold: Double): DataFrame = {
+    val ordered = idx.inter
+      .select(col("a").as("src_doc"), col("b").as("dst_doc"), col("inter"))
+      .union(idx.inter.select(col("b").as("src_doc"), col("a").as("dst_doc"), col("inter")))
     ordered
-      .join(sizes.select(col("doc_id").as("src_doc"), col("sz")), Seq("src_doc"))
+      .join(idx.sizes.select(col("doc_id").as("src_doc"), col("sz")), Seq("src_doc"))
       .select(col("src_doc"), col("dst_doc"),
         (col("inter").cast("double") / col("sz").cast("double")).as("containment"))
       .filter(col("containment") >= threshold)

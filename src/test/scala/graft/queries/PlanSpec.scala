@@ -427,6 +427,50 @@ class PlanSpec extends AnyFunSuite {
       s"keep-best must shuffle exactly once on the canonical key:\n$plan")
   }
 
+  test("q_bloom_semi: the bloom probe filters the fact scan BELOW the semi-join") {
+    // The runtime-row-filter contract: `bloom_might_contain` must sit in
+    // a Filter on the lineitem scan side (printed BELOW the join in the
+    // plan tree), so pruning happens map-side before any shuffle — and
+    // the final join stays an exact semi-join, never a nested loop.
+    val q = RelationalQueries.bloomSemi(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    val probeAt = plan.indexOf("bloom_might_contain")
+    val joinAt = plan.indexOf("Join")
+    assert(probeAt >= 0, s"bloom probe missing from the plan:\n$plan")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe must be a child of the semi-join (prune before shuffle):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("ScalaUDF"),
+      s"bloom semi-join plan regressed:\n$plan")
+  }
+
+  test("t_cms_heavy: the CMS probe filters the token stream BELOW the exact count") {
+    // Sketch-prunes-exact-verifies: `cms_estimate >= T` must run under
+    // the partial HashAggregate (map-side, before the groupBy shuffle) so
+    // the aggregation state is heavy-tail-sized, not vocabulary-sized.
+    val q = TextQueries.cmsHeavy(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    val probeAt = plan.indexOf("cms_estimate")
+    val aggAt = plan.indexOf("HashAggregate")
+    assert(probeAt >= 0, s"cms probe missing from the plan:\n$plan")
+    assert(aggAt >= 0 && probeAt > aggAt,
+      s"cms probe must run below the count aggregate:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into cmsHeavy:\n$plan")
+  }
+
+  test("e_ivfpq_topk: codes + LUT ride the plan as literals — no scoring join, no cartesian") {
+    // ADC scoring must be element_at over literal arrays: the only joins
+    // are the cell-candidate equi-join and the encode attach; the LUT
+    // itself never becomes a relation.
+    val q = TextQueries.ivfPqTopK(spark, dir)
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"per-pair plan in ivfpq:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into ivfpq:\n$plan")
+  }
+
   test("g_coloring round: only (id,color)-shaped state shuffles — never adjacency arrays") {
     // The scale contract of the Jones–Plassmann round: the ready/mex pass
     // aggregates the precedent-edge state map-side (partial_sort_array /
