@@ -2160,6 +2160,43 @@ object GraphQueries {
        |SELECT id, round(x, 8) AS katz FROM kz$iters""".stripMargin
   }
 
+  /** GraphSAGE-style bounded neighbor sampling (Hamilton et al., NIPS
+    * 2017 §3.1): keep at most `k` out-neighbors per vertex, chosen by a
+    * DETERMINISTIC hash rank over the edge — the minibatch fan-out
+    * primitive of GNN training on web graphs, where hubs would otherwise
+    * blow the receptive field. Hash ranking (not RNG) means retries,
+    * partitioning, epochs and the oracle all sample identically; a new
+    * salt is a new epoch sample.
+    *
+    * Scale shape: ONE window partitioned by src (per-vertex row count,
+    * never the corpus) over the edge table; rank ties are impossible
+    * (the hash input includes both endpoints). Emits
+    * (src, dst, sample_rank 1..k).
+    */
+  def nbrSample(k: Int)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edgesDf(spark, dir)
+    val hv = graft.text.TextOps.portableHash60(
+      concat(col("src").cast("string"), lit(":"), col("dst").cast("string"), lit(":sage")))
+    val w = Window.partitionBy(col("src")).orderBy(hv.asc, col("dst").asc)
+    e.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("src"), col("dst"), col("sample_rank"))
+  }
+
+  def nbrSampleSql(k: Int): String =
+    s"""WITH $edgesSql,
+       |h AS (
+       |  SELECT src, dst,
+       |         CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR) || ':sage'), 1, 15)) AS BIGINT) AS hv
+       |  FROM edges
+       |)
+       |SELECT src, dst, sample_rank FROM (
+       |  SELECT src, dst,
+       |         row_number() OVER (PARTITION BY src ORDER BY hv ASC, dst ASC) AS sample_rank
+       |  FROM h
+       |) t WHERE sample_rank <= $k""".stripMargin
+
   /** Warm-start PageRank gate face: seed [[PageRank.run]] with the
     * 2-iteration ranks, run 3 more fixed iterations. Because the warm
     * path renormalizes the seed (a ÷ Σrank ≈ 1 no-op here, absorbed by
