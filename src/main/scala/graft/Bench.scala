@@ -22,8 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     once consumed the whole remaining budget and pushed the headline
   *     out of the artifact entirely (2026-08-19 run: low leg 56 s/iter
   *     vs ~16 typical → full + convergence both "skipped").
-  *  4. CONVERGENCE: wall-time + iterations to L1 delta < 1e-6.
-  *  5. SCALING: PageRank steady-state edges/sec/iteration at TWO
+  *  4. SCALING: PageRank steady-state edges/sec/iteration at TWO
   *     parallelism levels — local[N/16] vs local[N/4] with matched shuffle
   *     partitions — on byte-identical input; scaling efficiency =
   *     (sPerIterLow/sPerIterHigh)/4, target ≥0.8 (the in-sandbox stand-in
@@ -36,7 +35,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     leg runs first and its measured per-iteration cost sizes the
   *     expensive LOW leg's iteration count to the remaining budget
   *     (minimum 4 = 3 steady samples; the per-iteration MEDIAN is
-  *     comparable across different iteration counts).
+  *     comparable across different iteration counts). Runs BEFORE
+  *     convergence since the day-7b run: the pair's optional repeats are
+  *     what the min-envelope estimator feeds on, and with convergence
+  *     first they were the only thing left for the budget to cut.
+  *  5. CONVERGENCE: wall-time + iterations to L1 delta < 1e-6 (stable at
+  *     41 iterations every recorded round — the least load-sensitive
+  *     section, so it absorbs the end-of-budget truncation risk).
   *
   * An overall wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200 s)
   * fails soft: optional repeats are skipped once the measured cost of the
@@ -267,23 +272,7 @@ object Bench {
       } else skipped += s"full repeat $r (budget)"
     }
 
-    // ---- 4. convergence to 1e-6 -----------------------------------------
-    // Attempted unless the budget is ALREADY blown — in which case the
-    // artifact says so rather than the process dying mid-leg with nothing
-    // on stdout.
-    if (remaining > 0) {
-      val convPath = if (convNodes == scaleNodes) scalePath
-                     else if (convNodes == pairNodes) pairPath
-                     else genEdges(convNodes, cpus, cpus)
-      val conv = runLeg(cpus, cpus, convPath, "conv", "1e-6")
-      sections("convergence") =
-        f"""{"convNodes":$convNodes,"convEdges":${conv.edges},"convTol":1e-6,""" +
-        f""""convIters":${conv.iters},"convConverged":${conv.converged},"convWallSec":${conv.totalSec}%.2f}"""
-      valueSec += conv.totalSec
-      emit("partial:convergence")
-    } else skipped += "convergence (budget)"
-
-    // ---- 5. scaling pair (H then budget-sized L, min-of-repeats) --------
+    // ---- 4. scaling pair (H then budget-sized L, min-of-repeats) --------
     // Repeat 1 is mandatory; later repeats run only while they fit. The
     // cheap HIGH leg runs first and its measured per-iteration cost sizes
     // the expensive LOW leg's iteration count to the remaining budget —
@@ -348,6 +337,22 @@ object Bench {
         emit(s"partial:scaling$r")
       } else skipped += s"scaling repeat $r (budget)"
     }
+    // ---- 5. convergence to 1e-6 -----------------------------------------
+    // Attempted unless the budget is ALREADY blown — in which case the
+    // artifact says so rather than the process dying mid-leg with nothing
+    // on stdout.
+    if (remaining > 0) {
+      val convPath = if (convNodes == scaleNodes) scalePath
+                     else if (convNodes == pairNodes) pairPath
+                     else genEdges(convNodes, cpus, cpus)
+      val conv = runLeg(cpus, cpus, convPath, "conv", "1e-6")
+      sections("convergence") =
+        f"""{"convNodes":$convNodes,"convEdges":${conv.edges},"convTol":1e-6,""" +
+        f""""convIters":${conv.iters},"convConverged":${conv.converged},"convWallSec":${conv.totalSec}%.2f}"""
+      valueSec += conv.totalSec
+      emit("partial:convergence")
+    } else skipped += "convergence (budget)"
+
     emit("complete")
   }
 
