@@ -713,6 +713,46 @@ object GraphQueries {
       .runFixed(graph(spark, dir), iterations = iters)
       .select(col("id"), round(col("rank"), 8).as("rank"))
 
+  /** Iterations of the g_pr_deltas face (one row per superstep). */
+  val PrDeltaIters = 5
+
+  /** The engine's per-superstep convergence METRICS, driver-verified:
+    * each [[graft.core.SuperstepMetrics.deltaNorm]] the PageRank loop
+    * recorded (the L1 norm Σ|pr_k − pr_{k−1}| its stop rule divides on,
+    * and the north rule's per-iteration lineage metric) is compared to
+    * an independent DuckDB recomputation of the same norm from the
+    * unrolled rank stages. This pins the RESUMABILITY telemetry, not
+    * just the final ranks: a bug that skewed the recorded delta (wrong
+    * join, pre-/post-cut mixup, a lost dangling term) would corrupt
+    * convergence detection and checkpoint metadata while leaving
+    * g_pagerank5's final answer untouched — and would surface here.
+    */
+  def prDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val r = PageRank.run(graph(spark, dir), tol = 0.0, maxIter = PrDeltaIters)
+    import spark.implicits._
+    r.history.map(m => (m.iteration.toLong, m.deltaNorm)).toDF("iter", "delta")
+      .select(col("iter"), round(col("delta"), 8).as("delta"))
+  }
+
+  /** Oracle: the SAME unrolled rank stages as g_pagerank5
+    * ([[prStagesSql]], composed not sliced), one L1-difference aggregate
+    * per adjacent stage pair; round(8) absorbs summation-order ulps.
+    */
+  lazy val prDeltasSql: String = {
+    val deltas = (1 to PrDeltaIters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS iter,
+         |       round(sum(abs(a.rank - b.rank)), 8) AS delta
+         |FROM pr$k a JOIN pr${k - 1} b ON a.id = b.id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $edgesSql,
+       |od AS (SELECT src AS id, count(*) AS c FROM edges GROUP BY src),
+       |ndeg AS (SELECT n.id, coalesce(od.c, 0) AS deg FROM nodes n LEFT JOIN od ON n.id = od.id),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT id, 1.0 / cnt.n AS rank, deg FROM ndeg CROSS JOIN cnt),
+       |${prStagesSql(PrDeltaIters, "edges", "ndeg", "cnt", "pr")}
+       |$deltas""".stripMargin
+  }
+
   /** Unrolled k-stage PageRank oracle in portable SQL. */
   /** Unrolled PageRank stage chain over caller-named prelude CTEs —
     * shared by the lineitem-derived `g_pagerank5` oracle and the
@@ -2064,6 +2104,75 @@ object GraphQueries {
        |LEFT JOIN w ON w.label = c.label
        |LEFT JOIN ds ON ds.label = c.label
        |CROSS JOIN tot""".stripMargin
+
+  // --- louvain ------------------------------------------------------------
+
+  /** Fixed round count of the g_louvain4 gate face: even, so both parity
+    * classes of [[graft.operators.Louvain]]'s alternation get equal
+    * turns; measured label churn on the sparse graph reaches a small
+    * steady residual by round 4 at both gate scale factors.
+    */
+  val LouvainRounds = 4
+
+  /** Louvain local-moving communities ([[graft.operators.Louvain.run]])
+    * on the sparse derived graph — the modularity-maximizing member of
+    * the community family next to g_lp3 (label agreement) and
+    * g_modularity (the quality functional itself).
+    */
+  def louvain(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Louvain.run(sparseGraph(spark, dir), rounds = LouvainRounds).labels
+
+  /** Oracle: the move rounds unrolled — per round the volume and k(i,c)
+    * aggregates, the own-community candidate union, the exact HUGEINT
+    * move score A·k − deg·(vol − [own]·deg) (the ΔQ numerator scaled by
+    * 2m², matching the engine's decimal(38,0) argmax bit-for-bit), and
+    * the (score DESC, comm ASC) winner for this round's parity class
+    * only; everyone else carries their community forward.
+    */
+  lazy val louvainSql: String = {
+    val stages = (1 to LouvainRounds).map { r =>
+      val p = s"lab${r - 1}"
+      s"""vol$r AS MATERIALIZED (
+         |  SELECT l.comm, sum(d.deg) AS vol
+         |  FROM $p l JOIN ldeg d ON d.id = l.id GROUP BY l.comm),
+         |kic$r AS MATERIALIZED (
+         |  SELECT e.src AS id, l.comm, count(*) AS k
+         |  FROM lsym e JOIN $p l ON l.id = e.dst GROUP BY e.src, l.comm),
+         |cand$r AS (
+         |  SELECT id, comm, max(k) AS k FROM (
+         |    SELECT id, comm, k FROM kic$r
+         |    UNION ALL SELECT id, comm, 0 FROM $p) u
+         |  WHERE (id + $r) % 2 = 0 GROUP BY id, comm),
+         |sc$r AS (
+         |  SELECT c.id, c.comm,
+         |         CAST(t.a AS HUGEINT) * c.k
+         |           - CAST(d.deg AS HUGEINT) * (coalesce(v.vol, 0)
+         |               - CASE WHEN c.comm = l.comm THEN d.deg ELSE 0 END) AS s
+         |  FROM cand$r c
+         |  LEFT JOIN vol$r v ON v.comm = c.comm
+         |  JOIN ldeg d ON d.id = c.id
+         |  JOIN $p l ON l.id = c.id
+         |  CROSS JOIN ltot t),
+         |lab$r AS MATERIALIZED (
+         |  SELECT q.id, q.comm FROM (
+         |    SELECT id, comm,
+         |           row_number() OVER (PARTITION BY id ORDER BY s DESC, comm ASC) AS rn
+         |    FROM sc$r) q WHERE rn = 1
+         |  UNION ALL
+         |  SELECT l.id, l.comm FROM $p l WHERE (l.id + $r) % 2 <> 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sparseEdgesSql,
+       |lsym AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE src <> dst
+       |  UNION SELECT dst AS src, src AS dst FROM edges WHERE src <> dst),
+       |ldeg AS MATERIALIZED (
+       |  SELECT n.id, count(e.src) AS deg FROM nodes n
+       |  LEFT JOIN lsym e ON e.src = n.id GROUP BY n.id),
+       |ltot AS (SELECT count(*) AS a FROM lsym),
+       |lab0 AS (SELECT id, id AS comm FROM nodes),
+       |$stages
+       |SELECT id, comm FROM lab$LouvainRounds""".stripMargin
+  }
 
   // --- betweenness -------------------------------------------------------
 

@@ -486,4 +486,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"),
       s"UDF leaked into the coloring path:\n$plan")
   }
+
+  test("g_louvain4: move rounds never go per-pair and never UDF") {
+    // The Louvain round's joins are all equi-joins (k(i,c) gather, volume
+    // attach, own-community attach); a cartesian/nested-loop node would
+    // mean the candidate scoring regressed to per-pair, and the exact
+    // decimal argmax must stay native expressions.
+    val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
+    val r = graft.operators.Louvain.run(g, rounds = 2)
+    val plan = finalPlan(r.labels)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"per-pair plan in the louvain output:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF leaked into louvain:\n$plan")
+  }
 }
