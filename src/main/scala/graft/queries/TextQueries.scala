@@ -370,6 +370,47 @@ object TextQueries {
   def quality(spark: SparkSession, dir: String): DataFrame =
     TextOps.quality(docs(spark, dir))
 
+  /** Gopher-style per-rule filter report ([[TextOps.gopherRules]]). */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(docs(spark, dir))
+
+  /** Oracle: each rule recomputed from the shared tokenizer CTE with the
+    * identical exact-integer ratios and thresholds.
+    */
+  lazy val gopherRulesSql: String = {
+    val stop = stopListSql
+    s"""WITH $toksSql,
+       |r AS (
+       |  SELECT doc_id,
+       |         len(w) AS ntok,
+       |         greatest(len(w), 1) AS ntok1,
+       |         coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0) AS chsum,
+       |         len(list_filter(w, x -> list_contains($stop, x))) AS stop_hits,
+       |         CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashcnt,
+       |         CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS ellcnt,
+       |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) AS alphaw,
+       |         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+       |  FROM toks)
+       |SELECT doc_id,
+       |       ntok >= 40 AND ntok <= 70 AS wc_ok,
+       |       CAST(chsum AS DOUBLE) / ntok1 >= 3.0 AND CAST(chsum AS DOUBLE) / ntok1 <= 4.5 AS mwl_ok,
+       |       stop_hits >= 2 AS stop_ok,
+       |       (hashcnt + ellcnt) / ntok1 <= 0.1 AS sym_ok,
+       |       alphaw / ntok1 >= 0.8 AS alpha_ok,
+       |       CASE WHEN len(lines) > 0
+       |            THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       |            ELSE 0.0 END <= 0.2 AS dup_ok,
+       |       (ntok >= 40 AND ntok <= 70)
+       |         AND (CAST(chsum AS DOUBLE) / ntok1 >= 3.0 AND CAST(chsum AS DOUBLE) / ntok1 <= 4.5)
+       |         AND stop_hits >= 2
+       |         AND (hashcnt + ellcnt) / ntok1 <= 0.1
+       |         AND alphaw / ntok1 >= 0.8
+       |         AND CASE WHEN len(lines) > 0
+       |                  THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       |                  ELSE 0.0 END <= 0.2 AS keep
+       |FROM r""".stripMargin
+  }
+
   /** Per-doc character Shannon entropy (bits/char) + distinct-char count
     * — the classic gibberish/boilerplate signal (near-0 = one repeated
     * char; ~4.2 = typical English; ~6+ = random bytes). Plan: explode to

@@ -132,6 +132,54 @@ object TextOps {
   /** English-ish stopwords drawn from the corpus vocabulary. */
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
 
+  /** Gopher-style per-RULE quality filter report (Rae et al. 2021 Table
+    * A1): where [[quality]] blends signals into one score, this face
+    * keeps each rule a named boolean — the form curation pipelines
+    * audit ("which rule dropped this document?") and tune per corpus.
+    * Rules (thresholds sized to the synthetic corpus so both branches
+    * carry rows at gate scale; production recipes retune them):
+    *
+    *  - `wc_ok`     word count in [40, 70] (Gopher: [50, 100k])
+    *  - `mwl_ok`    mean word length in [3, 4.5] (Gopher: [3, 10])
+    *  - `stop_ok`   ≥ 2 stopword hits (Gopher: ≥ 2 of a fixed list)
+    *  - `sym_ok`    symbol-to-word ratio ≤ 0.1 for `#`/`...`
+    *  - `alpha_ok`  ≥ 80% of words contain an alphabetic character
+    *  - `dup_ok`    duplicate-line fraction ≤ 0.2 ([[repLines]] signal)
+    *  - `keep`      the conjunction
+    *
+    * All pure codegen'd scan expressions — zero shuffle, zero joins; the
+    * threshold comparisons take exact-integer ratios (IEEE-identical
+    * cross-engine), so the booleans are deterministic, never
+    * tolerance-dependent.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    val toks = tokensCol(text)
+    val nTok = size(toks).cast("long")
+    val nTokD = greatest(nTok, lit(1L)).cast("double")
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val mwl = charSum.cast("double") / nTokD
+    val stopHits = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    val hashCnt = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val ellCnt = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / lit(3.0)
+    val alphaW = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double")
+    val lines = filter(transform(split(text, "\n"), x => trim(x)), x => x =!= "")
+    val nLines = size(lines).cast("double")
+    val dupFrac = when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nLines).otherwise(lit(0.0))
+    val wcOk = nTok >= 40L && nTok <= 70L
+    val mwlOk = mwl >= 3.0 && mwl <= 4.5
+    val stopOk = stopHits >= 2L
+    val symOk = (hashCnt + ellCnt) / nTokD <= 0.1
+    val alphaOk = alphaW / nTokD >= 0.8
+    val dupOk = dupFrac <= 0.2
+    docs.select(
+      col("doc_id"),
+      wcOk.as("wc_ok"), mwlOk.as("mwl_ok"), stopOk.as("stop_ok"),
+      symOk.as("sym_ok"), alphaOk.as("alpha_ok"), dupOk.as("dup_ok"),
+      (wcOk && mwlOk && stopOk && symOk && alphaOk && dupOk).as("keep"))
+  }
+
   /** The composite quality score of [[quality]] as a standalone Column —
     * shared with the corpus report so the formula exists once.
     */
