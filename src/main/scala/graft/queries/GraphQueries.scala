@@ -753,6 +753,41 @@ object GraphQueries {
        |$deltas""".stripMargin
   }
 
+  /** Mid-run resume, driver-verified: iterate 2 supersteps committing
+    * every superstep to the durable snapshot layer, then a SECOND
+    * `PageRank.run` over the same checkpoint dir — it must pick the run
+    * up at iteration 2 ([[graft.core.IterationContext.resume]]) and
+    * finish 3..5; the result must be EXACTLY plain 5-iteration PageRank
+    * (same oracle as g_pagerank5). A `require` pins that the second run
+    * executed ≤ 3 supersteps, so a silently-broken resume (falling back
+    * to a fresh start) fails the query loudly instead of passing on the
+    * init-independent fixpoint. This is the north rule's "resumable
+    * mid-iteration with per-partition lineage" as a gate row, not just
+    * a spec ([[graft.core.TableIO]] snapshots; `CheckpointResumeSpec`
+    * covers the same path at fixture scale).
+    */
+  def prResume(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pr_resume_")
+    try {
+      val cfg = Some(graft.core.CheckpointConfig(ckpt.toString, every = 1))
+      PageRank.run(g, tol = 0.0, maxIter = 2, checkpoint = cfg)
+      val resumed = PageRank.run(g, tol = 0.0, maxIter = PrDeltaIters, checkpoint = cfg)
+      require(resumed.history.size <= PrDeltaIters - 2,
+        s"resume did not engage: ran ${resumed.history.size} supersteps from scratch")
+      // Eager cut: the returned frame must not depend on the snapshot
+      // files the finally-block deletes.
+      resumed.ranks.select(col("id"), round(col("rank"), 8).as("rank"))
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(ckpt.toFile)
+    }
+  }
+
   /** Unrolled k-stage PageRank oracle in portable SQL. */
   /** Unrolled PageRank stage chain over caller-named prelude CTEs —
     * shared by the lineitem-derived `g_pagerank5` oracle and the
