@@ -708,10 +708,21 @@ object GraphQueries {
     * (both engines do the identical algebra; rounding absorbs
     * last-ulp summation-order differences).
     */
-  def pagerank(iters: Int)(spark: SparkSession, dir: String): DataFrame =
-    PageRank
-      .runFixed(graph(spark, dir), iterations = iters)
-      .select(col("id"), round(col("rank"), 8).as("rank"))
+  def pagerank(iters: Int)(spark: SparkSession, dir: String): DataFrame = {
+    val res =
+      if (iters == PrDeltaIters) pr5Shared(spark, dir)
+      else PageRank.run(graph(spark, dir), tol = 0.0, maxIter = iters)
+    res.ranks.select(col("id"), round(col("rank"), 8).as("rank"))
+  }
+
+  /** One 5-iteration run shared by g_pagerank5 (its `.ranks`) and
+    * g_pr_deltas (its `.history`) — the same (graph, α, fixed-5) job,
+    * so running it twice per gate/bench pass was pure duplicate work.
+    */
+  private def pr5Shared(spark: SparkSession, dir: String): PageRank.Result =
+    memoized(spark, s"pr5:$dir") {
+      PageRank.run(graph(spark, dir), tol = 0.0, maxIter = PrDeltaIters)
+    }
 
   /** Iterations of the g_pr_deltas face (one row per superstep). */
   val PrDeltaIters = 5
@@ -728,7 +739,7 @@ object GraphQueries {
     * g_pagerank5's final answer untouched — and would surface here.
     */
   def prDeltas(spark: SparkSession, dir: String): DataFrame = {
-    val r = PageRank.run(graph(spark, dir), tol = 0.0, maxIter = PrDeltaIters)
+    val r = pr5Shared(spark, dir)
     import spark.implicits._
     r.history.map(m => (m.iteration.toLong, m.deltaNorm)).toDF("iter", "delta")
       .select(col("iter"), round(col("delta"), 8).as("delta"))
@@ -2157,18 +2168,20 @@ object GraphQueries {
   def louvain(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Louvain.run(sparseGraph(spark, dir), rounds = LouvainRounds).labels
 
-  /** Oracle: the move rounds unrolled — per round the volume and k(i,c)
-    * aggregates, the own-community candidate union, the exact HUGEINT
-    * move score A·k − deg·(vol − [own]·deg) (the ΔQ numerator scaled by
-    * 2m², matching the engine's decimal(38,0) argmax bit-for-bit), and
-    * the (score DESC, comm ASC) winner for this round's parity class
-    * only; everyone else carries their community forward.
+  /** Oracle: the move rounds unrolled — per round the community-stats
+    * (volume, size, min member) and k(i,c) aggregates, the own-community
+    * candidate union, Grappolo's singleton admissibility predicate, the
+    * exact HUGEINT move score A·k − deg·(vol − [own]·deg) (the ΔQ
+    * numerator scaled by 2m², matching the engine's decimal(38,0)
+    * argmax bit-for-bit), and the (score DESC, comm ASC) winner for
+    * this round's parity class only; everyone else carries their
+    * community forward.
     */
   lazy val louvainSql: String = {
     val stages = (1 to LouvainRounds).map { r =>
       val p = s"lab${r - 1}"
       s"""vol$r AS MATERIALIZED (
-         |  SELECT l.comm, sum(d.deg) AS vol
+         |  SELECT l.comm, sum(d.deg) AS vol, count(*) AS n, min(l.id) AS cmin
          |  FROM $p l JOIN ldeg d ON d.id = l.id GROUP BY l.comm),
          |kic$r AS MATERIALIZED (
          |  SELECT e.src AS id, l.comm, count(*) AS k
@@ -2187,7 +2200,9 @@ object GraphQueries {
          |  LEFT JOIN vol$r v ON v.comm = c.comm
          |  JOIN ldeg d ON d.id = c.id
          |  JOIN $p l ON l.id = c.id
-         |  CROSS JOIN ltot t),
+         |  CROSS JOIN ltot t
+         |  WHERE c.comm = l.comm
+         |     OR NOT (coalesce(v.n, 1) = 1 AND coalesce(v.cmin, c.id) > c.id)),
          |lab$r AS MATERIALIZED (
          |  SELECT q.id, q.comm FROM (
          |    SELECT id, comm,

@@ -106,16 +106,29 @@ object IngestQueries {
     * negligible next to the collapse — exactly the asymmetry the host
     * abstraction exists for.
     */
+  /** Distinct host pairs → dense host ids → resolved integer edge table,
+    * shared by i_host_rank and i_host_cc (one link extraction + id
+    * assignment per session; a drifting copy here would silently split
+    * the two host-level faces). `hostGraph`'s groupBy already yields
+    * unique pairs, so no extra distinct.
+    */
+  private def hostDense(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.core.SessionMemo(spark, s"hostDense:$dir") {
+      val hedges = LinkExtract.hostGraph(LinkExtract.links(pages(spark, dir)))
+        .select(col("src_host"), col("dst_host"))
+      val hosts = graft.ingest.DenseIds.assign(
+        hedges.select(col("src_host").as("host"))
+          .union(hedges.select(col("dst_host").as("host"))), "host")
+      val edges = hedges
+        .join(hosts.select(col("host").as("src_host"), col("id").as("src")), Seq("src_host"))
+        .join(hosts.select(col("host").as("dst_host"), col("id").as("dst")), Seq("dst_host"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      (hosts, edges)
+    }
+
   def hostRank(spark: SparkSession, dir: String): DataFrame = {
-    val hg = LinkExtract.hostGraph(LinkExtract.links(pages(spark, dir)))
-    val hedges = hg.select(col("src_host"), col("dst_host")).distinct()
-    val hosts = graft.ingest.DenseIds.assign(
-      hedges.select(col("src_host").as("host"))
-        .union(hedges.select(col("dst_host").as("host"))), "host")
-    val edges = hedges
-      .join(hosts.select(col("host").as("src_host"), col("id").as("src")), Seq("src_host"))
-      .join(hosts.select(col("host").as("dst_host"), col("id").as("dst")), Seq("dst_host"))
-      .select(col("src"), col("dst"))
+    val (hosts, edges) = hostDense(spark, dir)
     graft.operators.PageRank.runFixed(graft.core.Graph.fromEdges(edges), iterations = 5)
       .join(hosts, Seq("id"))
       .select(col("host"), round(col("rank"), 8).as("rank"))
@@ -202,15 +215,7 @@ object IngestQueries {
     * hostnames. Component label = smallest member hostname.
     */
   def hostCc(spark: SparkSession, dir: String): DataFrame = {
-    val hedges = LinkExtract.hostGraph(LinkExtract.links(pages(spark, dir)))
-      .select(col("src_host"), col("dst_host")).distinct()
-    val hosts = graft.ingest.DenseIds.assign(
-      hedges.select(col("src_host").as("host"))
-        .union(hedges.select(col("dst_host").as("host"))), "host")
-    val edges = hedges
-      .join(hosts.select(col("host").as("src_host"), col("id").as("src")), Seq("src_host"))
-      .join(hosts.select(col("host").as("dst_host"), col("id").as("dst")), Seq("dst_host"))
-      .select(col("src"), col("dst"))
+    val (hosts, edges) = hostDense(spark, dir)
     graft.operators.ConnectedComponents.run(graft.core.Graph.fromEdges(edges)).components
       .join(hosts, Seq("id"))
       .join(hosts.select(col("id").as("comp"), col("host").as("comp_host")), Seq("comp"))

@@ -381,15 +381,18 @@ object TextQueries {
     val stop = stopListSql
     s"""WITH $toksSql,
        |r AS (
+       |  -- every aggregate is null-coalesced: a NULL text must behave as
+       |  -- '' exactly like the engine's coalesce (null booleans would
+       |  -- diverge from the engine's false/true and break the compare)
        |  SELECT doc_id,
-       |         len(w) AS ntok,
-       |         greatest(len(w), 1) AS ntok1,
+       |         coalesce(len(w), 0) AS ntok,
+       |         greatest(coalesce(len(w), 0), 1) AS ntok1,
        |         coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0) AS chsum,
-       |         len(list_filter(w, x -> list_contains($stop, x))) AS stop_hits,
-       |         CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS hashcnt,
-       |         CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS ellcnt,
-       |         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) AS alphaw,
-       |         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+       |         coalesce(len(list_filter(w, x -> list_contains($stop, x))), 0) AS stop_hits,
+       |         CAST(length(coalesce(text, '')) - length(replace(coalesce(text, ''), '#', '')) AS DOUBLE) AS hashcnt,
+       |         CAST(length(coalesce(text, '')) - length(replace(coalesce(text, ''), '...', '')) AS DOUBLE) / 3.0 AS ellcnt,
+       |         CAST(coalesce(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))), 0) AS DOUBLE) AS alphaw,
+       |         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), x -> trim(x)), x -> x <> '') AS lines
        |  FROM toks)
        |SELECT doc_id,
        |       ntok >= 40 AND ntok <= 70 AS wc_ok,

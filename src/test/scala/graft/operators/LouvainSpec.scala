@@ -25,22 +25,39 @@ class LouvainSpec extends AnyFunSuite {
     for (r <- 1 to rounds) {
       // keysIterator, not keys.map: a Set.map would collapse members with
       // EQUAL degree into one element and under-count the volume
-      val vol = lab.groupBy(_._2).map { case (c, m) => c -> m.keysIterator.map(deg).sum }
+      val members = lab.groupBy(_._2).map { case (c, m) => c -> m.keys.toSet }
+      val vol = members.map { case (c, ms) => c -> ms.iterator.map(deg).sum }
       lab = verts.map { v =>
         if ((v + r) % 2 != 0) v -> lab(v)
         else {
           val own = lab(v)
           val k = sym.filter(_._1 == v).groupBy(e => lab(e._2))
             .map { case (c, es) => c -> es.size.toLong }
-          val best = (k.keySet + own).toSeq.map { c =>
-            val volc = vol.getOrElse(c, 0L) - (if (c == own) deg(v) else 0L)
-            (BigInt(a) * BigInt(k.getOrElse(c, 0L)) - BigInt(deg(v)) * BigInt(volc), c)
-          }.minBy { case (s, c) => (-s, c) }
+          val best = (k.keySet + own).toSeq
+            // Grappolo singleton rule: a move into a singleton community
+            // is admissible only when its lone member id < v.
+            .filter { c =>
+              c == own || !(members(c).size == 1 && members(c).head > v)
+            }
+            .map { c =>
+              val volc = vol.getOrElse(c, 0L) - (if (c == own) deg(v) else 0L)
+              (BigInt(a) * BigInt(k.getOrElse(c, 0L)) - BigInt(deg(v)) * BigInt(volc), c)
+            }.minBy { case (s, c) => (-s, c) }
           v -> best._2
         }
       }.toMap
     }
     lab
+  }
+
+  test("same-parity singleton pair merges instead of swap-oscillating") {
+    // Edge (1,3): both odd, both eligible in odd rounds — without the
+    // singleton rule they trade labels forever and end as two
+    // singletons; with it, 3 joins 1 in round 1 and the pair stays
+    // merged.
+    val got = runLouvain(Seq(1L -> 3L))
+    assert(got(1L) == got(3L), s"swap cycle not broken: $got")
+    assert(got == replay(Seq(1L -> 3L), 4))
   }
 
   test("two triangles with a bridge resolve to the two triangles") {

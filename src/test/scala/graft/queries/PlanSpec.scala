@@ -487,16 +487,28 @@ class PlanSpec extends AnyFunSuite {
       s"UDF leaked into the coloring path:\n$plan")
   }
 
-  test("g_louvain4: move rounds never go per-pair and never UDF") {
-    // The Louvain round's joins are all equi-joins (k(i,c) gather, volume
-    // attach, own-community attach); a cartesian/nested-loop node would
-    // mean the candidate scoring regressed to per-pair, and the exact
-    // decimal argmax must stay native expressions.
+  test("g_louvain4: one UNCUT move round never goes per-pair and never UDF") {
+    // The final labels frame is lineage-cut (its plan is just a
+    // checkpoint scan — asserting on it would be vacuous), so explain
+    // ONE uncut round: all joins must be equi-joins (k(i,c) gather,
+    // community-stats attach, own-community attach); a cartesian/
+    // nested-loop node would mean the candidate scoring regressed to
+    // per-pair, and the exact decimal argmax must stay native
+    // expressions.
+    import org.apache.spark.sql.functions._
     val g = graft.core.Graph.fromPairs(spark, graft.Fixtures.bucket9)
-    val r = graft.operators.Louvain.run(g, rounds = 2)
-    val plan = finalPlan(r.labels)
+    import spark.implicits._
+    val sym = g.symmetrize.edges.filter($"src" =!= $"dst").toDF()
+    val deg = g.vertices.toDF("id")
+      .join(sym.groupBy($"src".as("id")).agg(count(lit(1)).as("deg")), Seq("id"), "left")
+      .select($"id", coalesce($"deg", lit(0L)).as("deg"))
+    val state = deg.select($"id", $"id".as("comm"))
+    val next = graft.operators.Louvain.moveRound(sym, deg, sym.count(), state, 1)
+    next.collect()
+    val plan = finalPlan(next)
+    assert(plan.contains("Join"), s"expected the round's joins in the plan:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
-      s"per-pair plan in the louvain output:\n$plan")
+      s"per-pair plan in the louvain round:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"UDF leaked into louvain:\n$plan")
   }
 }
