@@ -1617,7 +1617,16 @@ object GraphQueries {
     * (register-sum order) differ at ~1 ulp; the driver compares with
     * rtol 1e-9.
     */
-  private lazy val hyperballCoreSql: String = {
+  /** splitmix64(seed 42) register CTE chain (m = 64): BIGINT ids of
+    * `$srcRel(id)` → `${p}reg(id, j, rho)`. Wrapping 64-bit multiply via
+    * 32-bit limbs in HUGEINT (INT128 overflows on a full 64×64 product;
+    * DuckDB errors on overflow rather than wrapping), ρ via log2 of the
+    * isolated lowest set bit (exact — powers of two are exact doubles).
+    * Shared by the HyperBall oracle and q_hll_users (the same
+    * [[graft.functions.Hll]] kernel verified on graph balls and on
+    * event streams).
+    */
+  private[queries] def hllRegSql(srcRel: String, p: String): String = {
     val U = "18446744073709551616" // 2^64
     // seed*C1 mod 2^64 precomputed (the 64-bit literal product would
     // overflow BIGINT); C2/C3 as unsigned decimal literals.
@@ -1629,25 +1638,40 @@ object GraphQueries {
          | + (((($z % 4294967296) * ($c // 4294967296)
          |     + ($z // 4294967296) * ($c % 4294967296)) % 4294967296) * 4294967296)
          |) % $U""".stripMargin
+    s"""${p}hz0 AS (
+       |  SELECT id,
+       |    (CASE WHEN id < 0 THEN CAST(id AS HUGEINT) + $U ELSE CAST(id AS HUGEINT) END
+       |     + $seedC1) % $U AS z
+       |  FROM $srcRel
+       |),
+       |${p}hz1 AS (SELECT id, ${wmul("xor(z, z >> 30)", c2)} AS z FROM ${p}hz0),
+       |${p}hz2 AS (SELECT id, ${wmul("xor(z, z >> 27)", c3)} AS z FROM ${p}hz1),
+       |${p}hv AS (SELECT id, xor(z, z >> 31) AS h FROM ${p}hz2),
+       |${p}reg AS MATERIALIZED (
+       |  SELECT id, CAST(h % 64 AS BIGINT) AS j,
+       |         CAST(log2(CAST(((h >> 6) | 288230376151711744) &
+       |              ($U - ((h >> 6) | 288230376151711744)) AS DOUBLE)) AS BIGINT) + 1 AS rho
+       |  FROM ${p}hv
+       |)""".stripMargin
+  }
+
+  /** The HLL cardinality-estimator CASE ([[graft.functions.Hll.count]]):
+    * small-range linear counting below the 2.5m threshold, else the raw
+    * αm²/Σ2^-ρ estimate — over a relation exposing `present` (registers
+    * set) and `invp` (Σ2^-ρ over set registers).
+    */
+  private[queries] def hllEstSql(present: String, invp: String): String =
+    s"""CASE WHEN (64 - $present) > 0
+       |      AND (0.709 * 64 * 64 / ($invp + (64 - $present))) <= 160.0
+       |     THEN 64 * ln(64.0 / (64 - $present))
+       |     ELSE 0.709 * 64 * 64 / ($invp + (64 - $present)) END""".stripMargin
+
+  private lazy val hyperballCoreSql: String = {
     s"""WITH $edgesSql,
        |${bitReachChain("edges", "d")},
        |${bitDistTail("d")},
        |maxt AS MATERIALIZED (SELECT max(dist) AS mt FROM dist),
-       |hz0 AS (
-       |  SELECT id,
-       |    (CASE WHEN id < 0 THEN CAST(id AS HUGEINT) + $U ELSE CAST(id AS HUGEINT) END
-       |     + $seedC1) % $U AS z
-       |  FROM nodes
-       |),
-       |hz1 AS (SELECT id, ${wmul("xor(z, z >> 30)", c2)} AS z FROM hz0),
-       |hz2 AS (SELECT id, ${wmul("xor(z, z >> 27)", c3)} AS z FROM hz1),
-       |hv AS (SELECT id, xor(z, z >> 31) AS h FROM hz2),
-       |reg AS MATERIALIZED (
-       |  SELECT id, CAST(h % 64 AS BIGINT) AS j,
-       |         CAST(log2(CAST(((h >> 6) | 288230376151711744) &
-       |              ($U - ((h >> 6) | 288230376151711744)) AS DOUBLE)) AS BIGINT) + 1 AS rho
-       |  FROM hv
-       |),
+       |${hllRegSql("nodes", "")},
        |ball AS MATERIALIZED (
        |  SELECT d.src AS v, t.t, r.j, max(r.rho) AS rho
        |  FROM dist d
@@ -1661,11 +1685,7 @@ object GraphQueries {
        |  FROM ball GROUP BY v, t
        |),
        |cnt AS MATERIALIZED (
-       |  SELECT v, t,
-       |         CASE WHEN (64 - present) > 0
-       |               AND (0.709 * 64 * 64 / (invp + (64 - present))) <= 160.0
-       |              THEN 64 * ln(64.0 / (64 - present))
-       |              ELSE 0.709 * 64 * 64 / (invp + (64 - present)) END AS c
+       |  SELECT v, t, ${hllEstSql("present", "invp")} AS c
        |  FROM est
        |)""".stripMargin
   }

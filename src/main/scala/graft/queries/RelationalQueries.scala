@@ -228,6 +228,49 @@ object RelationalQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Approximate distinct users per hour via the engine's HLL kernel
+    * (the [[graft.functions.Hll]] counter HyperBall iterates — here as
+    * a standalone aggregate over the event stream, the shape a
+    * dashboard's "unique visitors" query takes at 10¹² events where
+    * exact distinct would shuffle every user id): per-row codegen'd
+    * `hll_init` sketches, register-max merge (partial map-side — the
+    * shuffle carries 64-byte sketches per group, never user ids),
+    * estimator CASE at the end. The EXACT count rides along, so the
+    * gate row also re-verifies the estimator's error profile at every
+    * scale factor (not just its determinism).
+    */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    e.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        Hll.hllCount(Hll.hllMergeAgg(Hll.hllInit(6)(col("user_id")))).as("users_hll"))
+  }
+
+  /** Oracle: the splitmix64 register chain + estimator CASE replayed in
+    * closed form over the DISTINCT (hour, user) pairs (register-max is
+    * idempotent, so per-event and per-distinct-user sketches agree) —
+    * the same factored SQL the HyperBall oracle composes
+    * ([[GraphQueries.hllRegSql]]/[[GraphQueries.hllEstSql]]).
+    */
+  lazy val hllUsersSql: String =
+    s"""WITH hu AS MATERIALIZED (
+       |  SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id AS id FROM events),
+       |uu AS (SELECT DISTINCT id FROM hu),
+       |${graft.queries.GraphQueries.hllRegSql("uu", "u")},
+       |ball AS (
+       |  SELECT hu.hour, r.j, max(r.rho) AS rho
+       |  FROM hu JOIN ureg r ON r.id = hu.id GROUP BY hu.hour, r.j),
+       |est AS (
+       |  SELECT hour, count(*) AS present, sum(power(2.0, -rho)) AS invp
+       |  FROM ball GROUP BY hour),
+       |ex AS (
+       |  SELECT date_trunc('hour', ts) AS hour, count(DISTINCT user_id) AS users
+       |  FROM events GROUP BY 1)
+       |SELECT ex.hour, ex.users, ${graft.queries.GraphQueries.hllEstSql("est.present", "est.invp")} AS users_hll
+       |FROM ex JOIN est ON est.hour = ex.hour""".stripMargin
+
   /** Sliding 1-hour/30-minute windows, batch face
     * ([[graft.streaming.EventStream.slidingAgg]] — the spec pins
     * stream == batch; this row pins batch == DuckDB).
