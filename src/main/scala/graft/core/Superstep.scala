@@ -52,7 +52,17 @@ final class IterationContext(
       * checkpoint blocks) every N committed supersteps.
       */
     durableCutEvery: Int = 8,
-    verbose: Boolean = false
+    verbose: Boolean = false,
+    /** Suspend AQE for the loop's lifetime — see [[savedAqe]]. Right for
+      * STABLE-state loops (rank family: state cardinality and join
+      * shapes never change, so adaptivity is pure per-superstep
+      * overhead — measured ~35-40%/iter on PageRank). WRONG for
+      * shrinking-state loops (CC pointer jumping, peels): there AQE's
+      * runtime broadcast-join conversion is load-bearing as the live
+      * side shrinks under the broadcast threshold (measured: g_cc_incr
+      * 26 → 68 s with AQE suspended in CC).
+      */
+    suspendAdaptive: Boolean = false
 ) {
 
   private var prev: Option[DataFrame] = None
@@ -85,7 +95,7 @@ final class IterationContext(
   private var savedAqe: Option[String] = None
 
   private def suspendAqe(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (savedAqe.isEmpty) {
+    if (suspendAdaptive && savedAqe.isEmpty) {
       savedAqe = Some(spark.conf.get("spark.sql.adaptive.enabled", "true"))
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       aqeSession = Some(spark)

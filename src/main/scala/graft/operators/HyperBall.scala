@@ -82,7 +82,7 @@ object HyperBall {
     val tAdj = graph.transposeAdjacency
     val systolicThreshold = n / 4 // reference hyperball_impl.rs:795-796
 
-    val ctx = new IterationContext("hyperball", verbose = verbose)
+    val ctx = new IterationContext("hyperball", verbose = verbose, suspendAdaptive = true)
     // state: (id, regs, cnt, sumDist, sumInvDist, modified)
     // Weighted init: weight w ⇒ w distinct seeded elements per counter
     // (hash(id·2^20 + i) for i<w); default init = the node's own id.

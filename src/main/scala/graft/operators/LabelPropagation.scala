@@ -49,7 +49,7 @@ object LabelPropagation {
       .fromEdges(sym.edges.filter($"src" =!= $"dst").toDF(), sym.chunkSize)
       .adjacency
 
-    val ctx = new IterationContext("lp", checkpoint, verbose = verbose)
+    val ctx = new IterationContext("lp", checkpoint, verbose = verbose, suspendAdaptive = true)
     val resumed = ctx.resume(spark)
     var state = resumed.map(_._1).getOrElse {
       ctx.init(sym.vertices.toDF("id").select($"id", $"id".as("label")))

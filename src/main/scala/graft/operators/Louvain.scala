@@ -85,7 +85,7 @@ object Louvain {
       .select($"id", coalesce($"deg", lit(0L)).as("deg"))
       .localCheckpoint(true)
 
-    val ctx = new IterationContext("louvain", checkpoint, verbose = verbose)
+    val ctx = new IterationContext("louvain", checkpoint, verbose = verbose, suspendAdaptive = true)
     val resumed = ctx.resume(spark)
     var state = resumed.map(_._1).getOrElse {
       ctx.init(deg.select($"id", $"id".as("comm")))

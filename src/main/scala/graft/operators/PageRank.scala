@@ -71,7 +71,7 @@ object PageRank {
     // (id, deg) persisted once; deg==0 marks dangling vertices.
     val verts = graph.outDegrees.persist(StorageLevel.MEMORY_AND_DISK)
 
-    val ctx = new IterationContext("pagerank", checkpoint, verbose = verbose)
+    val ctx = new IterationContext("pagerank", checkpoint, verbose = verbose, suspendAdaptive = true)
     val resumed = ctx.resume(spark)
     var state = resumed.map(_._1).getOrElse {
       init match {
