@@ -208,6 +208,18 @@ final class IterationContext(
   def close(keepFinal: Boolean = true): Unit = {
     if (!keepFinal) prev.foreach(_.unpersist())
     prev = None
+    restoreAqe()
+  }
+
+  /** Restore the session's AQE setting. Idempotent (the saved value is
+    * cleared on first restore, so a later [[close]] is a no-op), and safe
+    * to call from an operator's `finally` even after a normal `close()`:
+    * without this guard a superstep failure mid-loop would leak
+    * `spark.sql.adaptive.enabled=false` into the session, silently
+    * stripping AQE (runtime broadcast conversion, skew-join splitting)
+    * from every later query Verify/Bench runs past the failure.
+    */
+  def restoreAqe(): Unit = {
     for (ss <- aqeSession; v <- savedAqe) ss.conf.set("spark.sql.adaptive.enabled", v)
     aqeSession = None
     savedAqe = None

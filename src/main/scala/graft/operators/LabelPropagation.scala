@@ -50,42 +50,44 @@ object LabelPropagation {
       .adjacency
 
     val ctx = new IterationContext("lp", checkpoint, verbose = verbose, suspendAdaptive = true)
-    val resumed = ctx.resume(spark)
-    var state = resumed.map(_._1).getOrElse {
-      ctx.init(sym.vertices.toDF("id").select($"id", $"id".as("label")))
-    }
-    var iter = resumed.map(_._2).getOrElse(0)
+    try {
+      val resumed = ctx.resume(spark)
+      var state = resumed.map(_._1).getOrElse {
+        ctx.init(sym.vertices.toDF("id").select($"id", $"id".as("label")))
+      }
+      var iter = resumed.map(_._2).getOrElse(0)
 
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      iter += 1
-      val votes = adj
-        .join(state.select($"id".as("src"), $"label"), Seq("src"))
-        .select(explode($"dsts").as("id"), $"label")
-        .groupBy($"id", $"label")
-        .agg(count(lit(1)).as("cnt"))
-      // argmax by count, ties -> min label: min_by over the lexicographic
-      // struct (−cnt, label) — associative, codegen-friendly, no window.
-      val winner = votes
-        .groupBy($"id")
-        .agg(min_by($"label", struct((-$"cnt").as("negCnt"), $"label")).as("newLabel"))
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        iter += 1
+        val votes = adj
+          .join(state.select($"id".as("src"), $"label"), Seq("src"))
+          .select(explode($"dsts").as("id"), $"label")
+          .groupBy($"id", $"label")
+          .agg(count(lit(1)).as("cnt"))
+        // argmax by count, ties -> min label: min_by over the lexicographic
+        // struct (−cnt, label) — associative, codegen-friendly, no window.
+        val winner = votes
+          .groupBy($"id")
+          .agg(min_by($"label", struct((-$"cnt").as("negCnt"), $"label")).as("newLabel"))
 
-      val next = state
-        .join(winner, Seq("id"), "left")
-        .select(
-          $"id",
-          coalesce($"newLabel", $"label").as("label"),
-          (coalesce($"newLabel", $"label") =!= $"label").as("didChange"))
-      val cutNext = ctx.cut(next)
+        val next = state
+          .join(winner, Seq("id"), "left")
+          .select(
+            $"id",
+            coalesce($"newLabel", $"label").as("label"),
+            (coalesce($"newLabel", $"label") =!= $"label").as("didChange"))
+        val cutNext = ctx.cut(next)
 
-      val row = cutNext.agg(sum(when($"didChange", 1L).otherwise(0L))).head()
-      changed = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val row = cutNext.agg(sum(when($"didChange", 1L).otherwise(0L))).head()
+        changed = if (row.isNullAt(0)) 0L else row.getLong(0)
 
-      state = ctx.advance(iter, cutNext.select($"id", $"label"),
-        deltaNorm = changed.toDouble, messages = sym.numEdges, changed = changed)
-    }
+        state = ctx.advance(iter, cutNext.select($"id", $"label"),
+          deltaNorm = changed.toDouble, messages = sym.numEdges, changed = changed)
+      }
 
-    ctx.close()
-    Result(state.select($"id", $"label"), iter, ctx.history.toSeq)
+      ctx.close()
+      Result(state.select($"id", $"label"), iter, ctx.history.toSeq)
+    } finally ctx.restoreAqe()
   }
 }

@@ -86,25 +86,27 @@ object Louvain {
       .localCheckpoint(true)
 
     val ctx = new IterationContext("louvain", checkpoint, verbose = verbose, suspendAdaptive = true)
-    val resumed = ctx.resume(spark)
-    var state = resumed.map(_._1).getOrElse {
-      ctx.init(deg.select($"id", $"id".as("comm")))
-    }
-    var round = resumed.map(_._2).getOrElse(0)
+    try {
+      val resumed = ctx.resume(spark)
+      var state = resumed.map(_._1).getOrElse {
+        ctx.init(deg.select($"id", $"id".as("comm")))
+      }
+      var round = resumed.map(_._2).getOrElse(0)
 
-    while (round < rounds) {
-      round += 1
-      val next = ctx.cut(moveRound(sym, deg, arcsTotal, state, round))
-      val row = next.agg(sum(when($"didChange", 1L).otherwise(0L))).head()
-      val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
-      state = ctx.advance(round, next.select($"id", $"comm"),
-        deltaNorm = changed.toDouble, messages = arcsTotal, changed = changed)
-    }
+      while (round < rounds) {
+        round += 1
+        val next = ctx.cut(moveRound(sym, deg, arcsTotal, state, round))
+        val row = next.agg(sum(when($"didChange", 1L).otherwise(0L))).head()
+        val changed = if (row.isNullAt(0)) 0L else row.getLong(0)
+        state = ctx.advance(round, next.select($"id", $"comm"),
+          deltaNorm = changed.toDouble, messages = arcsTotal, changed = changed)
+      }
 
-    sym.unpersist()
-    graft.core.Lineage.release(deg)
-    ctx.close()
-    Result(state.select($"id", $"comm"), round, ctx.history.toSeq)
+      sym.unpersist()
+      graft.core.Lineage.release(deg)
+      ctx.close()
+      Result(state.select($"id", $"comm"), round, ctx.history.toSeq)
+    } finally ctx.restoreAqe()
   }
 
   /** One synchronous move round over `state` (id, comm) → the NEXT state

@@ -72,68 +72,70 @@ object PageRank {
     val verts = graph.outDegrees.persist(StorageLevel.MEMORY_AND_DISK)
 
     val ctx = new IterationContext("pagerank", checkpoint, verbose = verbose, suspendAdaptive = true)
-    val resumed = ctx.resume(spark)
-    var state = resumed.map(_._1).getOrElse {
-      init match {
-        case Some(r0) =>
-          val seeded = verts
-            .join(r0.select($"id", $"rank".cast("double").as("r0")), Seq("id"), "left")
-            .select($"id", coalesce($"r0", lit(1.0 / n)).as("r"), $"deg")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val tot = seeded.agg(sum($"r")).head().getDouble(0)
-          require(tot > 0, "init ranks must have positive total mass")
-          val out = ctx.init(seeded.select($"id", ($"r" / tot).as("rank"), $"deg"))
-          seeded.unpersist()
-          out
-        case None =>
-          ctx.init(verts.select($"id", lit(1.0 / n).as("rank"), $"deg"))
+    try {
+      val resumed = ctx.resume(spark)
+      var state = resumed.map(_._1).getOrElse {
+        init match {
+          case Some(r0) =>
+            val seeded = verts
+              .join(r0.select($"id", $"rank".cast("double").as("r0")), Seq("id"), "left")
+              .select($"id", coalesce($"r0", lit(1.0 / n)).as("r"), $"deg")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val tot = seeded.agg(sum($"r")).head().getDouble(0)
+            require(tot > 0, "init ranks must have positive total mass")
+            val out = ctx.init(seeded.select($"id", ($"r" / tot).as("rank"), $"deg"))
+            seeded.unpersist()
+            out
+          case None =>
+            ctx.init(verts.select($"id", lit(1.0 / n).as("rank"), $"deg"))
+        }
       }
-    }
-    var iter = resumed.map(_._2).getOrElse(0)
-    // Dangling mass of the CURRENT state; for iteration>0 resumes this is
-    // recomputed once (cheap single aggregate) instead of persisted.
-    var dangling = {
-      val r = state.agg(sum(when($"deg" === 0, $"rank"))).head()
-      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    }
+      var iter = resumed.map(_._2).getOrElse(0)
+      // Dangling mass of the CURRENT state; for iteration>0 resumes this is
+      // recomputed once (cheap single aggregate) instead of persisted.
+      var dangling = {
+        val r = state.agg(sum(when($"deg" === 0, $"rank"))).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
 
-    var converged = false
-    while (!converged && iter < maxIter) {
-      iter += 1
-      val contribs = adj
-        .join(state.select($"id".as("src"), $"rank"), Seq("src"))
-        .select(explode($"dsts").as("id"), ($"rank" / $"deg").as("c"))
-        .groupBy($"id")
-        .agg(sum($"c").as("contrib"))
+      var converged = false
+      while (!converged && iter < maxIter) {
+        iter += 1
+        val contribs = adj
+          .join(state.select($"id".as("src"), $"rank"), Seq("src"))
+          .select(explode($"dsts").as("id"), ($"rank" / $"deg").as("c"))
+          .groupBy($"id")
+          .agg(sum($"c").as("contrib"))
 
-      val base = (1.0 - alpha) / n + alpha * dangling / n
-      val next = state
-        .select($"id", $"rank".as("prevRank"), $"deg")
-        .join(contribs, Seq("id"), "left")
-        .select(
-          $"id",
-          (lit(base) + lit(alpha) * coalesce($"contrib", lit(0.0))).as("rank"),
-          $"deg",
-          $"prevRank")
-      val cutNext = ctx.cut(next)
+        val base = (1.0 - alpha) / n + alpha * dangling / n
+        val next = state
+          .select($"id", $"rank".as("prevRank"), $"deg")
+          .join(contribs, Seq("id"), "left")
+          .select(
+            $"id",
+            (lit(base) + lit(alpha) * coalesce($"contrib", lit(0.0))).as("rank"),
+            $"deg",
+            $"prevRank")
+        val cutNext = ctx.cut(next)
 
-      // ONE action per superstep: delta, next dangling mass, changed count.
-      val row = cutNext.agg(
-        sum(abs($"rank" - $"prevRank")),
-        sum(when($"deg" === 0, $"rank")),
-        sum(when(abs($"rank" - $"prevRank") > 0, 1L).otherwise(0L))
-      ).head()
-      val delta = row.getDouble(0)
-      dangling = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
-      val changed = if (row.isNullAt(2)) 0L else row.getLong(2)
+        // ONE action per superstep: delta, next dangling mass, changed count.
+        val row = cutNext.agg(
+          sum(abs($"rank" - $"prevRank")),
+          sum(when($"deg" === 0, $"rank")),
+          sum(when(abs($"rank" - $"prevRank") > 0, 1L).otherwise(0L))
+        ).head()
+        val delta = row.getDouble(0)
+        dangling = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+        val changed = if (row.isNullAt(2)) 0L else row.getLong(2)
 
-      state = ctx.advance(iter, cutNext.select($"id", $"rank", $"deg"), delta, graph.numEdges, changed)
-      converged = delta < tol
-    }
+        state = ctx.advance(iter, cutNext.select($"id", $"rank", $"deg"), delta, graph.numEdges, changed)
+        converged = delta < tol
+      }
 
-    verts.unpersist()
-    ctx.close()
-    Result(state.select($"id", $"rank"), iter, converged, ctx.history.toSeq)
+      verts.unpersist()
+      ctx.close()
+      Result(state.select($"id", $"rank"), iter, converged, ctx.history.toSeq)
+    } finally ctx.restoreAqe()
   }
 
   /** Fixed-iteration variant (no convergence action fusion needed for the

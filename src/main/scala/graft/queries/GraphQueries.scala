@@ -1709,7 +1709,7 @@ object GraphQueries {
        |       sumInvDist AS harmonic,
        |       CASE WHEN sumDist > 0 THEN reachable * reachable / sumDist ELSE 1.0 END AS lin,
        |       reachable * reachable - sumDist AS nieminen,
-       |       0.0 AS discounted
+       |       CAST(0.0 AS DOUBLE) AS discounted
        |FROM fin""".stripMargin
   }
 
@@ -2156,7 +2156,7 @@ object GraphQueries {
        |  FROM symnl e JOIN lab3 la ON la.id = e.src JOIN lab3 lb ON lb.id = e.dst
        |  WHERE la.label = lb.label GROUP BY la.label),
        |ds AS MATERIALIZED (
-       |  SELECT l.label, sum(d.deg) AS deg_sum
+       |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS deg_sum
        |  FROM (SELECT src AS id, count(*) AS deg FROM symnl GROUP BY src) d
        |  JOIN lab3 l ON l.id = d.id GROUP BY l.label),
        |tot AS (SELECT count(*) AS a FROM symnl)

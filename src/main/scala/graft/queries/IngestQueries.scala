@@ -227,7 +227,11 @@ object IngestQueries {
     * directly (`least` on VARCHAR), no dense-id replay needed; the
     * fixpoint label is the smallest member hostname, and extra rounds
     * past the fixpoint are monotone no-ops (measured depth ≤ 4 at both
-    * gate scale factors on the ~40-host graph).
+    * gate scale factors on the ~40-host graph). Self-checking: a
+    * sentinel row (`host = 'ORACLE-UNCONVERGED …'`) is appended only if
+    * any label still changed on the final round, so a corpus deep enough
+    * to exceed the unroll surfaces as an ORACLE defect instead of
+    * flagging the engine's correct answer (ADVICE r4).
     */
   val HostCcRounds = 12
 
@@ -252,7 +256,13 @@ object IngestQueries {
        |hcn AS (SELECT src AS host FROM hcedges UNION SELECT dst FROM hcedges),
        |hcl0 AS (SELECT host, host AS lab FROM hcn),
        |$rounds
-       |SELECT host, lab AS comp_host FROM hcl$HostCcRounds""".stripMargin
+       |SELECT host, lab AS comp_host FROM hcl$HostCcRounds
+       |UNION ALL
+       |SELECT 'ORACLE-UNCONVERGED after $HostCcRounds rounds' AS host,
+       |       CAST(count(*) AS VARCHAR) AS comp_host
+       |FROM hcl$HostCcRounds a JOIN hcl${HostCcRounds - 1} b
+       |  ON a.host = b.host AND a.lab <> b.lab
+       |HAVING count(*) > 0""".stripMargin
   }
 
   /** Per-target anchor-text signals ([[LinkExtract.anchorText]]) over the

@@ -616,7 +616,7 @@ object RelationalQueries {
 
   val bloomSemiSql: String =
     s"""SELECT l_returnflag, count(*) AS n_rows,
-       |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
        |FROM lineitem
        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
        |                     WHERE o_totalprice > $BloomPriceCut)

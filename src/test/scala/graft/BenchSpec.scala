@@ -10,13 +10,24 @@ class BenchSpec extends AnyFunSuite {
     val ok = (s: SparkSession, _: String) => { import s.implicits._; Seq(1, 2, 3).toDF("x") }
     val bad: (SparkSession, String) => DataFrame =
       (_, _) => throw new RuntimeException("boom")
-    val (best, cold, errs) =
+    val (best, cold, errs, skipped) =
       Bench.timeQueries(spark, "/nonexistent", Seq("good" -> ok, "bad" -> bad), repeats = 2)
     assert(errs.keySet == Set("bad"))
     assert(errs("bad").contains("boom"))
     assert(best.keySet == Set("good", "bad") && cold.keySet == best.keySet,
       "failed queries stay in the timing maps, marked by the error map")
     assert(best("good") > 0.0 && cold("good") >= best("good"))
+    assert(skipped.isEmpty)
+  }
+
+  test("timeQueries stops starting queries past the section ceiling and lists the rest as skipped") {
+    val q = (s: SparkSession, _: String) => { import s.implicits._; Seq(1).toDF("x") }
+    val (best, cold, errs, skipped) =
+      Bench.timeQueries(spark, "/none", Seq("a" -> q, "b" -> q, "c" -> q),
+        repeats = 1, ceilingSec = -1.0)
+    // Ceiling already exceeded before the first query: everything skips.
+    assert(errs.isEmpty && best.isEmpty && cold.isEmpty)
+    assert(skipped == Seq("a", "b", "c"))
   }
 
   test("timeQueries takes the min across passes for successful queries") {
@@ -26,7 +37,7 @@ class BenchSpec extends AnyFunSuite {
       import s.implicits._
       Seq(calls).toDF("x")
     }
-    val (best, cold, errs) =
+    val (best, cold, errs, _) =
       Bench.timeQueries(spark, "/none", Seq("q" -> counting), repeats = 3)
     assert(calls == 3 && errs.isEmpty)
     assert(best("q") <= cold("q"))

@@ -15,11 +15,33 @@ for p in glob.glob(os.path.join(sfdir, "*.parquet")):
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 fails = 0
+
+# DuckDB types the driver's hash compare cannot reconcile with Spark's
+# int64/float64 output: HUGEINT (sum of integers) fetches as float64 but
+# hashes as a distinct dtype, DECIMAAL literals (e.g. `0.0 AS x`) fetch as
+# DECIMAL(n,m). Any oracle emitting one is a latent red row even if today's
+# values happen to compare equal — fail loudly here so it never ships.
+BAD_DUCK_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT")
+
+def kind(dt):
+    """Normalize a pandas dtype to a comparison kind: all int widths are one
+    family (the driver compares values, not widths), everything else exact."""
+    k = dt.kind
+    return 'i' if k in ('i', 'u') else k
+
 for q, sql in sorted(oracle.items()):
     spark_dir = os.path.join(outdir, q)
     if not os.path.isdir(spark_dir):
         print(f"[MISS] {q}: no spark output"); fails += 1; continue
     try:
+        duck_types = con.execute(f"DESCRIBE {sql}").fetchdf()
+        skewed = [(r["column_name"], r["column_type"])
+                  for _, r in duck_types.iterrows()
+                  if any(r["column_type"].upper().startswith(b) for b in BAD_DUCK_TYPES)]
+        if skewed:
+            print(f"[DTYPE] {q}: oracle emits driver-unreconcilable DuckDB "
+                  f"types {skewed} — add explicit CASTs in the oracle SQL")
+            fails += 1; continue
         odf = con.execute(sql).fetchdf()
     except Exception as e:
         print(f"[ORACLE-ERR] {q}: {e}"); fails += 1; continue
@@ -34,6 +56,11 @@ for q, sql in sorted(oracle.items()):
         fails += 1; continue
     if len(o) != len(s):
         print(f"[ROWS] {q}: oracle={len(o)} spark={len(s)}"); fails += 1; continue
+    kskew = [(c, str(o[c].dtype), str(s[c].dtype)) for c in o.columns
+             if kind(o[c].dtype) != kind(s[c].dtype)]
+    if kskew:
+        print(f"[DTYPE] {q}: oracle/spark dtype-kind mismatch {kskew}")
+        fails += 1; continue
     bad = None
     for c in o.columns:
         oc, sc = o[c], s[c]
