@@ -16,14 +16,14 @@ final case class MediaMeta(
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract stages.
   *
-  * The Spark-side plumbing here is REAL and tested: binary columns with
-  * magic-byte sniffing (codegen'd expressions), per-partition batched
-  * decode with a typed output schema, and a 256-bin byte-histogram
-  * feature extractor (the exact shape of an embedding/feature UDF:
-  * binary in → float vector out, computed in batches inside
-  * mapPartitions). The pixel/sample DECODE itself is a clearly-marked
-  * STUB — image/audio codecs do not ship in this container — that
-  * derives deterministic fake dimensions instead of calling a codec.
+  * Image decode is REAL: [[decodeMeta]], [[pixelStats]] and [[resize]]
+  * run `javax.imageio.ImageIO` (PNG/BMP/GIF ship with the JDK — no new
+  * dependency) inside the batched `mapPartitions` plumbing, and the gate
+  * verifies decoded dimensions and channel sums against a closed-form
+  * oracle over [[syntheticImage]]'s deterministic pixels. The one
+  * remaining stub is VIDEO demuxing ([[frameSample]] slices container
+  * bytes instead of extracting packets — the JDK has no demuxer), and it
+  * is labeled as such there.
   */
 object MediaPipeline {
 
@@ -33,18 +33,73 @@ object MediaPipeline {
     when(magic8.startsWith("89504E47"), "png")
       .when(magic8.startsWith("FFD8FF"), "jpeg")
       .when(magic8.startsWith("47494638"), "gif")
+      .when(magic8.startsWith("424D"), "bmp")
       .when(magic8.startsWith("52494646"), "riff") // wav/avi container
       .when(magic8.startsWith("1A45DFA3"), "mkv")
       .otherwise("unknown")
   }
 
-  /** Batched "decode": one pass per partition, items processed in batches
-    * of `batchSize` exactly like a codec/model invocation would be.
-    *
-    * ==== STUB ==== The dimension extraction below fabricates
-    * deterministic width/height from the blob bytes; a real deployment
-    * replaces ONLY the body of `decodeOne` with the codec call — the
-    * partitioning, batching, schema and null-handling stay as-is.
+  /** JVM-side magic sniff, byte-for-byte the same classification as the
+    * [[sniffFormat]] expression (the two classifiers in one pipeline
+    * must agree).
+    */
+  private def sniffBytes(blob: Array[Byte]): String =
+    if (blob.length >= 4 && blob(0) == 0x89.toByte && blob(1) == 'P'
+        && blob(2) == 'N' && blob(3) == 'G') "png"
+    else if (blob.length >= 3 && blob(0) == 0xFF.toByte && blob(1) == 0xD8.toByte
+        && blob(2) == 0xFF.toByte) "jpeg"
+    else if (blob.length >= 4 && blob(0) == 'G' && blob(1) == 'I'
+        && blob(2) == 'F' && blob(3) == '8') "gif"
+    else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
+    else "unknown"
+
+  /** REAL decode of one blob: `ImageIO.read` (null on undecodable input —
+    * ImageIO's contract for unrecognized containers and our signal for
+    * corrupt rows: format stays the sniffed container, dims go 0).
+    */
+  private def readImage(blob: Array[Byte]): java.awt.image.BufferedImage =
+    if (blob.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      catch { case _: Exception => null }
+
+  /** Deterministic synthetic image for a doc id — the pixels the gate
+    * oracle regenerates in closed form (DuckDB cannot run a PNG codec,
+    * so verifying a REAL decode needs content that is both codec-real
+    * and SQL-predictable): width = 16 + id % 17, height = 16 + id % 13,
+    * channel values (id + 3x + 7y + 11c) mod 256 for c = 0,1,2 (R,G,B).
+    * Encoded with the requested JDK codec; PNG and BMP are lossless RGB
+    * (pixels survive the round trip exactly), GIF palette-quantizes
+    * (dims survive, pixels need not — dims-only checks there).
+    */
+  def syntheticImage(docId: Long, format: String): Array[Byte] = {
+    val w = 16 + (docId % 17).toInt
+    val h = 16 + (docId % 13).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = docId + 3L * x + 7L * y
+        val r = java.lang.Math.floorMod(base, 256L).toInt
+        val g = java.lang.Math.floorMod(base + 11L, 256L).toInt
+        val b = java.lang.Math.floorMod(base + 22L, 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no JDK ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Batched REAL decode: one pass per partition, items processed in
+    * batches of `batchSize` exactly like a model invocation would be;
+    * each item goes through `ImageIO.read` and reports its actual
+    * decoded dimensions (0×0 when the codec rejects the blob).
     */
   def decodeMeta(df: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -53,32 +108,57 @@ object MediaPipeline {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // real codecs amortize setup per batch; the stub has none
-          batch.iterator.map { case (id, blob) =>
-            decodeOne(id, if (blob == null) Array.emptyByteArray else blob)
+          batch.iterator.map { case (id, blobOrNull) =>
+            val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
+            val img = readImage(blob)
+            MediaMeta(id, sniffBytes(blob),
+              width = if (img == null) 0 else img.getWidth,
+              height = if (img == null) 0 else img.getHeight,
+              n_bytes = blob.length.toLong)
           }
         }
       }
   }
 
-  /** STUB decode of a single item (deterministic fake dimensions).
-    * Magic checks use the SAME prefixes as [[sniffFormat]] (3-byte
-    * FFD8FF / 4-byte 89504E47) — a 2-byte check would classify blobs the
-    * sniffer calls "unknown", and the two classifiers in one pipeline
-    * must agree.
+  /** Per-image pixel statistics off the REAL decode: decoded dims plus
+    * per-channel pixel sums — the content-level check that the codec
+    * round trip is byte-exact, not just shape-preserving (any single
+    * wrong pixel shifts a channel sum). Undecodable blobs report 0 dims
+    * and 0 sums.
     */
-  private def decodeOne(id: Long, blob: Array[Byte]): MediaMeta = {
-    val fmt =
-      if (blob.length >= 4 && blob(0) == 0x89.toByte && blob(1) == 'P'
-          && blob(2) == 'N' && blob(3) == 'G') "png"
-      else if (blob.length >= 3 && blob(0) == 0xFF.toByte && blob(1) == 0xD8.toByte
-          && blob(2) == 0xFF.toByte) "jpeg"
-      else "unknown"
-    val h = java.util.Arrays.hashCode(blob)
-    MediaMeta(id, fmt,
-      width = 16 + math.floorMod(h, 64) * 16,
-      height = 16 + math.floorMod(h >> 8, 64) * 16,
-      n_bytes = blob.length.toLong)
+  final case class PixelStats(doc_id: Long, width: Long, height: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def pixelStats(df: DataFrame, batchSize: Int = 64): Dataset[PixelStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, blobOrNull) =>
+            val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
+            val img = readImage(blob)
+            if (img == null) PixelStats(id, 0, 0, 0, 0, 0)
+            else {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xFF
+                  sg += (p >> 8) & 0xFF
+                  sb += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              PixelStats(id, img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+            }
+          }
+        }
+      }
   }
 
   /** One sampled frame payload of a video/container blob. */
@@ -120,18 +200,19 @@ object MediaPipeline {
       }
   }
 
-  /** Resized image payload (target dims + stub pixel buffer). */
+  /** Resized image payload (target dims + interleaved RGB buffer). */
   final case class Resized(doc_id: Long, width: Int, height: Int,
                            pixels: Array[Byte])
 
-  /** Resize stage: binary in → fixed-size binary out, batched per
-    * partition — the shape of a preprocessing step feeding a vision
-    * encoder (every output is exactly width·height·3 bytes, so downstream
-    * batch tensors are rectangular by construction).
-    *
-    * ==== STUB ==== fills the RGB buffer by cycling the source bytes
-    * (deterministic, content-dependent) instead of decode+interpolate;
-    * swap ONLY the buffer fill for a codec call.
+  /** Resize stage off the REAL decode: binary in → fixed-size RGB buffer
+    * out, batched per partition — the preprocessing step feeding a
+    * vision encoder (every output is exactly width·height·3 bytes, so
+    * downstream batch tensors are rectangular by construction).
+    * Sampling is nearest-neighbor with explicit integer index math
+    * (src = ⌊dst·srcDim/dstDim⌋) rather than Graphics2D interpolation:
+    * the resample is then bit-deterministic across JVMs and replayable
+    * by a closed-form oracle over [[syntheticImage]] pixels.
+    * Undecodable blobs yield a zero buffer.
     */
   def resize(df: DataFrame, width: Int = 32, height: Int = 32,
              batchSize: Int = 64): Dataset[Resized] = {
@@ -145,10 +226,24 @@ object MediaPipeline {
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, blobOrNull) =>
             val blob = if (blobOrNull == null) Array.emptyByteArray else blobOrNull
+            val img = readImage(blob)
             val out = new Array[Byte](outLen)
-            if (blob.length > 0) {
-              var i = 0
-              while (i < outLen) { out(i) = blob(i % blob.length); i += 1 }
+            if (img != null) {
+              val (sw, sh) = (img.getWidth, img.getHeight)
+              var y = 0
+              while (y < height) {
+                val sy = y * sh / height
+                var x = 0
+                while (x < width) {
+                  val p = img.getRGB(x * sw / width, sy)
+                  val o = (y * width + x) * 3
+                  out(o) = ((p >> 16) & 0xFF).toByte
+                  out(o + 1) = ((p >> 8) & 0xFF).toByte
+                  out(o + 2) = (p & 0xFF).toByte
+                  x += 1
+                }
+                y += 1
+              }
             }
             Resized(id, width, height, out)
           }

@@ -170,11 +170,21 @@ object HyperBall {
             Hll.hllCount($"regs").as("cnt"),
             $"prevCnt", $"sumDist", $"sumInvDist", $"sumDiscounted",
             ($"regs" =!= $"prevRegs").as("modified"))
+          // Only POSITIVE count deltas accumulate (hyperball_impl.rs:1073-
+          // 1089 `if delta > 0.0`, matching Java HyperBall): the union can
+          // only grow the true ball, so a dip in the ESTIMATE is
+          // approximation noise, and subtracting it would let one node's
+          // register flicker push sumDist measurably off the Java goldens
+          // (observed 12% on cnr-2000 before this clamp).
           .select(
             $"id", $"regs", $"cnt",
-            ($"sumDist" + (($"cnt" - $"prevCnt") * iter)).as("sumDist"),
-            ($"sumInvDist" + (($"cnt" - $"prevCnt") / iter)).as("sumInvDist"),
-            ($"sumDiscounted" + (($"cnt" - $"prevCnt") * fT)).as("sumDiscounted"),
+            greatest($"cnt" - $"prevCnt", lit(0.0)).as("delta"),
+            $"sumDist", $"sumInvDist", $"sumDiscounted", $"modified")
+          .select(
+            $"id", $"regs", $"cnt",
+            ($"sumDist" + $"delta" * iter).as("sumDist"),
+            ($"sumInvDist" + $"delta" / iter).as("sumInvDist"),
+            ($"sumDiscounted" + $"delta" * fT).as("sumDiscounted"),
             $"modified")
         val cutNext = ctx.cut(next)
 

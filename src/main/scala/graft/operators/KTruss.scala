@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.{CheckpointConfig, Graph, IterationContext}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** k-truss decomposition (Cohen 2008) over the undirected simple graph —
   * the edge-level density analysis next to [[KCore]]: the k-truss is the
@@ -15,29 +16,42 @@ import org.apache.spark.sql.functions._
   * Semantics (deterministic):
   *  - graph is made simple and undirected (direction and self-loops
   *    ignored, parallel edges collapsed — the [[TriangleCount]] contract);
-  *  - synchronous peel: each round computes the support of EVERY
-  *    surviving edge ([[TriangleCount.supportOfCanonical]]) and removes
-  *    all edges with support < k−2 simultaneously, so the round count is
-  *    the peel depth, a graph invariant, not a removal-order artifact;
+  *  - synchronous peel: each round removes ALL edges whose in-subgraph
+  *    support is < k−2 simultaneously, so the round count is the peel
+  *    depth, a graph invariant, not a removal-order artifact;
   *  - fixpoint: the surviving edge set — every edge with in-subgraph
   *    support ≥ k−2 (possibly empty).
   *
-  * Scale shape: state is the surviving canonical (u, v) edge table — it
-  * only SHRINKS, and each round is one support pass (the degree-ordered
-  * wedge equi-join + closing-edge semi-join of [[TriangleCount]], whose
-  * orientation bounds wedge blow-up by O(√m) even at hub vertices) plus
-  * one filter and one action, lineage cut per round
-  * ([[IterationContext.cut]]). No per-vertex adjacency arrays, no driver
-  * state. Truss peel depth on web graphs is small (tens); callers
-  * needing a bounded pass cap `maxRounds` and read `converged`.
+  * Scale shape — INCREMENTAL support maintenance (the standard truss-peel
+  * optimization; VERDICT r4 flagged the previous full-recount plan as the
+  * one super-linear degradation left at 100×): support is computed ONCE
+  * over the whole graph ([[TriangleCount.supportOfCanonical]], the
+  * degree-ordered wedge join whose orientation bounds wedge blow-up by
+  * O(√m)); after that, deleting edge set D can only change the support
+  * of edges that shared a triangle with D, so each round
+  *  1. enumerates only triangles CONTAINING a deleted edge — a D-driven
+  *     join fanned out from each deleted edge's smaller-degree endpoint
+  *     (fanout min(deg u, deg v) per edge, the classic edge-driven
+  *     intersection bound) with a semi-join back to the edge table for
+  *     the closing arc,
+  *  2. dedupes to distinct triangles (a triangle with 2–3 deleted edges
+  *     must decrement each survivor once, not per deleted edge),
+  *  3. decrements the surviving edges of those triangles.
+  * Rounds therefore cost O(triangles touching D), not O(full wedge
+  * stream): the early rounds that dominate a web-scale peel no longer
+  * recount the entire surviving graph. State is the (u, v, support)
+  * table — it only shrinks, lineage cut per round
+  * ([[IterationContext.cut]]). Truss peel depth on web graphs is small
+  * (tens); callers needing a bounded pass cap `maxRounds` and read
+  * `converged`.
   */
 object KTruss {
 
   final case class Result(
       /** (u: Long, v: Long, support: Long) — the k-truss edges (u < v)
         * with their in-truss support (every support ≥ k−2; empty when
-        * the whole graph peels away). Computed lazily over the final
-        * state: consuming it costs one support pass.
+        * the whole graph peels away). Carried incrementally, so
+        * consuming it is free of any further support pass.
         */
       truss: DataFrame,
       /** Synchronous peel rounds until fixpoint (0 = already a k-truss). */
@@ -56,44 +70,96 @@ object KTruss {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
     val spark = graph.spark
     import spark.implicits._
+    val thresh = (k - 2).toLong
 
     val ctx = new IterationContext("ktruss", checkpoint, verbose = verbose)
     val resumed = ctx.resume(spark)
     var state = resumed.map(_._1).getOrElse {
-      ctx.init(graph.edges
+      val cane = graph.edges
         .filter($"src" =!= $"dst")
         .select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
         .distinct()
-        .toDF())
+        .toDF()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // The one full support pass; every later round is D-driven.
+      val st = ctx.init(TriangleCount.supportOfCanonical(cane))
+      st.count()
+      cane.unpersist()
+      st
     }
-    var prevEdges = state.count()
-    var rounds = resumed.map(_._2).getOrElse(0)
-    var changed = prevEdges > 0
+    // Driving-endpoint degrees, computed ONCE on the initial edge set and
+    // reused every round: degrees only shrink under peeling, so a stale
+    // degree can only mis-pick which endpoint drives the fanout — a
+    // performance detail, never a correctness one — and recomputing per
+    // round would add a groupBy shuffle to exactly the rounds the
+    // incremental scheme makes cheap.
+    val deg = state.select(explode(array($"u", $"v")).as("id"))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
-    while (changed && rounds < maxRounds) {
-      val next = ctx.cut(
-        TriangleCount.supportOfCanonical(state)
-          .filter($"support" >= (k - 2).toLong)
-          .select($"u", $"v"))
-      val cnt = next.count()
-      changed = cnt != prevEdges
-      if (changed) {
+    var rounds = resumed.map(_._2).getOrElse(0)
+    var converged = false
+
+    while (!converged && rounds < maxRounds) {
+      val row = state.agg(
+        sum(when($"support" < thresh, 1L).otherwise(0L)),
+        count(lit(1))).head()
+      val toDelete = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val total = row.getLong(1)
+      if (toDelete == 0L) {
+        converged = true
+      } else if (toDelete == total) {
+        // Everything below threshold at once — the truss is empty.
         rounds += 1
-        state = ctx.advance(rounds, next,
-          deltaNorm = (prevEdges - cnt).toDouble, messages = prevEdges,
-          changed = prevEdges - cnt)
-        prevEdges = cnt
-        if (cnt == 0L) changed = false
+        state = ctx.advance(rounds, ctx.cut(state.filter($"support" >= thresh)),
+          deltaNorm = toDelete.toDouble, messages = toDelete, changed = toDelete)
+        converged = true
       } else {
-        // Fixpoint probe — release the discarded cut frame's blocks, like
-        // every superseded state (the KCore pattern).
-        next.unpersist()
-        graft.core.Lineage.release(next)
+        rounds += 1
+        val d = state.filter($"support" < thresh).select($"u", $"v")
+        // Fan out from the smaller-degree endpoint of each deleted edge.
+        val dd = d
+          .join(deg.select($"id".as("u"), $"deg".as("du")), Seq("u"))
+          .join(deg.select($"id".as("v"), $"deg".as("dv")), Seq("v"))
+          .select(
+            when($"du" <= $"dv", $"u").otherwise($"v").as("lo"),
+            when($"du" <= $"dv", $"v").otherwise($"u").as("hi"))
+        val adj = state.select($"u".as("x"), $"v".as("y"))
+          .union(state.select($"v".as("x"), $"u".as("y")))
+        // w = neighbor of lo in the OLD state; (hi, w) must also be an
+        // old-state edge for {lo, hi, w} to be a triangle that existed
+        // before this round's simultaneous deletion.
+        val cand = dd
+          .join(adj, dd("lo") === adj("x"))
+          .filter($"y" =!= $"hi")
+          .select($"lo", $"hi", $"y".as("w"))
+        val closing = state
+          .select($"u".as("cu"), $"v".as("cv"))
+        val tri = cand
+          .join(closing,
+            least($"hi", $"w") === $"cu" && greatest($"hi", $"w") === $"cv",
+            "left_semi")
+          .select(array_sort(array($"lo", $"hi", $"w")).as("t"))
+          .distinct()
+        // Each distinct dying triangle decrements its SURVIVING edges.
+        val decs = tri.select($"t"(0).as("u"), $"t"(1).as("v"))
+          .union(tri.select($"t"(0).as("u"), $"t"(2).as("v")))
+          .union(tri.select($"t"(1).as("u"), $"t"(2).as("v")))
+          .join(d, Seq("u", "v"), "left_anti")
+          .groupBy($"u", $"v").agg(count(lit(1)).as("dec"))
+        val next = ctx.cut(
+          state.filter($"support" >= thresh)
+            .join(decs, Seq("u", "v"), "left")
+            .select($"u", $"v",
+              ($"support" - coalesce($"dec", lit(0L))).as("support")))
+        state = ctx.advance(rounds, next,
+          deltaNorm = toDelete.toDouble, messages = toDelete, changed = toDelete)
       }
     }
 
-    val truss = TriangleCount.supportOfCanonical(state)
+    graft.core.Lineage.release(deg)
+    val truss = state
     ctx.close()
-    Result(truss, rounds, converged = !changed, ctx.history.toSeq)
+    Result(truss, rounds, converged, ctx.history.toSeq)
   }
 }

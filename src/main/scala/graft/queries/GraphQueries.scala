@@ -1693,7 +1693,9 @@ object GraphQueries {
   lazy val hyperballSql: String = {
     s"""$hyperballCoreSql,
        |delta AS (
-       |  SELECT c1.v, c1.t, c1.c - c0.c AS dc
+       |  -- Positive deltas only, like the engine and the reference
+       |  -- (hyperball_impl.rs:1073-1089): estimate dips are noise.
+       |  SELECT c1.v, c1.t, greatest(c1.c - c0.c, 0) AS dc
        |  FROM cnt c1 JOIN cnt c0 ON c0.v = c1.v AND c0.t = c1.t - 1
        |),
        |acc AS (

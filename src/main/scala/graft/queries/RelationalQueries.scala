@@ -447,6 +447,67 @@ object RelationalQueries {
   // frameBytes=48, stride=128, maxFrames=8: hex offsets are 2× byte
   // offsets (i*128*2=i*256; 48*2=96 hex chars); range(0,8) caps frames.
 
+  /** REAL image decode through the batched path: per doc a deterministic
+    * synthetic image ([[graft.multimodal.MediaPipeline.syntheticImage]],
+    * codec cycling png/bmp/gif by doc_id) is ENCODED with the JDK codec
+    * and DECODED back with `ImageIO.read`; the gate face emits the
+    * decoded (not requested) dimensions, so any codec round-trip failure
+    * is a red row. The oracle replays the dimension formula in closed
+    * form — DuckDB cannot run a PNG codec, which is exactly why the
+    * synthetic pixels are SQL-predictable.
+    */
+  def decodeMetaImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+    val blobs = ids.map { id =>
+      val fmt = (id % 3) match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" }
+      (id, graft.multimodal.MediaPipeline.syntheticImage(id, fmt))
+    }.toDF("doc_id", "blob")
+    graft.multimodal.MediaPipeline.decodeMeta(blobs).toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+  }
+
+  val decodeMetaImagesSql: String =
+    """SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+      |            WHEN 1 THEN 'bmp' ELSE 'gif' END AS format,
+      |       CAST(16 + doc_id % 17 AS BIGINT) AS width,
+      |       CAST(16 + doc_id % 13 AS BIGINT) AS height
+      |FROM documents""".stripMargin
+
+  /** Pixel-level check of the real decode: per-channel pixel sums over
+    * the decoded image (PNG for every doc — lossless RGB, so the decoded
+    * pixels must be bit-exact vs the synthesis formula; any single wrong
+    * pixel shifts a channel sum). The oracle computes the same sums in
+    * closed form by unnesting the (x, y) grid per document.
+    */
+  def pixelHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long")).as[Long]
+    val blobs = ids.map { id =>
+      (id, graft.multimodal.MediaPipeline.syntheticImage(id, "png"))
+    }.toDF("doc_id", "blob")
+    graft.multimodal.MediaPipeline.pixelStats(blobs).toDF()
+  }
+
+  val pixelHistSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(sum((doc_id + 3*xs.x + 7*ys.y) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum((doc_id + 3*xs.x + 7*ys.y + 11) % 256) AS BIGINT) AS sum_g,
+      |       CAST(sum((doc_id + 3*xs.x + 7*ys.y + 22) % 256) AS BIGINT) AS sum_b
+      |FROM dims
+      |CROSS JOIN LATERAL (SELECT unnest(range(0, dims.w)) AS x) AS xs
+      |CROSS JOIN LATERAL (SELECT unnest(range(0, dims.h)) AS y) AS ys
+      |GROUP BY doc_id, w, h""".stripMargin
+
   /** Point-in-time join: each event picks up the customer's latest order
     * at-or-before the event timestamp, via the merge-based
     * [[graft.operators.AsOfJoin]] (one shuffle on the key, linear window

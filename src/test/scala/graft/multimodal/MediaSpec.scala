@@ -22,16 +22,55 @@ class MediaSpec extends AnyFunSuite {
     assert(got == Map(0L -> "png", 1L -> "jpeg", 2L -> "unknown"))
   }
 
-  test("batched decode: typed schema, deterministic stub dims, exact byte counts") {
-    val metas = MediaPipeline.decodeMeta(blobs, batchSize = 2).collect()
+  test("batched decode is REAL: ImageIO round trip recovers synthetic dims in all 3 JDK codecs") {
+    val real = Seq(
+      (20L, MediaPipeline.syntheticImage(20L, "png")),
+      (21L, MediaPipeline.syntheticImage(21L, "bmp")),
+      (22L, MediaPipeline.syntheticImage(22L, "gif"))).toDF("doc_id", "blob")
+    val metas = MediaPipeline.decodeMeta(real, batchSize = 2).collect()
       .map(m => m.doc_id -> m).toMap
-    assert(metas(0L).format == "png" && metas(1L).format == "jpeg")
-    assert(metas(0L).n_bytes == 108 && metas(1L).n_bytes == 54)
-    assert(metas(0L).width >= 16 && metas(0L).height >= 16)
+    assert(metas(20L).format == "png" && metas(21L).format == "bmp" && metas(22L).format == "gif")
+    for (id <- 20L to 22L) {
+      assert(metas(id).width == 16 + (id % 17).toInt, s"doc $id width")
+      assert(metas(id).height == 16 + (id % 13).toInt, s"doc $id height")
+      assert(metas(id).n_bytes > 0)
+    }
+    // garbage that only LOOKS like an image: sniffed format, 0×0 dims
+    val fake = MediaPipeline.decodeMeta(blobs, batchSize = 2).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(fake(0L).format == "png" && fake(0L).width == 0 && fake(0L).height == 0)
+    assert(fake(0L).n_bytes == 108 && fake(1L).n_bytes == 54)
     // deterministic: second run identical
-    val again = MediaPipeline.decodeMeta(blobs.repartition(3)).collect()
+    val again = MediaPipeline.decodeMeta(real.repartition(3)).collect()
       .map(m => m.doc_id -> m).toMap
     assert(again == metas)
+  }
+
+  test("pixelStats: channel sums match the synthetic formula exactly (PNG and BMP lossless)") {
+    def expected(id: Long): (Long, Long, Long, Long, Long) = {
+      val w = 16 + (id % 17).toInt
+      val h = 16 + (id % 13).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = id + 3L * x + 7L * y
+        sr += java.lang.Math.floorMod(base, 256L)
+        sg += java.lang.Math.floorMod(base + 11L, 256L)
+        sb += java.lang.Math.floorMod(base + 22L, 256L)
+      }
+      (w.toLong, h.toLong, sr, sg, sb)
+    }
+    val real = Seq(
+      (7L, MediaPipeline.syntheticImage(7L, "png")),
+      (8L, MediaPipeline.syntheticImage(8L, "bmp")),
+      (9L, null: Array[Byte])).toDF("doc_id", "blob")
+    val got = MediaPipeline.pixelStats(real, batchSize = 2).collect()
+      .map(s => s.doc_id -> s).toMap
+    for (id <- Seq(7L, 8L)) {
+      val (w, h, sr, sg, sb) = expected(id)
+      val s = got(id)
+      assert((s.width, s.height, s.sum_r, s.sum_g, s.sum_b) == ((w, h, sr, sg, sb)), s"doc $id")
+    }
+    assert(got(9L) == MediaPipeline.PixelStats(9L, 0, 0, 0, 0, 0))
   }
 
   test("decodeMeta and sniffFormat agree on truncated/partial magics") {
@@ -72,15 +111,26 @@ class MediaSpec extends AnyFunSuite {
     assert(again == frames.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap)
   }
 
-  test("resize: every output exactly width*height*3 bytes, content-dependent, null-safe") {
-    val out = MediaPipeline.resize(blobs.union(Seq((9L, null: Array[Byte])).toDF("doc_id", "blob")),
-        width = 4, height = 4, batchSize = 2).collect().map(r => r.doc_id -> r).toMap
+  test("resize: real decode + nearest-neighbor resample matches the formula; null/garbage-safe") {
+    val df = Seq(
+      (0L, MediaPipeline.syntheticImage(0L, "png")),   // 16×16
+      (1L, MediaPipeline.syntheticImage(1L, "bmp")),   // 17×17
+      (2L, "just text".getBytes("UTF-8")),             // undecodable
+      (9L, null: Array[Byte])).toDF("doc_id", "blob")
+    val out = MediaPipeline.resize(df, width = 4, height = 4, batchSize = 2)
+      .collect().map(r => r.doc_id -> r).toMap
     assert(out.size == 4)
     assert(out.values.forall(r => r.pixels.length == 4 * 4 * 3 && r.width == 4 && r.height == 4))
-    assert(!out(0L).pixels.sameElements(out(1L).pixels))
-    assert(out(9L).pixels.forall(_ == 0)) // null blob → zero buffer, not a crash
-    // stub fill is cyclic source bytes
-    assert(out(2L).pixels.take(9).sameElements("just text".getBytes("UTF-8")))
+    assert(out(9L).pixels.forall(_ == 0) && out(2L).pixels.forall(_ == 0))
+    // nearest sampling: out(x,y) = src(⌊x·sw/4⌋, ⌊y·sh/4⌋), channels from the formula
+    for ((id, sw, sh) <- Seq((0L, 16, 16), (1L, 17, 17)); y <- 0 until 4; x <- 0 until 4) {
+      val base = id + 3L * (x * sw / 4) + 7L * (y * sh / 4)
+      val o = (y * 4 + x) * 3
+      val px = out(id).pixels
+      assert((px(o) & 0xFF) == java.lang.Math.floorMod(base, 256L).toInt, s"doc $id ($x,$y) R")
+      assert((px(o + 1) & 0xFF) == java.lang.Math.floorMod(base + 11L, 256L).toInt, s"doc $id ($x,$y) G")
+      assert((px(o + 2) & 0xFF) == java.lang.Math.floorMod(base + 22L, 256L).toInt, s"doc $id ($x,$y) B")
+    }
   }
 
   test("byte-histogram features: 256 dims, L1-normalized, content-sensitive") {

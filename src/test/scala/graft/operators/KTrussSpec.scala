@@ -83,6 +83,41 @@ class KTrussSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental support maintenance is peel-identical to the full-recount loop") {
+    // The pre-round-5 implementation recomputed every surviving edge's
+    // support each round; the incremental version must produce the same
+    // fixpoint, supports, and round count on a graph with a multi-round
+    // cascade. Full-recount loop reproduced here as the reference.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(50820L)
+    val n = 90
+    val edges = Seq.fill(1200)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    for (k <- Seq(3, 4, 6)) {
+      val (got, gotRounds, conv) = trussMap(edges, k)
+      assert(conv)
+      var st = spark.createDataFrame(edges.collect {
+        case (u, v) if u != v => (u min v, u max v)
+      }.distinct).toDF("u", "v").localCheckpoint(true)
+      var prev = st.count()
+      var rounds = 0
+      var changed = prev > 0
+      while (changed) {
+        val next = TriangleCount.supportOfCanonical(st)
+          .filter(col("support") >= (k - 2).toLong)
+          .select(col("u"), col("v"))
+          .localCheckpoint(true)
+        val cnt = next.count()
+        changed = cnt != prev
+        if (changed) { rounds += 1; st = next; prev = cnt }
+        if (cnt == 0) changed = false
+      }
+      val want = TriangleCount.supportOfCanonical(st.localCheckpoint(true)).collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+      assert(got === want, s"k=$k supports")
+      assert(gotRounds === rounds, s"k=$k rounds")
+    }
+  }
+
   test("maxRounds honesty: a capped run reports converged = false") {
     // The k4+pendant graph needs 2 rounds; cap at 1.
     val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
