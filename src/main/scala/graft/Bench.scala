@@ -467,7 +467,9 @@ object Bench {
           parts("arcs") = edges.length.toString
           parts("loadSec") = f"${(System.nanoTime() - t0) / 1e9}%.2f"
           emitWeb("partial:webgraph-load")
-          if (remaining > 45) {
+          // Guards sized from the standalone WebBench measurements
+          // (local[32]: load ~9 s, tarjan ~80 s, hyperball ~44 s).
+          if (remaining > 110) {
             val t = System.nanoTime()
             val sccs = graft.operators.Scc.run(g)
               .agg(countDistinct(col("comp"))).head().getLong(0)
@@ -476,17 +478,14 @@ object Bench {
             valueSec += (System.nanoTime() - t) / 1e9
             emitWeb("partial:webgraph-tarjan")
           } else skipped += "webgraph tarjan (budget)"
-          if (remaining > 45) {
-            val t = System.nanoTime()
-            val r = graft.operators.SumSweep.compute(
-              g, graft.operators.SumSweep.Output.RadiusDiameter)
-            parts("diameterSec") = f"${(System.nanoTime() - t) / 1e9}%.2f"
-            parts("radius") = r.radius.toString
-            parts("diameter") = r.diameter.toString
-            valueSec += (System.nanoTime() - t) / 1e9
-            emitWeb("partial:webgraph-diameter")
-          } else skipped += "webgraph diameter (budget)"
-          if (remaining > 45) {
+          // benchmark.py's third op (SumSweep RADIUS_DIAMETER) is NOT run
+          // here: exact certification on cnr-2000 is latency-bound at
+          // tens of minutes on local[32] (~50 BFS levels × a batched
+          // sweep per adaptive step, each level a fixed-cost job) —
+          // measured standalone via graft.tools.WebBench and recorded in
+          // BASELINE.md instead of blowing the driver budget.
+          skipped += "webgraph diameter (measured standalone; see BASELINE.md)"
+          if (remaining > 60) {
             val t = System.nanoTime()
             val hb = graft.operators.HyperBall.run(g, log2m = 6, maxIter = 200)
             hb.stats.select(org.apache.spark.sql.functions.sum(col("reachable"))).head()

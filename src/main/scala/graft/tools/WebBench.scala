@@ -10,13 +10,19 @@ import org.apache.spark.sql.functions._
   * cnr-2000 blobs — the source of the BASELINE.md real-web-graph table
   * and the sizing data for graft.Bench's budget-guarded section 6.
   *
-  * Run: `sbt -batch "runMain graft.tools.WebBench [basename] [cores]"`.
+  * Run: `sbt -batch "runMain graft.tools.WebBench [basename] [cores] [ops]"`
+  * where ops ⊆ "tarjan,diameter,hyperball" (default: tarjan,hyperball —
+  * EXACT SumSweep diameter certification on cnr-2000 is latency-bound at
+  * tens of minutes on local[32]: ~50 BFS levels per sweep × a batched
+  * sweep per adaptive step, each level a fixed-cost Spark job; opt in
+  * explicitly and expect a wait).
   */
 object WebBench {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val base = args.headOption.getOrElse("/root/reference/tests/graphs/cnr-2000")
     val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    val ops = args.lift(2).getOrElse("tarjan,hyperball").split(",").map(_.trim).toSet
     val spark = Sessions.tuned(SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-webbench")
@@ -34,19 +40,31 @@ object WebBench {
       g.adjacency.count()
       val loadSec = lap()
 
-      val sccs = graft.operators.Scc.run(g)
-        .agg(countDistinct(col("comp"))).head().getLong(0)
-      val tarjanSec = lap()
-
-      val r = graft.operators.SumSweep.compute(
-        g, graft.operators.SumSweep.Output.RadiusDiameter)
-      val diameterSec = lap()
-
-      val hb = graft.operators.HyperBall.run(g, log2m = 6, maxIter = 200)
-      hb.stats.select(sum(col("reachable"))).head()
-      val hyperballSec = lap()
-
-      println(f"""WEBBENCH {"graph":"${new java.io.File(base).getName}","arcs":${edges.length},"cores":$cores,"loadSec":$loadSec%.2f,"tarjanSec":$tarjanSec%.2f,"sccs":$sccs,"diameterSec":$diameterSec%.2f,"radius":${r.radius},"diameter":${r.diameter},"hyperballSec":$hyperballSec%.2f,"hyperballIters":${hb.iterations}}""")
+      val parts = scala.collection.mutable.ArrayBuffer(
+        s""""graph":"${new java.io.File(base).getName}"""",
+        s""""arcs":${edges.length}""",
+        s""""cores":$cores""",
+        f""""loadSec":$loadSec%.2f""")
+      lap()
+      if (ops("tarjan")) {
+        val sccs = graft.operators.Scc.run(g)
+          .agg(countDistinct(col("comp"))).head().getLong(0)
+        parts += f""""tarjanSec":${lap()}%.2f"""
+        parts += s""""sccs":$sccs"""
+      }
+      if (ops("diameter")) {
+        val r = graft.operators.SumSweep.compute(
+          g, graft.operators.SumSweep.Output.RadiusDiameter)
+        parts += f""""diameterSec":${lap()}%.2f"""
+        parts += s""""radius":${r.radius},"diameter":${r.diameter},"essIterations":${r.iterations}"""
+      }
+      if (ops("hyperball")) {
+        val hb = graft.operators.HyperBall.run(g, log2m = 6, maxIter = 200)
+        hb.stats.select(sum(col("reachable"))).head()
+        parts += f""""hyperballSec":${lap()}%.2f"""
+        parts += s""""hyperballIters":${hb.iterations}"""
+      }
+      println("WEBBENCH " + parts.mkString("{", ",", "}"))
     } finally spark.stop()
   }
 }
