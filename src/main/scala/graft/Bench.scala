@@ -395,20 +395,29 @@ object Bench {
     // Fixed + variable cost model for sizing later repeats (ADVICE r4: a
     // pure iteration-scaled estimate ignores the per-leg JVM startup +
     // adjacency build, biasing low). Measured from repeat 1:
-    //   fixed  = pair wall − in-leg PageRank wall (startup + build, both legs)
-    //   varSec = per-iteration cost of each leg
-    var pairFixed = 70.0 // prior until measured
+    //   fixed  = pair wall − the STEADY iterations' wall (JVM startup,
+    //            adjacency build, and each leg's slow first iteration —
+    //            none of which shrink with the iteration count; the
+    //            round-5 rehearsal's startup-only fixed term under-read
+    //            a 4-iteration repeat by ~70 s and blew the wall)
+    //   varSec = per-steady-iteration cost of each leg
+    var pairFixed = 110.0 // prior until measured
     var varHighIter = 3.5
     var varLowIter = 14.0
     def estPairCost(iters: Int): Double =
-      1.2 * (pairFixed + iters * (varHighIter + varLowIter))
+      1.25 * (pairFixed + (iters - 1) * (varHighIter + varLowIter))
     for (r <- 1 to math.max(repeats, 1)) {
       // Even the MANDATORY first repeat is skipped when the budget is
       // ALREADY blown: starting a multi-minute leg past the wall is how
       // round 3 (and a round-4 rerun) died at rc=124 mid-leg instead of
       // finishing with an honest "skipped" marker.
+      // With 2+ repeats planned, repeat 1 also runs the SHORTER legs
+      // (scaleIters−3, e.g. 6 = 5 steady samples): the min-envelope
+      // estimator needs each repeat's fastest steady iteration, not long
+      // legs, and two short pairs fit where one long + one short overran
+      // the wall by 78 s (round-5 rehearsal).
       val itersThis =
-        if (r == 1) scaleIters
+        if (r == 1) { if (repeats > 1) math.max(6, scaleIters - 3) else scaleIters }
         else {
           // Largest leg length the remaining budget fits, floor 4.
           val k = (4 to math.max(4, scaleIters - 3)).reverse
@@ -416,7 +425,7 @@ object Bench {
           k
         }
       val fits = if (r == 1) remaining > 0
-                 else remaining > 0.9 * estPairCost(4)
+                 else remaining > estPairCost(4) - 20.0
       if (fits) {
         val t0 = System.nanoTime()
         val sh0 = readSteal()
@@ -434,9 +443,12 @@ object Bench {
         lows += runLeg(lowCores, cpus, pairPath, "fixed", lowIters.toString)
         lowSteals += stealPct(sl0, readSteal())
         val pairCost = (System.nanoTime() - t0) / 1e9
-        pairFixed = math.max(10.0, pairCost - highs.last.totalSec - lows.last.totalSec)
         varHighIter = highs.last.secPerIter
         varLowIter = lows.last.secPerIter
+        // Everything that is not a steady iteration is fixed (JVM, build,
+        // first iteration of each leg).
+        pairFixed = math.max(10.0, pairCost
+          - (highIterss.last - 1) * varHighIter - (lowIterss.last - 1) * varLowIter)
         valueSec += lows.last.totalSec + highs.last.totalSec
         emitScaling()
         emit(s"partial:scaling$r")
