@@ -12,8 +12,8 @@ object TimeQ {
     spark.sparkContext.setLogLevel("WARN")
     for (q <- args) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, dir).count()
-      println(f"TIMEQ $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val rows = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(f"TIMEQ $q ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
     }
     spark.stop()
   }

@@ -53,8 +53,16 @@ object WebBench {
         parts += s""""sccs":$sccs"""
       }
       if (ops("diameter")) {
+        // Latency-bound op: the wall is (BFS levels per sweep) × (number
+        // of batched sweeps) × per-level job cost, so a bigger sweep
+        // state budget (more sources per batched sweep → fewer sweeps)
+        // trades executor memory for driver-side level latency.
+        // SPARK_GRAFT_ESS_STATE_ROWS overrides (default here 500M rows,
+        // ~10× the operator default — sized for a dedicated local[32]).
+        val stateRows = sys.env.getOrElse("SPARK_GRAFT_ESS_STATE_ROWS", "500000000").toLong
         val r = graft.operators.SumSweep.compute(
-          g, graft.operators.SumSweep.Output.RadiusDiameter)
+          g, graft.operators.SumSweep.Output.RadiusDiameter,
+          stateBudgetRows = stateRows)
         parts += f""""diameterSec":${lap()}%.2f"""
         parts += s""""radius":${r.radius},"diameter":${r.diameter},"essIterations":${r.iterations}"""
       }
