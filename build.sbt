@@ -27,7 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pre-size the heap: without -Xms, ParallelGC grows the heap through a
+  // chain of full collections during the first heavy queries (r6 A/B:
+  // 7-query subset 247 s -> 126 s with -Xms + a rarer periodic GC).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // Throughput GC: iterative graph supersteps churn short-lived shuffle
-  // rows; ParallelGC measured ~33% faster than G1 on the PageRank bench.
+  // rows; ParallelGC measured ~33% faster than G1 on the PageRank bench
+  // (re-confirmed r6: G1+ExplicitGCInvokesConcurrent was 2-3x slower on
+  // the wedge-join and multi-BFS queries).
   "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -29,8 +29,14 @@ object Sessions {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // Shuffle files of superseded superstep RDDs are only deleted when
       // the RDD objects are GC'd; the default 30-min periodic GC lets
-      // them pile up in tmpfs on long iterative runs.
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      // them pile up in tmpfs on long iterative runs. 60s was the round-2
+      // setting; under ParallelGC each tick is a full STW collection of
+      // the whole heap (measured: 10-20 s pauses landing inside query
+      // stages — event-log stage 179 spent 722 s of task-attributed GC
+      // against 8.9 s of CPU), so the default is now 300s and
+      // env-overridable for the tmpfs-pressure bench paths.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "300s"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.join.preferSortMergeJoin", "false") // per-superstep SMJ re-sorts measured 3.5x slower than SHJ
       .config("spark.sql.session.timeZone", "UTC")

@@ -51,9 +51,12 @@ object Bfs {
     import spark.implicits._
 
     val adj = graph.adjacency
-    // Lineage is cut every level (localCheckpoint): the visited set is
-    // referenced both by the anti-join and the union, so the raw plan
-    // would otherwise grow exponentially with depth.
+    // Per-level lineage cut (localCheckpoint) on the DISCOVERED set only;
+    // the visited set is a LAZY union over those checkpointed leaves — a
+    // linear-size plan of cached scans, so the eager re-copy of the whole
+    // visited set every level (one extra Spark job + one full state write
+    // per level) is gone, and each level runs exactly ONE job (the
+    // frontier count that materializes `discovered`).
     // `allowed` gates the ROOTS too, not just expansion: the reference's
     // filtered visit applies its predicate to every visited node
     // including the seeds — an out-of-set root must produce nothing.
@@ -72,28 +75,30 @@ object Bfs {
         .join(frontier.select($"id".as("src"), $"pred"), Seq("src"))
         .select(explode($"dsts").as("id"), $"src".as("predCand"))
       allowed.foreach(a => expanded = expanded.join(a.select($"id"), Seq("id"), "left_semi"))
+      // min(pred) BEFORE the visited anti-join (guide §2.3: aggregate
+      // before you shuffle): the partial aggregation collapses the
+      // |frontier-edges| exploded rows map-side, so the exchange carries
+      // at most one row per distinct target; the anti-join then runs on
+      // the same id partitioning with no further exchange. Filtering by
+      // id commutes with aggregating pred over id, so results are
+      // unchanged.
       val discovered = expanded
-        .join(visited.select($"id"), Seq("id"), "left_anti")
         .groupBy($"id")
         .agg(min($"predCand").as("pred"))
+        .join(visited.select($"id"), Seq("id"), "left_anti")
         .select($"id", lit(depth).as("dist"), $"pred")
         .localCheckpoint(false)
       frontierSize = discovered.count()
       if (frontierSize > 0) {
-        val newVisited = visited.union(discovered).localCheckpoint(true)
-        // Release superseded per-level checkpoints (frontier at depth 1 IS
-        // visited — double release is a harmless no-op).
-        Lineage.release(frontier)
-        Lineage.release(visited)
-        visited = newVisited
+        // Lazy union: `discovered` and every earlier level stay alive as
+        // the union's leaves (total cached rows = |visited| — the same
+        // bytes the eager copy held, without re-writing them each level).
+        visited = visited.union(discovered)
         frontier = discovered
       } else {
         Lineage.release(discovered) // terminal empty level
       }
     }
-    // the last non-empty frontier is dead once the loop exits (visited is
-    // its own checkpoint); at depth-0 exit frontier IS visited — keep it
-    if (frontier ne visited) Lineage.release(frontier)
     visited
   }
 
@@ -125,6 +130,10 @@ object Bfs {
     var n = frontier.count()
     while (n > 0) {
       depth += 1
+      // distinct (a map-side-combined aggregate) runs BEFORE the visited
+      // anti-join, which then reuses the same (tag, id) partitioning; the
+      // visited set is a lazy union over the per-level checkpoints, so
+      // each level is ONE job — see [[runFrom]].
       var next = adj
         .join(frontier.select($"id".as("src"), $"tag"), Seq("src"))
         .select($"tag", explode($"dsts").as("id"))
@@ -136,16 +145,12 @@ object Bfs {
         .localCheckpoint(false)
       n = discovered.count()
       if (n > 0) {
-        val newVisited = visited.union(discovered).localCheckpoint(true)
-        Lineage.release(frontier)
-        Lineage.release(visited)
-        visited = newVisited
+        visited = visited.union(discovered)
         frontier = discovered
       } else {
         Lineage.release(discovered) // terminal empty level
       }
     }
-    if (frontier ne visited) Lineage.release(frontier)
     visited
   }
 
@@ -174,6 +179,7 @@ object Bfs {
     var frontier = visited
     var n = frontier.count()
     while (n > 0) {
+      // Lazy visited union + one job per level — see [[runFrom]].
       var next = adj
         .join(frontier.select($"id".as("src")), Seq("src"))
         .select(explode($"dsts").as("id"))
@@ -184,16 +190,12 @@ object Bfs {
         .localCheckpoint(false)
       n = discovered.count()
       if (n > 0) {
-        val newVisited = visited.union(discovered).localCheckpoint(true)
-        Lineage.release(frontier)
-        Lineage.release(visited)
-        visited = newVisited
+        visited = visited.union(discovered)
         frontier = discovered
       } else {
         Lineage.release(discovered)
       }
     }
-    if (frontier ne visited) Lineage.release(frontier)
     visited
   }
 

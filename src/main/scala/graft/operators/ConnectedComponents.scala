@@ -187,14 +187,24 @@ object ConnectedComponents {
     val spark = oldLabels.sparkSession
     import spark.implicits._
 
-    def symNoLoop(e: DataFrame): DataFrame = {
+    // BOTH symmetric non-loop snapshots in ONE exchange: each arc row is
+    // tagged with its snapshot side, and one (src, dst) aggregate ORs the
+    // sides into a membership bitmask — removed/added/retained are then
+    // FILTERS of the persisted result. The r1-r5 shape paid two distinct
+    // exchanges (one per snapshot) plus three anti/semi-join exchanges on
+    // the same key for exactly this information (guide §2.4: two
+    // operations keyed the same way share one exchange).
+    def symSide(e: DataFrame, side: Int): DataFrame = {
       val d = e.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       d.union(d.select($"dst".as("src"), $"src".as("dst")))
         .where($"src" =!= $"dst")
-        .distinct()
+        .select($"src", $"dst", lit(side).as("side"))
     }
-    val symOld = symNoLoop(oldEdges).persist(StorageLevel.MEMORY_AND_DISK)
-    val symNew = symNoLoop(newEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    val symFlags = symSide(oldEdges, 1).unionByName(symSide(newEdges, 2))
+      .groupBy($"src", $"dst")
+      .agg((max(when($"side" === 1, 1).otherwise(0))
+        + lit(2) * max(when($"side" === 2, 1).otherwise(0))).as("flags"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Every endpoint of the new snapshot, self-loops included — the
     // vertex universe of the from-scratch run we must match.
     val newVerts = newEdges
@@ -203,8 +213,8 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val removed = symOld.join(symNew, Seq("src", "dst"), "left_anti")
-    val added = symNew.join(symOld, Seq("src", "dst"), "left_anti")
+    val removed = symFlags.where($"flags" === 1).select($"src", $"dst")
+    val added = symFlags.where($"flags" === 2).select($"src", $"dst")
 
     // Components that lost an arc. Small at low churn — the join back
     // into oldLabels broadcasts (AQE picks it up from the runtime size).
@@ -224,7 +234,7 @@ object ConnectedComponents {
 
     // Repair arcs: everything added, plus retained arcs touching a
     // non-clean (dirty or new) endpoint.
-    val retained = symNew.join(symOld, Seq("src", "dst"), "left_semi")
+    val retained = symFlags.where($"flags" === 3).select($"src", $"dst")
     val retainedDirty = retained
       .join(cleanMap.select($"id".as("src")), Seq("src"), "left_anti")
       .unionByName(
@@ -273,7 +283,7 @@ object ConnectedComponents {
       .select($"id", coalesce($"rcomp", $"comp").as("comp"))
 
     val out = dirtyFinal.unionByName(cleanFinal).localCheckpoint(true)
-    Seq(symOld, symNew, newVerts, dirtyComps, cleanMap, repairEdgesDf, rep)
+    Seq(symFlags, newVerts, dirtyComps, cleanMap, repairEdgesDf, rep)
       .foreach(_.unpersist())
     IncrementalResult(out, nRepair, repairIters, nDirty)
   }

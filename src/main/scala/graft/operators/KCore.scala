@@ -63,42 +63,51 @@ object KCore {
     var state = resumed.map(_._1).getOrElse {
       ctx.init(graph.symmetrize.edges.filter($"src" =!= $"dst").toDF())
     }
-    var prevEdges = state.count()
     var rounds = resumed.map(_._2).getOrElse(0)
-    var changed = prevEdges > 0
+    // (min surviving degree, edge count) in ONE action: min >= k IS the
+    // fixpoint test, so no discarded probe round is ever built (the probe
+    // used to cost one full semi-join pass + a throwaway checkpoint).
+    var (minDeg, prevEdges) = degStats(state)
+    var hitCap = false
 
-    while (changed && rounds < maxRounds) {
-      val keep = state
-        .groupBy($"src")
-        .agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k)
-        .select($"src")
-      val next = ctx.cut(
-        state
-          .join(keep, Seq("src"), "left_semi")
-          .join(keep.select($"src".as("dst")), Seq("dst"), "left_semi")
-          .select($"src", $"dst"))
-      val cnt = next.count()
-      changed = cnt != prevEdges
-      if (changed) {
+    while (prevEdges > 0 && minDeg < k && !hitCap) {
+      if (rounds >= maxRounds) hitCap = true
+      else {
+        val keep = state
+          .groupBy($"src")
+          .agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k)
+          .select($"src")
+        val next = ctx.cut(
+          state
+            .join(keep, Seq("src"), "left_semi")
+            .join(keep.select($"src".as("dst")), Seq("dst"), "left_semi")
+            .select($"src", $"dst"))
+        val (md, cnt) = degStats(next) // materializes the cut state
         rounds += 1
         state = ctx.advance(rounds, next,
           deltaNorm = (prevEdges - cnt).toDouble, messages = prevEdges,
           changed = prevEdges - cnt)
         prevEdges = cnt
-        if (cnt == 0L) changed = false
-      } else {
-        // Fixpoint probe: the freshly-built (and materialized) cut frame
-        // is discarded — release its checkpoint blocks explicitly, like
-        // every superseded state (leaked, they pin |E| rows until GC).
-        next.unpersist()
-        graft.core.Lineage.release(next)
+        minDeg = md
       }
     }
 
     val core = state.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
     ctx.close()
-    Result(core, rounds, converged = !changed, ctx.history.toSeq)
+    Result(core, rounds, converged = !hitCap, ctx.history.toSeq)
+  }
+
+  /** (min per-vertex degree, total edge rows) of a surviving (src, dst)
+    * edge-state frame, in one aggregate action — (0, 0) when empty. The
+    * degree aggregate reuses the state's partitioning; sum(deg) counts
+    * every edge row exactly once, so this equals `state.count()` while
+    * also deciding peel-fixpoint (`min >= k`) without a probe round.
+    */
+  private def degStats(state: DataFrame): (Long, Long) = {
+    val r = state.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(min(col("deg")), sum(col("deg"))).head()
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
   }
 
   /** Core numbers (coreness): per-vertex max k such that the vertex is in
@@ -127,20 +136,41 @@ object KCore {
     val sym0 = graph.symmetrize.edges.filter($"src" =!= $"dst").toDF()
     val state0 = ctx.init(sym0)
     var state = state0
-    var stateCount = state.count()
     // All vertices (incl. isolated / self-loop-only ones, which the
     // symmetrized simple edge table no longer carries): core number 0
     // until an edge level claims them.
     val allVertices = graph.vertices.toDF("id")
     var labels = allVertices.select($"id", lit(0L).as("core"))
+    var labelsCut = false
     var iter = 0
 
+    // One fused (minDeg, edges) aggregate drives the whole peel: when the
+    // min surviving degree md >= level, levels level..md are ALL no-op
+    // peels (the k-core equals the current subgraph for every k <= md),
+    // so the survivors are labeled min(md, kMax) ONCE and the level jumps
+    // to md + 1. The per-level probe round + per-level label rewrite this
+    // replaces cost ~3 jobs x kMax even on graphs (like the dense gate
+    // graph, min degree >> kMax) where no peel ever removes anything.
+    var (minDeg, stateEdges) = degStats(state)
     var level = 1
-    while (level <= kMax && stateCount > 0) {
-      // Peel to the `level`-core fixpoint, continuing from the current
-      // surviving edge set.
-      var changed = true
-      while (changed) {
+    while (level <= kMax && stateEdges > 0) {
+      if (minDeg >= level) {
+        val eff = math.min(minDeg, kMax.toLong)
+        val survivors = state.select($"src".as("id")).distinct()
+        val newLabels = ctx.cut(
+          labels
+            .join(survivors.select($"id", lit(true).as("inCore")), Seq("id"), "left")
+            .select($"id", when($"inCore", lit(eff)).otherwise($"core").as("core")))
+        newLabels.count()
+        // Release the superseded label frame — but only frames WE cut: the
+        // initial frame's plan embeds the caller's graph.vertices lineage.
+        if (labelsCut) { labels.unpersist(); graft.core.Lineage.release(labels) }
+        labels = newLabels
+        labelsCut = true
+        level = eff.toInt + 1
+      } else {
+        // At least one vertex sits below `level`: one synchronous peel
+        // round (guaranteed to remove edges), then re-read the stats.
         val keep = state
           .groupBy($"src")
           .agg(count(lit(1)).as("deg"))
@@ -151,33 +181,14 @@ object KCore {
             .join(keep, Seq("src"), "left_semi")
             .join(keep.select($"src".as("dst")), Seq("dst"), "left_semi")
             .select($"src", $"dst"))
-        val cnt = next.count()
-        changed = cnt != stateCount
-        if (changed) {
-          iter += 1
-          state = ctx.advance(iter, next,
-            deltaNorm = (stateCount - cnt).toDouble, messages = stateCount,
-            changed = stateCount - cnt)
-          stateCount = cnt
-        } else {
-          // Discarded fixpoint probe — release like any superseded state.
-          next.unpersist()
-          graft.core.Lineage.release(next)
-        }
+        val (md, cnt) = degStats(next) // materializes the cut state
+        iter += 1
+        state = ctx.advance(iter, next,
+          deltaNorm = (stateEdges - cnt).toDouble, messages = stateEdges,
+          changed = stateEdges - cnt)
+        stateEdges = cnt
+        minDeg = md
       }
-      // Survivors of this level are in the level-core: their core number
-      // is at least `level` (overwrites the previous level's label).
-      val survivors = state.select($"src".as("id")).distinct()
-      val newLabels = ctx.cut(
-        labels
-          .join(survivors.select($"id", lit(true).as("inCore")), Seq("id"), "left")
-          .select($"id", when($"inCore", lit(level.toLong)).otherwise($"core").as("core")))
-      newLabels.count()
-      // Release the superseded label frame — but only frames WE cut: the
-      // initial frame's plan embeds the caller's graph.vertices lineage.
-      if (level > 1) { labels.unpersist(); graft.core.Lineage.release(labels) }
-      labels = newLabels
-      level += 1
     }
 
     // Only `labels` leaves this method: drop the final edge-state blocks

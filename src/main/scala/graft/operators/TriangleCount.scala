@@ -115,9 +115,15 @@ object TriangleCount {
       .join(und, wedges("b") === und("u") && wedges("c") === und("v"), "left_semi")
     // a is the (deg,id)-minimal apex, not id-minimal — canonicalize the
     // two apex edges; (b, c) is already canonical (b < c by construction).
-    val sup = tri.select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
-      .union(tri.select(least($"a", $"c").as("u"), greatest($"a", $"c").as("v")))
-      .union(tri.select($"b".as("u"), $"c".as("v")))
+    // explode, NOT a 3-way union of selects over `tri`: union branches are
+    // independent subtrees, so the wedge join + closing semi-join would be
+    // recomputed three times (measured: the dominant stage of the dense
+    // gate graph's support pass ran 3x, ~16 s each at sf0.1).
+    val sup = tri.select(explode(array(
+        struct(least($"a", $"b").as("u"), greatest($"a", $"b").as("v")),
+        struct(least($"a", $"c").as("u"), greatest($"a", $"c").as("v")),
+        struct($"b".as("u"), $"c".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
       .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
     und.join(sup, Seq("u", "v"), "left")
       .select($"u", $"v", coalesce($"support", lit(0L)).as("support"))
@@ -166,10 +172,11 @@ object TriangleCount {
   def perVertex(graph: Graph): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
+    // explode, not union-of-selects: three union branches would recompute
+    // the whole triangle pipeline (wedge join + semi-join) once each —
+    // see [[supportOfCanonical]].
     val tri = triangles(graph)
-    val counts = tri.select($"a".as("id"))
-      .union(tri.select($"b".as("id")))
-      .union(tri.select($"c".as("id")))
+    val counts = tri.select(explode(array($"a", $"b", $"c")).as("id"))
       .groupBy($"id").agg(count(lit(1)).as("triangles"))
     graph.vertices.toDF("id")
       .join(counts, Seq("id"), "left")

@@ -56,7 +56,15 @@ object GraphQueries {
     graft.core.SessionMemo(spark, key)(f)
 
   def graph(spark: SparkSession, dir: String): Graph =
-    memoized(spark, s"graph:$dir") { Graph.fromEdges(edgesDf(spark, dir)) }
+    memoized(spark, s"graph:$dir") {
+      val g = Graph.fromEdges(edgesDf(spark, dir))
+      // Persist the deduped arc table itself (it is tiny — the N=601
+      // universe bounds it): every query that consumes g.edges directly
+      // (crawl delta, stats, reciprocity, clustering's degree pass, …)
+      // used to re-pay the lineitem scan + distinct per REFERENCE.
+      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g
+    }
 
   /** Connected components, computed once per (session, dir) and shared by
     * g_cc / g_cc_sizes (VERDICT r1: the double-pay was ~10 s at sf0.1).
@@ -77,8 +85,13 @@ object GraphQueries {
   /** One SumSweep run (AllForward) shared by g_ecc / g_radius_diameter. */
   private def essShared(spark: SparkSession, dir: String): SumSweep.Result =
     memoized(spark, s"ess:$dir") {
+      // Cap-guarded local-exact path (the embedNearDup / ccIncr budget):
+      // the derived gate graph is latency-bound on the sweep computer —
+      // per-BFS-level job latency × sweeps — while one broadcast-CSR
+      // all-pairs job answers it exactly; above the budget the sweep
+      // computer runs unchanged.
       val r = SumSweep.compute(graph(spark, dir), SumSweep.Output.AllForward,
-        components = Some(sccShared(spark, dir)))
+        components = Some(sccShared(spark, dir)), localFinishEdges = 2000000L)
       r.ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       r
     }
@@ -87,8 +100,10 @@ object GraphQueries {
   private def symGraph(spark: SparkSession, dir: String): Graph =
     memoized(spark, s"symgraph:$dir") {
       val e = edgesDf(spark, dir)
-      Graph.fromEdges(
+      val g = Graph.fromEdges(
         e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g
     }
 
   // ------------------------------------------------------------------
@@ -359,23 +374,37 @@ object GraphQueries {
     */
   def crawlDelta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = graph(spark, dir).edges.toDF() // memoized, deduped arcs
+    val e = graph(spark, dir).edges.toDF() // memoized, deduped, persisted arcs
     val cls = (pmod(col("src") * 31 + col("dst"), lit(10L)))
-    val a = e.where(cls =!= 0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = e.where(cls =!= 9).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def verts(df: DataFrame) =
-      df.select($"src".as("id")).union(df.select($"dst".as("id"))).distinct()
-    def cnt(label: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n")).select(lit(label).as("metric"), $"n")
-    val out = cnt("arcs_added", b.join(a, Seq("src", "dst"), "left_anti"))
-      .unionByName(cnt("arcs_removed", a.join(b, Seq("src", "dst"), "left_anti")))
-      .unionByName(cnt("arcs_retained", b.join(a, Seq("src", "dst"), "left_semi")))
-      .unionByName(cnt("verts_new", verts(b).join(verts(a), Seq("id"), "left_anti")))
-      .unionByName(cnt("verts_gone", verts(a).join(verts(b), Seq("id"), "left_anti")))
-      .unionByName(cnt("verts_retained", verts(b).join(verts(a), Seq("id"), "left_semi")))
-      .localCheckpoint(true)
-    a.unpersist(); b.unpersist()
-    out
+    // Snapshot membership as two boolean flags per arc / per endpoint:
+    // the six census numbers are conditional counts over those flags, so
+    // the whole query is TWO aggregates — one zero-exchange scan for the
+    // arc rows (e is already distinct), one endpoint aggregate whose
+    // groupBy(id) is the only exchange — instead of six separately
+    // planned anti/semi-join branches each rescanning both persisted
+    // snapshots (guide §2.4).
+    val flagged = e.select($"src", $"dst",
+      (cls =!= 0).as("inA"), (cls =!= 9).as("inB"))
+    def cnts(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(
+        sum(when($"inB" && !$"inA", 1L).otherwise(0L)),
+        sum(when($"inA" && !$"inB", 1L).otherwise(0L)),
+        sum(when($"inA" && $"inB", 1L).otherwise(0L))).head()
+      def g(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      (g(0), g(1), g(2))
+    }
+    val (arcAdd, arcGone, arcKeep) = cnts(flagged)
+    val vflags = flagged
+      .select(explode(array(
+        struct($"src".as("id"), $"inA", $"inB"),
+        struct($"dst".as("id"), $"inA", $"inB"))).as("v"))
+      .groupBy($"v.id")
+      .agg(max($"v.inA").as("inA"), max($"v.inB").as("inB"))
+    val (vNew, vGone, vKeep) = cnts(vflags)
+    Seq(("arcs_added", arcAdd), ("arcs_removed", arcGone),
+      ("arcs_retained", arcKeep), ("verts_new", vNew),
+      ("verts_gone", vGone), ("verts_retained", vKeep))
+      .toDF("metric", "n")
   }
 
   lazy val crawlDeltaSql: String =
@@ -405,7 +434,12 @@ object GraphQueries {
     val a = e.where(cls =!= 0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = e.where(cls =!= 9)
     val old = ConnectedComponents.run(Graph.fromEdges(a)).components
-    val out = ConnectedComponents.incremental(old, a, b).components
+    // The repair graph is O(delta) by design — route it through the same
+    // cap-guarded driver union-find budget the near-dup pair graphs use
+    // (d_embed_neardup); above the budget the distributed path runs, so
+    // this is scale-adaptive, not a small-graph assumption.
+    val out = ConnectedComponents.incremental(old, a, b,
+      localFinishEdges = 2000000L).components
     a.unpersist()
     out
   }
@@ -1444,7 +1478,8 @@ object GraphQueries {
   def eccUndirected(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"essu:$dir") {
       SumSweep.computeUndirected(symGraph(spark, dir),
-        SumSweep.Output.AllForward, components = Some(ccShared(spark, dir)))
+        SumSweep.Output.AllForward, components = Some(ccShared(spark, dir)),
+        localFinishEdges = 2000000L)
         .ecc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -1867,7 +1902,11 @@ object GraphQueries {
     * communities (~280 under LP-3) and cores are all non-degenerate.
     */
   private def sparseGraph(spark: SparkSession, dir: String): Graph =
-    memoized(spark, s"kgraph:$dir") { Graph.fromEdges(kcoreEdgesDf(spark, dir)) }
+    memoized(spark, s"kgraph:$dir") {
+      val g = Graph.fromEdges(kcoreEdgesDf(spark, dir))
+      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g
+    }
 
   /** The `edges`/`nodes` CTE pair of the SPARSE derived graph — the
     * oracle-side twin of [[sparseGraph]], name-compatible with
@@ -1932,17 +1971,28 @@ object GraphQueries {
     * which is precisely the pairing this query documents.
     */
   def ball2(spark: SparkSession, dir: String): DataFrame = {
-    val e = kcoreEdgesDf(spark, dir)
-    val two = e.as("x")
-      .join(e.select(col("src").as("mid"), col("dst").as("d")).as("y"),
-        col("x.dst") === col("y.mid"))
-      .select(col("x.src"), col("y.d"))
-    e.select(col("src"), col("dst").as("d"))
-      .union(two)
+    // One PERSISTED copy of the derived edge set (the sparseGraph memo):
+    // the old plan re-derived it (lineitem scan + distinct) per reference
+    // — three times.
+    val e = sparseGraph(spark, dir).edges.toDF()
+    // ball2(src) = |{1-hop ∪ 2-hop} \ {src}| in ONE join + ONE local
+    // distinct-aggregate: the successor table is augmented with a
+    // self-edge (v, v) per destination, so x.dst = mid yields each
+    // destination itself (the 1-hop term) next to its successors (the
+    // 2-hop term) — no union of separately-shuffled branches. The probe
+    // side is repartitioned by src once; the broadcast join preserves
+    // that clustering, so the count-distinct aggregate runs entirely
+    // partition-locally (hash(src) satisfies the (src, d) clustering) —
+    // the r1-r5 plan exchanged the full ~29M-row 2-hop expansion on
+    // (src, d) across 10 scan-sized tasks instead (guide §2.4/§2.5). The
+    // broadcast side is vertex-bounded by the mod-[[KCoreN]] derivation.
+    val aug = e.select(col("src").as("mid"), col("dst").as("d"))
+      .union(e.select(col("dst").as("mid"), col("dst").as("d")).distinct())
+    e.repartition(col("src"))
+      .join(broadcast(aug), col("dst") === col("mid"))
       .where(col("src") =!= col("d"))
-      .distinct()
       .groupBy(col("src"))
-      .agg(count(lit(1)).as("ball2"))
+      .agg(countDistinct(col("d")).as("ball2"))
   }
 
   val ball2Sql: String =
@@ -1985,7 +2035,11 @@ object GraphQueries {
       .distinct()
 
   private def trussGraph(spark: SparkSession, dir: String): Graph =
-    memoized(spark, s"tgraph:$dir") { Graph.fromEdges(trussEdgesDf(spark, dir)) }
+    memoized(spark, s"tgraph:$dir") {
+      val g = Graph.fromEdges(trussEdgesDf(spark, dir))
+      g.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g
+    }
 
   /** k-truss ([[KTruss.run]]): surviving edges with in-truss support. */
   def ktruss(spark: SparkSession, dir: String): DataFrame =

@@ -778,8 +778,19 @@ object TextQueries {
        |)""".stripMargin
   }
 
+  /** Full-corpus MinHash signature table, computed once per (session,
+    * dir) — shared by d_minhash_lsh and d_minhash_est (signatures are
+    * per-document, so the half-sample query reads a FILTER of this table;
+    * each query used to re-hash the corpus, ~40% of its cost).
+    */
+  private def minHashSigsShared(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionMemo(spark, s"mhsigs:$dir") {
+      Dedup.minHashSignatures(docs(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def minHashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(docs(spark, dir), threshold = 0.125)
+    Dedup.minHashLshOfSigs(minHashSigsShared(spark, dir), threshold = 0.125)
 
   /** Shared oracle WITH-body replicating the exact LSH pipeline:
     * distinct 3-gram shingles (`sh`) → 32 salted min-hashes → 8 bands of
@@ -842,7 +853,9 @@ object TextQueries {
     * this was the heaviest query in the bench list before sampling).
     */
   def minHashAccuracy(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashAccuracy(docs(spark, dir).where(col("doc_id") % 2 === 0))
+    Dedup.minHashAccuracyOfSigs(
+      minHashSigsShared(spark, dir).where(col("doc_id") % 2 === 0),
+      docs(spark, dir).where(col("doc_id") % 2 === 0))
 
   val minHashAccuracySql: String =
     s"""WITH docsample AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
@@ -871,7 +884,14 @@ object TextQueries {
     */
   private def ngramIdxShared(spark: SparkSession, dir: String): Dedup.NgramIndex =
     graft.core.SessionMemo(spark, s"ngramidx:$dir") {
-      val idx = Dedup.ngramIndex(docs(spark, dir))
+      // hashShingles: the whole index (df cap + intersection self-join)
+      // runs over xxhash64 longs instead of 3-word strings — several-fold
+      // fewer shuffle bytes on the dominant equi-join (Dedup.ngramJaccard
+      // scaladoc; guide §2.3 "narrower types"). Identical pair counts
+      // absent a 64-bit collision among the corpus's distinct shingles
+      // (~n²/2⁶⁴); the oracle gate checks the string-exact answer at both
+      // gate SFs, so a collision would fail loudly, not silently.
+      val idx = Dedup.ngramIndex(docs(spark, dir), hashShingles = true)
       Dedup.NgramIndex(
         idx.sizes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         idx.inter.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

@@ -143,11 +143,30 @@ object Pq {
     val v = Ivf.assignWithProbes(emb, coarse, nprobe)
       .join(enc, Seq("vec_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val assign = v.select(col("vec_id"), col("cell"), col("codes"), col("rq"))
+    // Salt the cell key and PIN the partition count: the join input is a
+    // few KB (codes, not vectors), so AQE's coalescing folds a plain
+    // cell-keyed join into ONE task — but the join OUTPUT explodes by
+    // ~|cell| with an ADC evaluation per row, so that one task serializes
+    // the whole scoring pass (measured 8.4 s single-task stage at sf0.1).
+    // Sub-bucketing by a deterministic hash of the candidate id spreads
+    // each cell across `subBuckets` keys, and repartition(n, keys) is
+    // user-specified so AQE leaves its parallelism alone (guide §2.5:
+    // skew from too few distinct synthetic keys). The pair multiset is
+    // unchanged: each probe row meets each candidate exactly once (its
+    // sub-bucket).
+    val subBuckets = 8
+    val parts = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val assign = v.select(col("vec_id"), col("cell"), col("codes"), col("rq"),
+        pmod(xxhash64(col("vec_id")), lit(subBuckets)).as("sb"))
+      .repartition(parts, col("cell"), col("sb"))
     val probes = v.select(col("vec_id"), explode(col("probeCells")).as("cell"),
-      col("codes"), col("rq"))
+        col("codes"), col("rq"))
+      .select(col("vec_id"), col("cell"), col("codes"), col("rq"),
+        explode(lit((0 until subBuckets).map(_.toLong).toArray)).as("sb"))
+      .repartition(parts, col("cell"), col("sb"))
     val pairs = probes.as("q").join(assign.as("c"),
-        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+        col("q.cell") === col("c.cell") && col("q.sb") === col("c.sb")
+          && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
         adcSim(cb, col("q.codes"), col("q.rq"), col("c.codes"), col("c.rq")).as("sim"))
     val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("nbr_id"))

@@ -153,12 +153,17 @@ object Dedup {
 
   def ngramIndex(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 10000,
                  hashShingles: Boolean = false): NgramIndex = {
+    // Per-doc distinct via array_distinct BEFORE the explode: the
+    // "distinct (doc_id, shingle) pairs" contract only dedups within a
+    // document (doc_id is part of the key), so a map-side array dedup is
+    // exact and removes what used to be a corpus-wide distinct exchange
+    // of every shingle occurrence (guide §2.4).
+    val distinctShingles = array_distinct(TextOps.shinglesCol(col("text"), n))
     val exploded = docs
-      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), explode(distinctShingles).as("shingle"))
     val sh = (if (hashShingles)
         exploded.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       else exploded)
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = sh.join(
@@ -203,9 +208,11 @@ object Dedup {
     val (pre, hA, hB) = featureHashes(hashMode)
     // Two-step select: Catalyst's CollapseProject keeps non-cheap
     // expressions (md5) un-duplicated when referenced twice downstream,
-    // so the digest is evaluated once per shingle row.
+    // so the digest is evaluated once per shingle row. array_distinct
+    // first: min over a doc's shingle multiset equals min over its set,
+    // and repeated shingles (boilerplate) would otherwise each pay an md5.
     val sh = docs.select(col("doc_id"),
-      explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
+      explode(array_distinct(TextOps.shinglesCol(col("text"), shingleN))).as("shingle"))
       .select(col("doc_id"), pre(col("shingle")).as("m"))
       .select(col("doc_id"), hA(col("m")).as("ha"), hB(col("m")).as("hb"))
     val mins = (0 until numHashes).map(i =>
@@ -223,10 +230,24 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                  shingleN: Int = 3, threshold: Double = 0.5,
-                 hashMode: String = "md5"): DataFrame = {
+                 hashMode: String = "md5"): DataFrame =
+    minHashLshOfSigs(
+      minHashSignatures(docs, numHashes, shingleN, hashMode)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      numHashes, bands, threshold)
+
+  /** [[minHashLsh]] over an ALREADY-COMPUTED (and persisted — referenced
+    * three times: banding + the two verify joins) signature table
+    * (doc_id, sig). Signatures are per-document (min over the doc's own
+    * shingles — no cross-doc state), so a caller may also FILTER a shared
+    * corpus-wide signature table down to a sub-corpus and get exactly the
+    * signatures a fresh run on that sub-corpus would compute; the gate's
+    * d_minhash_lsh / d_minhash_est rows share one signature pass that
+    * way (the second corpus hash pass was ~40% of each query's cost).
+    */
+  def minHashLshOfSigs(sigs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, numHashes, shingleN, hashMode)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // Band key = the band's raw slot values joined as a string: equality
     // is EXACTLY slot-tuple equality (no band-hash collisions), and it is
     // trivially portable to the SQL oracle.
@@ -266,11 +287,26 @@ object Dedup {
     * division, or their difference — bit-identical cross-engine.
     */
   def minHashAccuracy(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                      shingleN: Int = 3, hashMode: String = "md5"): DataFrame = {
-    val cand = minHashLsh(docs, numHashes, bands, shingleN, threshold = 0.0, hashMode)
+                      shingleN: Int = 3, hashMode: String = "md5"): DataFrame =
+    minHashAccuracyOfSigs(
+      minHashSignatures(docs, numHashes, shingleN, hashMode)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+      docs, numHashes, bands, shingleN)
+
+  /** [[minHashAccuracy]] over a precomputed signature table for exactly
+    * the docs in `docs` (see [[minHashLshOfSigs]] for the filter-sharing
+    * contract). The exact-Jaccard side still shingles `docs` itself —
+    * only the signature pass is shared.
+    */
+  def minHashAccuracyOfSigs(sigs: DataFrame, docs: DataFrame,
+                            numHashes: Int = 32, bands: Int = 8,
+                            shingleN: Int = 3): DataFrame = {
+    val cand = minHashLshOfSigs(sigs, numHashes, bands, threshold = 0.0)
+    // array_distinct map-side, not a corpus-wide distinct exchange —
+    // per-doc dedup is exact for the (doc_id, shingle) key (ngramIndex
+    // rationale).
     val sh = docs.select(col("doc_id"),
-        explode(TextOps.shinglesCol(col("text"), shingleN)).as("shingle"))
-      .distinct()
+        explode(array_distinct(TextOps.shinglesCol(col("text"), shingleN))).as("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand.select(col("a"), col("b"))
@@ -297,9 +333,10 @@ object Dedup {
     */
   def simHash(docs: DataFrame, shingleN: Int = 2, hashMode: String = "md5"): DataFrame = {
     val (pre, hA, _) = featureHashes(hashMode)
+    // array_distinct map-side replaces the corpus-wide distinct exchange
+    // (per-doc dedup is exact for the (doc_id, f) key — ngramIndex note).
     val feats = docs.select(col("doc_id"),
-      explode(TextOps.shinglesCol(col("text"), shingleN)).as("f"))
-      .distinct()
+      explode(array_distinct(TextOps.shinglesCol(col("text"), shingleN))).as("f"))
       .select(col("doc_id"), pre(col("f")).as("m"))
       .select(col("doc_id"), hA(col("m")).as("h"))
     val bitSums = (0 until 64).map { j =>

@@ -291,29 +291,33 @@ object TextOps {
     *    GUARANTEE and the ~2/(w+1) density are hash-choice-independent;
     *    only which specific grams win the window minima changes.
     *
-    * Scale shape: explode + one window aggregation partitioned by doc_id
-    * — no joins, no driver state; the window partition is a single doc's
-    * k-grams (bounded by doc length, not corpus size).
+    * Scale shape: ONE array expression per document — k-gram hashes,
+    * sliding-window minima (frame clipped at the tail, exactly the SQL
+    * `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING` it replaces), per-doc
+    * `array_distinct` — so the corpus's char-position rows never leave
+    * their scan task. The r1-r5 formulation exploded one row per
+    * character into a window partitioned by doc_id: same math, but it
+    * shuffled + sorted |chars| rows per pass (~10M at sf0.1; the window
+    * partition was a single doc anyway, so the exchange bought no
+    * parallelism the scan didn't already have).
     */
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
              hashMode: String = "md5"): DataFrame = {
     require(k > 0 && w > 0)
     val hash = hash60(hashMode)
-    import org.apache.spark.sql.expressions.Window
     val s = lower(coalesce(col("text"), lit("")))
-    val m = greatest(length(s) - (k - 1), lit(0)) // k-gram count
-    val km = docs
-      .select(col("doc_id"), s.as("s"), m.as("m"))
-      .select(col("doc_id"), col("m"), col("s"),
-        explode(when(col("m") > 0, sequence(lit(0), col("m") - 1))
-          .otherwise(array().cast("array<int>"))).as("pos"))
-      .select(col("doc_id"), col("m"), col("pos"),
-        hash(col("s").substr(col("pos") + 1, lit(k))).as("hv"))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    km.withColumn("fp", min(col("hv")).over(win))
-      .filter(col("pos") <= greatest(col("m") - w, lit(0)))
-      .select(col("doc_id"), col("fp")).distinct()
+    val fps = bindOnce(s) { sb =>
+      bindOnce(greatest(length(sb) - (k - 1), lit(0))) { m => // k-gram count
+        when(m > 0,
+          bindOnce(transform(sequence(lit(0), m - 1),
+            p => hash(sb.substr(p + 1, lit(k))))) { hvs =>
+            array_distinct(transform(sequence(lit(0), greatest(m - w, lit(0))),
+              p => array_min(slice(hvs, p + 1, lit(w)))))
+          })
+          .otherwise(array().cast("array<bigint>"))
+      }
+    }
+    docs.select(col("doc_id"), explode(fps).as("fp"))
   }
 
   /** Top-k terms per document by smoothed tf-idf

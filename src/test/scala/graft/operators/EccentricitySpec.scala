@@ -270,4 +270,48 @@ class EccentricitySpec extends AnyFunSuite {
     val (m2, s2) = Eccentricity.distanceStats(nf :+ nf.last)
     assert(m1 == m2 && s1 == s2)
   }
+
+  test("localFinishEdges twin == sweep computer: ecc, radial, canonical radius/diameter") {
+    // The r6 broadcast-CSR local-exact path must agree with the
+    // distributed sweep computer on every output a caller consumes —
+    // including the radial set and the fromEcc-canonical extremal picks.
+    val graphs = Seq(
+      Fixtures.erdosRenyi(35, 0.05, 21),
+      Fixtures.erdosRenyi(25, 0.12, 22), // dense, near-flat ecc
+      Fixtures.erdosRenyi(18, 0.08, 23) ++ // disconnected
+        Fixtures.erdosRenyi(18, 0.08, 24).map { case (a, b) => (a + 100L, b + 100L) },
+      Seq((10L, 32L), (10L, 65L), (65L, 10L), (21L, 44L))) // sparse ids
+    graphs.zipWithIndex.foreach { case (edges, i) =>
+      val gd = Graph.fromPairs(spark, edges)
+      val gl = Graph.fromPairs(spark, edges)
+      val dist = SumSweep.compute(gd, SumSweep.Output.AllForward)
+      val loc = SumSweep.compute(gl, SumSweep.Output.AllForward,
+        localFinishEdges = 1000000L)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(m(loc.ecc) == m(dist.ecc), s"graph $i ecc")
+      def rset(df: org.apache.spark.sql.DataFrame) =
+        df.select("id").collect().map(_.getLong(0)).toSet
+      assert(rset(loc.radial) == rset(dist.radial), s"graph $i radial")
+      val want = Eccentricity.fromEcc(dist.ecc, dist.radial)
+      assert(loc.radius == want.radius && loc.radiusVertex == want.radiusVertex,
+        s"graph $i radius")
+      assert(loc.diameter == want.diameter && loc.diameterVertex == want.diameterVertex,
+        s"graph $i diameter")
+    }
+  }
+
+  test("localFinishEdges twin (undirected) == computeUndirected on a symmetric ER graph") {
+    val edges = Fixtures.erdosRenyi(30, 0.08, 25)
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val dist = SumSweep.computeUndirected(Graph.fromPairs(spark, sym))
+    val loc = SumSweep.computeUndirected(Graph.fromPairs(spark, sym),
+      localFinishEdges = 1000000L)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(loc.ecc) == m(dist.ecc))
+    def rset(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(rset(loc.radial) == rset(dist.radial))
+  }
 }
