@@ -46,11 +46,67 @@ object Coloring {
       salt: String = "",
       maxRounds: Int = 64,
       checkpoint: Option[CheckpointConfig] = None,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      /** Opt-in bounded driver-local twin (the [[Mis.run]] policy, same
+        * scaffolding): Jones–Plassmann rounds simulated round-for-round
+        * on driver arrays — deterministic function of (graph, salt), with
+        * `rounds`/`converged`/the maxRounds cutoff preserved exactly
+        * (pinned by `ColoringSpec`'s differential). Default 0 = always
+        * distributed.
+        */
+      localFinishEdges: Long = 0L
   ): Result = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = graph.spark
     import spark.implicits._
+
+    if (localFinishEdges > 0 && checkpoint.isEmpty && graph.numEdges <= localFinishEdges) {
+      val g = new Mis.LocalSym(graph, salt)
+      val color = Array.fill(g.n)(-1L) // -1 = uncolored (null in the output)
+      var remaining = g.n.toLong
+      var rounds = 0
+      while (remaining > 0 && rounds < maxRounds) {
+        // ready = uncolored with every smaller-(key,id) neighbor colored;
+        // color = mex over the DISTINCT colors of those neighbors.
+        val newColor = new Array[Long](g.n)
+        val isReady = new Array[Boolean](g.n)
+        var i = 0
+        while (i < g.n) {
+          if (color(i) < 0) {
+            var ready = true
+            val below = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var p = g.off(i)
+            while (ready && p < g.off(i + 1)) {
+              val u = g.nbr(p)
+              if (g.before(u, i)) {
+                if (color(u) < 0) ready = false else below += color(u)
+              }
+              p += 1
+            }
+            if (ready) {
+              val cs = below.distinct.sorted
+              var mex = 0L
+              cs.foreach(c => if (c == mex) mex += 1)
+              isReady(i) = true; newColor(i) = mex
+            }
+          }
+          i += 1
+        }
+        i = 0
+        while (i < g.n) {
+          if (isReady(i)) { color(i) = newColor(i); remaining -= 1 }
+          i += 1
+        }
+        rounds += 1
+      }
+      val colors = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until g.n).map(i =>
+            (g.ids(i), if (color(i) < 0) None else Some(color(i)))),
+          math.max(1, spark.sparkContext.defaultParallelism / 4)))
+        .toDF("id", "color")
+      return Result(colors, rounds, converged = remaining == 0)
+    }
 
     val ctx = new IterationContext("coloring", checkpoint, verbose = verbose)
     // Precedent edges of the symmetrized simple graph: (v, u) where u is

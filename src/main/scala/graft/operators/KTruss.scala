@@ -69,12 +69,48 @@ object KTruss {
       k: Int,
       maxRounds: Int = 1000,
       checkpoint: Option[CheckpointConfig] = None,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      /** Opt-in bounded driver-local peel (the [[ConnectedComponents.run]]
+        * / [[TriangleCount.edgeSupport]] cap pattern): when > 0, no
+        * checkpointing is requested, and the arc count fits the budget
+        * (~16 B/arc collected), the whole synchronous peel runs on the
+        * driver over bitset adjacency — same rounds, same surviving
+        * (u, v, support) rows by definition (the peel is deterministic),
+        * pinned by `KTrussSpec`'s local-vs-distributed differential.
+        * One support pass over the dense derived gate face costs a Σ deg²
+        * wedge shuffle distributed vs an n²/64-word AND stream locally.
+        * Default 0 = always distributed; checkpointed callers keep the
+        * resumable superstep path unconditionally.
+        */
+      localFinishEdges: Long = 0L
   ): Result = {
     require(k >= 3, s"k must be >= 3 (k-2 triangles per edge), got $k")
     val spark = graph.spark
     import spark.implicits._
     val thresh = (k - 2).toLong
+
+    if (localFinishEdges > 0 && checkpoint.isEmpty && graph.numEdges <= localFinishEdges) {
+      var cur = TriangleCount.collectCanonical(graph)
+      var sup = TriangleCount.localSupports(cur)
+      var rounds = 0
+      var converged = false
+      var toDelete = sup.count(_ < thresh)
+      while (!converged && rounds < maxRounds) {
+        if (toDelete == 0) converged = true
+        else {
+          rounds += 1
+          cur = cur.indices.collect { case i if sup(i) >= thresh => cur(i) }.toArray
+          sup = TriangleCount.localSupports(cur)
+          toDelete = sup.count(_ < thresh)
+        }
+      }
+      val truss = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cur.indices.map(i => (cur(i)._1, cur(i)._2, sup(i))),
+          math.max(1, spark.sparkContext.defaultParallelism / 4)))
+        .toDF("u", "v", "support")
+      return Result(truss, rounds, converged, Nil)
+    }
 
     val ctx = new IterationContext("ktruss", checkpoint, verbose = verbose)
     val resumed = ctx.resume(spark)

@@ -71,7 +71,11 @@ object GraphQueries {
     */
   private def ccShared(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"cc:$dir") {
-      ConnectedComponents.run(graph(spark, dir)).components
+      // Cap-guarded local finish (union-find, identical min-id labels):
+      // O(diameter) supersteps are pure job latency on the derived gate
+      // graph; the distributed path runs unchanged above the budget.
+      ConnectedComponents.run(graph(spark, dir), localFinishEdges = 2000000L)
+        .components
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -433,7 +437,11 @@ object GraphQueries {
     val cls = pmod(col("src") * 31 + col("dst"), lit(10L))
     val a = e.where(cls =!= 0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = e.where(cls =!= 9)
-    val old = ConnectedComponents.run(Graph.fromEdges(a)).components
+    // Same cap-guarded local finish as the repair CC below: yesterday's
+    // from-scratch labels on the tiny derived snapshot are latency-bound
+    // on O(diameter) supersteps distributed, one union-find pass local.
+    val old = ConnectedComponents.run(Graph.fromEdges(a),
+      localFinishEdges = 2000000L).components
     // The repair graph is O(delta) by design — route it through the same
     // cap-guarded driver union-find budget the near-dup pair graphs use
     // (d_embed_neardup); above the budget the distributed path runs, so
@@ -1229,10 +1237,29 @@ object GraphQueries {
        |FROM h$iters h JOIN a$iters a ON h.id = a.id""".stripMargin
   }
 
+  /** Per-edge triangle supports over the canonical undirected simple
+    * graph, computed once per (session, dir) — the shared base of
+    * g_truss_support, g_triangles, g_tri_per_vertex and g_clustering:
+    * Σ_e support(e) = 3·T (each triangle has 3 edges) and
+    * Σ_{e∋v} support(e) = 2·T(v) (each triangle at v spans 2 incident
+    * edges), so every triangle query is a projection of this table.
+    * Cap-guarded local-exact ([[TriangleCount.edgeSupport]]'s
+    * `localFinishEdges`): the dense derived gate face pays one driver
+    * bitset pass instead of four wedge-join plans per bench run.
+    */
+  private def supportShared(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"support:$dir") {
+      val df = TriangleCount.edgeSupport(graph(spark, dir),
+        localFinishEdges = 2000000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
   def triangles(spark: SparkSession, dir: String): DataFrame =
-    TriangleCount
-      .triangles(graph(spark, dir))
-      .agg(count(lit(1)).as("triangles"))
+    supportShared(spark, dir)
+      .agg(coalesce((sum(col("support")) / lit(3)).cast("long"), lit(0L))
+        .as("triangles"))
 
   /** Shared orientation prelude for the triangle oracles. */
   private val orientSql: String =
@@ -1267,7 +1294,15 @@ object GraphQueries {
     */
   private def triPerVertexShared(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"tripv:$dir") {
-      TriangleCount.perVertex(graph(spark, dir))
+      // T(v) = Σ_{e∋v} support(e) / 2 — a projection of the shared
+      // support table, replacing a second full wedge-join plan.
+      val counts = supportShared(spark, dir)
+        .select(explode(array(col("u"), col("v"))).as("id"), col("support"))
+        .groupBy(col("id"))
+        .agg((sum(col("support")) / lit(2)).cast("long").as("triangles"))
+      graph(spark, dir).vertices.toDF("id")
+        .join(counts, Seq("id"), "left")
+        .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -1289,7 +1324,7 @@ object GraphQueries {
     * k-truss peeling signal ([[graft.operators.TriangleCount.edgeSupport]]).
     */
   def trussSupport(spark: SparkSession, dir: String): DataFrame =
-    TriangleCount.edgeSupport(graph(spark, dir))
+    supportShared(spark, dir)
 
   val trussSupportSql: String =
     s"""WITH $edgesSql,
@@ -2043,7 +2078,8 @@ object GraphQueries {
 
   /** k-truss ([[KTruss.run]]): surviving edges with in-truss support. */
   def ktruss(spark: SparkSession, dir: String): DataFrame =
-    KTruss.run(trussGraph(spark, dir), k = TrussK).truss
+    KTruss.run(trussGraph(spark, dir), k = TrussK,
+      localFinishEdges = 2000000L).truss
 
   /** Oracle: the same synchronous peel, unrolled — each round counts
     * every surviving edge's common neighbors over the symmetric closure
@@ -2099,7 +2135,8 @@ object GraphQueries {
     * a deterministic function of (graph, salt).
     */
   def mis(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Mis.run(sparseGraph(spark, dir), salt = "mis").mis
+    graft.operators.Mis.run(sparseGraph(spark, dir), salt = "mis",
+      localFinishEdges = 2000000L).mis
 
   /** Oracle: the same synchronous local-minima rounds, unrolled — a
     * vertex wins round i iff no LIVE neighbor has a smaller (hash, id)
@@ -2242,7 +2279,8 @@ object GraphQueries {
     * g_modularity (the quality functional itself).
     */
   def louvain(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Louvain.run(sparseGraph(spark, dir), rounds = LouvainRounds).labels
+    graft.operators.Louvain.run(sparseGraph(spark, dir), rounds = LouvainRounds,
+      localFinishEdges = 2000000L).labels
 
   /** Oracle: the move rounds unrolled — per round the community-stats
     * (volume, size, min member) and k(i,c) aggregates, the own-community

@@ -216,7 +216,12 @@ object IngestQueries {
     */
   def hostCc(spark: SparkSession, dir: String): DataFrame = {
     val (hosts, edges) = hostDense(spark, dir)
-    graft.operators.ConnectedComponents.run(graft.core.Graph.fromEdges(edges)).components
+    // Cap-guarded local finish (union-find — identical min-dense-id
+    // labels); the ~40-host derived graph is pure superstep latency
+    // distributed, and the budget routes a real 10⁷-host graph to the
+    // distributed path unchanged.
+    graft.operators.ConnectedComponents.run(graft.core.Graph.fromEdges(edges),
+      localFinishEdges = 2000000L).components
       .join(hosts, Seq("id"))
       .join(hosts.select(col("id").as("comp"), col("host").as("comp_host")), Seq("comp"))
       .select(col("host"), col("comp_host"))
@@ -562,7 +567,8 @@ object IngestQueries {
     */
   def coloring(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Coloring.run(
-      graft.core.Graph.fromEdges(links(spark, dir)), salt = "col").colors
+      graft.core.Graph.fromEdges(links(spark, dir)), salt = "col",
+      localFinishEdges = 2000000L).colors
 
   private val ColoringRounds = 20
 

@@ -785,8 +785,14 @@ object TextQueries {
     */
   private def minHashSigsShared(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionMemo(spark, s"mhsigs:$dir") {
-      Dedup.minHashSignatures(docs(spark, dir))
+      // Materialize before the consumers' multi-scan plans: the LSH
+      // banding + two verify joins scan this 3×, and concurrent scans of
+      // an unmaterialized persisted frame each recompute it (the KTruss
+      // cane race, measured +16 s there).
+      val sigs = Dedup.minHashSignatures(docs(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.count()
+      sigs
     }
 
   def minHashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -892,9 +898,14 @@ object TextQueries {
       // (~n²/2⁶⁴); the oracle gate checks the string-exact answer at both
       // gate SFs, so a collision would fail loudly, not silently.
       val idx = Dedup.ngramIndex(docs(spark, dir), hashShingles = true)
-      Dedup.NgramIndex(
-        idx.sizes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        idx.inter.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val sizes = idx.sizes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inter = idx.inter.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialize both: d_containment's first action otherwise scans
+      // `inter` twice (the ordered-pair union) while it is still being
+      // computed — concurrent scans of an unmaterialized persisted frame
+      // recompute it (the KTruss cane race).
+      sizes.count(); inter.count()
+      Dedup.NgramIndex(sizes, inter)
     }
 
   /** Ordered n-gram containment pairs at threshold 0.5
@@ -938,8 +949,12 @@ object TextQueries {
     */
   private def simHashShared(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionMemo(spark, s"simhash:$dir") {
-      Dedup.simHash(docs(spark, dir))
+      // Materialized: d_simhash_pairs scans this 3× (banding + the two
+      // doc-expansion joins) — the unmaterialized-persist race again.
+      val sigs = Dedup.simHash(docs(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.count()
+      sigs
     }
 
   def simHash(spark: SparkSession, dir: String): DataFrame =
@@ -1369,8 +1384,12 @@ object TextQueries {
     */
   private def winnowShared(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionMemo(spark, s"winnow:$dir") {
-      TextOps.winnow(docs(spark, dir), k = 8, w = 4)
+      // Materialized: d_winnow_pairs' inverted-index self-join scans the
+      // fingerprint set 3× (df filter + both join sides).
+      val fps = TextOps.winnow(docs(spark, dir), k = 8, w = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fps.count()
+      fps
     }
 
   /** MOSS winnowing fingerprint sets ([[TextOps.winnow]], k=8 w=4). */

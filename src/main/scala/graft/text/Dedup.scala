@@ -165,6 +165,11 @@ object Dedup {
         exploded.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       else exploded)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize before building the multi-scan plans on top: the
+    // intersection join's first action scans `sh` three times (df
+    // aggregate + both self-join sides), and concurrent scans of an
+    // unmaterialized persisted frame each recompute it.
+    sh.count()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
@@ -230,11 +235,12 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                  shingleN: Int = 3, threshold: Double = 0.5,
-                 hashMode: String = "md5"): DataFrame =
-    minHashLshOfSigs(
-      minHashSignatures(docs, numHashes, shingleN, hashMode)
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      numHashes, bands, threshold)
+                 hashMode: String = "md5"): DataFrame = {
+    val sigs = minHashSignatures(docs, numHashes, shingleN, hashMode)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // three downstream scans must not race the computation
+    minHashLshOfSigs(sigs, numHashes, bands, threshold)
+  }
 
   /** [[minHashLsh]] over an ALREADY-COMPUTED (and persisted — referenced
     * three times: banding + the two verify joins) signature table
@@ -287,11 +293,12 @@ object Dedup {
     * division, or their difference — bit-identical cross-engine.
     */
   def minHashAccuracy(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                      shingleN: Int = 3, hashMode: String = "md5"): DataFrame =
-    minHashAccuracyOfSigs(
-      minHashSignatures(docs, numHashes, shingleN, hashMode)
-        .persist(StorageLevel.MEMORY_AND_DISK),
-      docs, numHashes, bands, shingleN)
+                      shingleN: Int = 3, hashMode: String = "md5"): DataFrame = {
+    val sigs = minHashSignatures(docs, numHashes, shingleN, hashMode)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // see minHashLsh
+    minHashAccuracyOfSigs(sigs, docs, numHashes, bands, shingleN)
+  }
 
   /** [[minHashAccuracy]] over a precomputed signature table for exactly
     * the docs in `docs` (see [[minHashLshOfSigs]] for the filter-sharing
@@ -308,6 +315,7 @@ object Dedup {
     val sh = docs.select(col("doc_id"),
         explode(array_distinct(TextOps.shinglesCol(col("text"), shingleN))).as("shingle"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count() // sizes + the two intersection joins scan this 3×
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand.select(col("a"), col("b"))
       .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
@@ -401,10 +409,11 @@ object Dedup {
   }
 
   def simHashPairs(docs: DataFrame, shingleN: Int = 2, maxHamming: Int = 3,
-                   hashMode: String = "md5"): DataFrame =
-    simHashPairsOf(
-      simHash(docs, shingleN, hashMode).persist(StorageLevel.MEMORY_AND_DISK),
-      maxHamming)
+                   hashMode: String = "md5"): DataFrame = {
+    val sigs = simHash(docs, shingleN, hashMode).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // three downstream scans must not race the computation
+    simHashPairsOf(sigs, maxHamming)
+  }
 
   /** [[simHashPairs]] over an ALREADY-COMPUTED (and persisted — it is
     * referenced three times) signature table (doc_id, simhash): the
@@ -428,6 +437,7 @@ object Dedup {
     // output-sized by definition. (Measured: 30.6 s → ~3 s at sf0.1.)
     val distinctSigs = sigs.select(col("simhash")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    distinctSigs.count() // chunked self-join scans this twice
     val chunked = distinctSigs.select(col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val width = if (c == nChunks - 1) sigBits - c * bits else bits
