@@ -187,6 +187,22 @@ object ConnectedComponents {
     val spark = oldLabels.sparkSession
     import spark.implicits._
 
+    // Bounded driver-local twin of the WHOLE diff→contract→repair→compose
+    // pipeline (not just the repair CC): when both snapshots fit the
+    // budget, the five dataflow stages below are ~15 small shuffles of
+    // pure job latency; the same steps over hash sets produce identical
+    // labels (every quantity is an exact integer and the composition is
+    // deterministic — pinned by `LocalTwinSpec`'s differential). The
+    // honesty metrics (repairEdges, dirtyComponents) are computed from
+    // the same definitions.
+    if (localFinishEdges > 0 &&
+        oldEdges.count() + newEdges.count() <= localFinishEdges) {
+      def arr(df: DataFrame): Array[(Long, Long)] = df
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      return incrementalLocal(spark, oldLabels, arr(oldEdges), arr(newEdges))
+    }
+
     // BOTH symmetric non-loop snapshots in ONE exchange: each arc row is
     // tagged with its snapshot side, and one (src, dst) aggregate ORs the
     // sides into a membership bitmask — removed/added/retained are then
@@ -286,6 +302,57 @@ object ConnectedComponents {
     Seq(symFlags, newVerts, dirtyComps, cleanMap, repairEdgesDf, rep)
       .foreach(_.unpersist())
     IncrementalResult(out, nRepair, repairIters, nDirty)
+  }
+
+  /** The driver-local twin of [[incremental]]'s dataflow — same stages,
+    * same definitions, hash sets instead of shuffles. Exactness follows
+    * from the distributed path's own argument (min-id labels compose
+    * through contraction); the differential spec pins the equality.
+    */
+  private def incrementalLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      oldLabels: DataFrame,
+      oldEdges: Array[(Long, Long)],
+      newEdges: Array[(Long, Long)]): IncrementalResult = {
+    def sym(es: Array[(Long, Long)]): Set[(Long, Long)] =
+      es.iterator.filter(e => e._1 != e._2)
+        .flatMap(e => Iterator(e, (e._2, e._1))).toSet
+    val symA = sym(oldEdges)
+    val symB = sym(newEdges)
+    val removed = symA -- symB
+    val added = symB -- symA
+    val retained = symA & symB
+    val newVerts: Set[Long] =
+      newEdges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val oldLab: Map[Long, Long] = oldLabels
+      .select(col("id").cast("long"), col("comp").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirtyComps: Set[Long] =
+      removed.iterator.flatMap(e => Iterator(e._1, e._2))
+        .flatMap(oldLab.get).toSet
+    val cleanMap: Map[Long, Long] =
+      oldLab.filter { case (_, c) => !dirtyComps.contains(c) }
+    // repair arcs: added + retained touching a non-clean endpoint, clean
+    // endpoints contracted to their label, self-loops dropped
+    val repairRaw = added ++ retained.filter(e =>
+      !cleanMap.contains(e._1) || !cleanMap.contains(e._2))
+    val repair = repairRaw.iterator
+      .map(e => (cleanMap.getOrElse(e._1, e._1), cleanMap.getOrElse(e._2, e._2)))
+      .filter(e => e._1 != e._2)
+      .toSet
+    val rep = unionFindMin(repair.toSeq)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    newVerts.foreach { id =>
+      cleanMap.get(id) match {
+        case Some(c) => out += ((id, rep.getOrElse(c, c)))
+        case None => out += ((id, rep.getOrElse(id, id)))
+      }
+    }
+    val comps = spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq,
+        math.max(1, spark.sparkContext.defaultParallelism / 4)))
+      .toDF("id", "comp")
+    IncrementalResult(comps, repair.size.toLong, 0, dirtyComps.size.toLong)
   }
 
   /** Component sizes plus size-ranked renumbering, reproducing the

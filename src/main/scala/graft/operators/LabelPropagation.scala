@@ -38,10 +38,62 @@ object LabelPropagation {
       graph: Graph,
       maxIter: Int = 10,
       checkpoint: Option[CheckpointConfig] = None,
-      verbose: Boolean = false
+      verbose: Boolean = false,
+      /** Opt-in bounded driver-local twin (the [[ConnectedComponents.run]]
+        * cap pattern): when > 0, no checkpointing is requested, and the
+        * arc count fits the budget (~16 B/arc collected), the synchronous
+        * vote rounds run on driver arrays — vote counts are exact
+        * integers with a total (count desc, label asc) order, so the
+        * result is bit-identical to the distributed rounds (pinned by
+        * `LocalTwinSpec`). Default 0 = always distributed.
+        */
+      localFinishEdges: Long = 0L
   ): Result = {
     val spark = graph.spark
     import spark.implicits._
+
+    if (localFinishEdges > 0 && checkpoint.isEmpty && graph.numEdges <= localFinishEdges) {
+      val g = new Mis.LocalSym(graph, "")
+      var label = g.ids.clone()
+      val history = scala.collection.mutable.ArrayBuffer.empty[SuperstepMetrics]
+      var iter = 0
+      var changed = 1L
+      val cnt = new java.util.HashMap[java.lang.Long, Long]()
+      while (changed > 0 && iter < maxIter) {
+        iter += 1
+        changed = 0L
+        val next = label.clone()
+        var i = 0
+        while (i < g.n) {
+          if (g.off(i + 1) > g.off(i)) {
+            cnt.clear()
+            var p = g.off(i)
+            while (p < g.off(i + 1)) { cnt.merge(label(g.nbr(p)), 1L, _ + _); p += 1 }
+            var bestLabel = Long.MaxValue
+            var bestCnt = -1L
+            val it = cnt.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue > bestCnt ||
+                  (e.getValue == bestCnt && e.getKey < bestLabel)) {
+                bestCnt = e.getValue; bestLabel = e.getKey
+              }
+            }
+            if (bestLabel != label(i)) { next(i) = bestLabel; changed += 1 }
+          }
+          i += 1
+        }
+        label = next
+        history += SuperstepMetrics(iter, changed.toDouble, g.nbr.length.toLong,
+          changed, 1.0, 0L)
+      }
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until g.n).map(i => (g.ids(i), label(i))),
+          math.max(1, spark.sparkContext.defaultParallelism / 4)))
+        .toDF("id", "label")
+      return Result(labels, iter, history.toSeq)
+    }
 
     val sym = graph.symmetrize
     // Exclude self-loops: a vertex should not vote for its own label.

@@ -74,7 +74,7 @@ object Mis {
     raw.foreach { e => idx(e.src); idx(e.dst) }
     val ids: Array[Long] = idsBuf.toArray
     val n: Int = ids.length
-    val key: Array[Long] = ids.map(keyOfLocal(_, salt))
+    lazy val key: Array[Long] = ids.map(keyOfLocal(_, salt)) // unused by the LP twin
     /** (key, id)-precedence: does a come strictly before b? */
     def before(a: Int, b: Int): Boolean =
       key(a) < key(b) || (key(a) == key(b) && ids(a) < ids(b))

@@ -1860,7 +1860,8 @@ object GraphQueries {
 
   /** Label propagation, fixed sync iterations, deterministic tie-breaks. */
   def lp(iters: Int)(spark: SparkSession, dir: String): DataFrame =
-    LabelPropagation.run(graph(spark, dir), maxIter = iters).labels
+    LabelPropagation.run(graph(spark, dir), maxIter = iters,
+      localFinishEdges = 2000000L).labels
 
   /** LP stage chain (sym → symnl → lab0 → votes/win/lab per iteration),
     * assuming `edges`/`nodes` CTEs are in scope — FACTORED so
@@ -2184,8 +2185,11 @@ object GraphQueries {
     */
   private def sparseLpShared(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"klp:$dir") {
-      LabelPropagation.run(sparseGraph(spark, dir), maxIter = 3).labels
+      val l = LabelPropagation.run(sparseGraph(spark, dir), maxIter = 3,
+        localFinishEdges = 2000000L).labels
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l.count() // modularity's algebra scans the labels 3× (persist race)
+      l
     }
 
   /** Newman modularity of the LP-3 communities on the sparse graph, per
@@ -2212,6 +2216,11 @@ object GraphQueries {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .where(col("src") =!= col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialized: the algebra below scans `sym` four times (two label
+    // joins, the degree aggregate, the total count) — each scan was
+    // re-deriving the symmetrized table from the lineitem scan.
+    sym.count()
     val arcs = sym
       .join(lab.select(col("id").as("src"), col("label").as("ls")), Seq("src"))
       .join(lab.select(col("id").as("dst"), col("label").as("ld")), Seq("dst"))

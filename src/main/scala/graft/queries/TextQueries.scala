@@ -861,7 +861,12 @@ object TextQueries {
   def minHashAccuracy(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashAccuracyOfSigs(
       minHashSigsShared(spark, dir).where(col("doc_id") % 2 === 0),
-      docs(spark, dir).where(col("doc_id") % 2 === 0))
+      docs(spark, dir).where(col("doc_id") % 2 === 0),
+      // Exact side reads the shared hashed 3-gram occurrence table
+      // (occurrences are per-document, so the half-sample is a filter —
+      // the minHashSigsShared sharing contract), replacing a second
+      // corpus shingle pass + string-keyed intersection joins.
+      shingles = Some(sh3Shared(spark, dir).where(col("doc_id") % 2 === 0)))
 
   val minHashAccuracySql: String =
     s"""WITH docsample AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
@@ -888,16 +893,28 @@ object TextQueries {
     * d_ngram_jaccard and d_containment (the intersection join IS the
     * cost; each measure is one projection after it).
     */
+  /** Per-doc-distinct hashed 3-gram occurrences (doc_id, xxhash64),
+    * computed once per (session, dir) — the shared front of the ngram
+    * index (d_containment / d_ngram_jaccard) and the minhash-calibration
+    * exact side (d_minhash_est). Hashing: the whole downstream (df cap +
+    * intersection self-joins) runs over 8-byte longs instead of 3-word
+    * strings — several-fold fewer shuffle bytes on the dominant equi-join
+    * (guide §2.3 "narrower types"). Identical counts absent a 64-bit
+    * collision among the corpus's distinct shingles (~n²/2⁶⁴); the
+    * oracle gate checks the string-exact answer at both gate SFs, so a
+    * collision would fail loudly, not silently.
+    */
+  private def sh3Shared(spark: SparkSession, dir: String): DataFrame =
+    graft.core.SessionMemo(spark, s"sh3:$dir") {
+      val sh = Dedup.shingleOccurrences(docs(spark, dir), n = 3, hashShingles = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // consumers scan it up to 3× in one job (the persist race)
+      sh
+    }
+
   private def ngramIdxShared(spark: SparkSession, dir: String): Dedup.NgramIndex =
     graft.core.SessionMemo(spark, s"ngramidx:$dir") {
-      // hashShingles: the whole index (df cap + intersection self-join)
-      // runs over xxhash64 longs instead of 3-word strings — several-fold
-      // fewer shuffle bytes on the dominant equi-join (Dedup.ngramJaccard
-      // scaladoc; guide §2.3 "narrower types"). Identical pair counts
-      // absent a 64-bit collision among the corpus's distinct shingles
-      // (~n²/2⁶⁴); the oracle gate checks the string-exact answer at both
-      // gate SFs, so a collision would fail loudly, not silently.
-      val idx = Dedup.ngramIndex(docs(spark, dir), hashShingles = true)
+      val idx = Dedup.ngramIndexOfOccurrences(sh3Shared(spark, dir))
       val sizes = idx.sizes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inter = idx.inter.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Materialize both: d_containment's first action otherwise scans
@@ -1566,8 +1583,13 @@ object TextQueries {
     */
   private def nearDupCcShared(spark: SparkSession, dir: String): DataFrame =
     graft.core.SessionMemo(spark, s"neardup-cc:$dir") {
+      // Persist + materialize the pair table: the CC local finish reads
+      // the edge set twice (budget count + collect), and each read was
+      // re-running the whole bucket-join + cosine evaluation.
       val pairs = VectorSim.nearDupPairs(emb(spark, dir), threshold = 0.4,
         dims = 64, bits = 4, probe = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
       val g = graft.core.Graph.fromEdges(
         pairs.select(col("a").as("src"), col("b").as("dst")))
       graft.operators.ConnectedComponents.run(g,

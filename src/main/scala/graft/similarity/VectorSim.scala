@@ -36,6 +36,7 @@ object VectorSim {
     val v = emb.select(col("vec_id"), col("embedding"),
       normCol(col("embedding")).as("nrm"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    v.count() // the all-pairs self-join scans v twice (the persist race)
     val pairs = v.as("q").join(v.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("vec_id"), col("c.vec_id").as("nbr_id"),
         round(dotCol(col("q.embedding"), col("c.embedding"))
@@ -109,6 +110,7 @@ object VectorSim {
       normCol(col("embedding")).as("nrm"),
       bucketCol(col("embedding"), dims, effBits).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    v.count() // the probe self-join scans v twice (the persist race)
     // Probe buckets: the query bucket plus every bucket at Hamming
     // distance <= probe (bit-flip masks precomputed on the driver).
     val masks: Seq[Int] = probeMasks(effBits, probe)
@@ -147,6 +149,7 @@ object VectorSim {
       normCol(col("embedding")).as("nrm"),
       bucketCol(col("embedding"), dims, effBits).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    v.count() // the probe self-join scans v twice (the persist race)
     val q = v.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(probeMasks(effBits, probe)
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
@@ -211,6 +214,7 @@ object VectorSim {
       .select(col("vec_id"), col("bucket"), col("q"),
         sqrt(dotCol(col("q"), col("q"))).as("qn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    v.count() // the probe self-join scans v twice (the persist race)
     val q = v.select(col("vec_id"), col("q"), col("qn"),
       explode(array(probeMasks(effBits, probe)
         .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))

@@ -151,25 +151,42 @@ object Dedup {
     */
   final case class NgramIndex(sizes: DataFrame, inter: DataFrame)
 
-  def ngramIndex(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 10000,
-                 hashShingles: Boolean = false): NgramIndex = {
-    // Per-doc distinct via array_distinct BEFORE the explode: the
-    // "distinct (doc_id, shingle) pairs" contract only dedups within a
-    // document (doc_id is part of the key), so a map-side array dedup is
-    // exact and removes what used to be a corpus-wide distinct exchange
-    // of every shingle occurrence (guide §2.4).
+  /** Per-doc-distinct shingle occurrences (doc_id, shingle) — the shared
+    * front of [[ngramIndex]] and the calibration exact side. Per-doc
+    * distinct via array_distinct BEFORE the explode: the "distinct
+    * (doc_id, shingle) pairs" contract only dedups within a document
+    * (doc_id is part of the key), so a map-side array dedup is exact and
+    * removes what used to be a corpus-wide distinct exchange of every
+    * shingle occurrence (guide §2.4).
+    */
+  def shingleOccurrences(docs: DataFrame, n: Int = 3,
+                         hashShingles: Boolean = false): DataFrame = {
     val distinctShingles = array_distinct(TextOps.shinglesCol(col("text"), n))
     val exploded = docs
       .select(col("doc_id"), explode(distinctShingles).as("shingle"))
-    val sh = (if (hashShingles)
-        exploded.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      else exploded)
+    if (hashShingles)
+      exploded.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    else exploded
+  }
+
+  def ngramIndex(docs: DataFrame, n: Int = 3, maxDocFreq: Long = 10000,
+                 hashShingles: Boolean = false): NgramIndex = {
+    val sh = shingleOccurrences(docs, n, hashShingles)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Materialize before building the multi-scan plans on top: the
     // intersection join's first action scans `sh` three times (df
     // aggregate + both self-join sides), and concurrent scans of an
     // unmaterialized persisted frame each recompute it.
     sh.count()
+    ngramIndexOfOccurrences(sh)
+  }
+
+  /** [[ngramIndex]] over an ALREADY-COMPUTED (and materialized — scanned
+    * three times here) per-doc-distinct occurrence table: the
+    * caller-shared face, so one shingle pass can feed the index AND the
+    * calibration exact side.
+    */
+  def ngramIndexOfOccurrences(sh: DataFrame, maxDocFreq: Long = 10000): NgramIndex = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val rare = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq),
@@ -307,15 +324,28 @@ object Dedup {
     */
   def minHashAccuracyOfSigs(sigs: DataFrame, docs: DataFrame,
                             numHashes: Int = 32, bands: Int = 8,
-                            shingleN: Int = 3): DataFrame = {
+                            shingleN: Int = 3,
+                            /** Precomputed per-doc-distinct occurrence
+                              * table ([[shingleOccurrences]], possibly
+                              * hashed) for exactly the docs in `docs` —
+                              * the caller-shared face (the gate shares
+                              * one hashed shingle pass between the ngram
+                              * index and this exact side). Must already
+                              * be materialized; the caller owns its
+                              * cache. Intersection/size counts are
+                              * hash-choice-independent absent a 64-bit
+                              * collision (the ngramIndex argument — the
+                              * oracle gate checks the string-exact
+                              * answer at both gate SFs).
+                              */
+                            shingles: Option[DataFrame] = None): DataFrame = {
     val cand = minHashLshOfSigs(sigs, numHashes, bands, threshold = 0.0)
-    // array_distinct map-side, not a corpus-wide distinct exchange —
-    // per-doc dedup is exact for the (doc_id, shingle) key (ngramIndex
-    // rationale).
-    val sh = docs.select(col("doc_id"),
-        explode(array_distinct(TextOps.shinglesCol(col("text"), shingleN))).as("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count() // sizes + the two intersection joins scan this 3×
+    val sh = shingles.getOrElse {
+      val s = shingleOccurrences(docs, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      s.count() // sizes + the two intersection joins scan this 3×
+      s
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand.select(col("a"), col("b"))
       .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))

@@ -116,6 +116,57 @@ class LocalTwinSpec extends AnyFunSuite {
     }
   }
 
+  test("LabelPropagation: local == distributed (labels, iterations)") {
+    for (es <- fixtures; iters <- Seq(1, 3, 10)) {
+      val rd = LabelPropagation.run(Graph.fromPairs(spark, es), iters)
+      val rl = LabelPropagation.run(Graph.fromPairs(spark, es), iters,
+        localFinishEdges = 1000000L)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(rl.labels) === m(rd.labels), s"iters=$iters")
+      assert(rl.iterations === rd.iterations, s"iters=$iters iterations")
+    }
+  }
+
+  // NOTE deliberately no Betweenness local twin: its δ sums are
+  // order-sensitive at the last ulp (σ ratios like 1/3 are inexact), and
+  // the gate sorts result rows by the float column before comparing — a
+  // 1-ulp difference between near-equal bc values flips the row order
+  // and fails the row-aligned compare (observed at sf0.01: two rows at
+  // bc=3.313492 swapped). Only bit-reproducible computations may take a
+  // local twin; integer/decimal argmax operators qualify, free-form
+  // float accumulations do not.
+
+  test("CC.incremental: local twin == distributed across splits/merges/vanished") {
+    import spark.implicits._
+    // old: two components joined by a bridge; new: bridge removed (split),
+    // a fresh merge arc, a vanished vertex, and a brand-new vertex.
+    val scenarios = Seq(
+      (Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)),
+        Seq((0L, 1L), (2L, 3L), (10L, 11L), (11L, 12L))),
+      (randEdges(30, 120, 5), randEdges(30, 120, 6)),
+      (Seq((5L, 5L), (1L, 2L)), Seq((5L, 5L), (2L, 1L), (7L, 8L)))
+    )
+    for ((oldE, newE) <- scenarios) {
+      val a = oldE.toDF("src", "dst")
+      val b = newE.toDF("src", "dst")
+      val oldLab = ConnectedComponents.run(Graph.fromEdges(a)).components
+        .persist()
+      oldLab.count()
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rd = ConnectedComponents.incremental(oldLab, a, b)
+      val rl = ConnectedComponents.incremental(oldLab, a, b, localFinishEdges = 1000000L)
+      assert(m(rl.components) === m(rd.components))
+      assert(rl.repairEdges === rd.repairEdges)
+      assert(rl.dirtyComponents === rd.dirtyComponents)
+      // and both equal a from-scratch run on the new snapshot
+      val scratch = m(ConnectedComponents.run(Graph.fromEdges(b)).components)
+      assert(m(rl.components) === scratch)
+      oldLab.unpersist()
+    }
+  }
+
   test("Coloring: local honors the maxRounds cutoff exactly like distributed") {
     // A path graph colored with a pathological salt can need several JP
     // rounds; cap below the depth and both sides must leave the same
